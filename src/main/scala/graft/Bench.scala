@@ -12,6 +12,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet ships TIMESTAMP(NANOS); read as long, normalized in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference semantics are pandas errors='coerce' (null on bad cast), not ANSI errors
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -18,12 +18,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (CoreQueries.q01PricingSummary _),
-    "q02_golden_join" -> (CoreQueries.q02GoldenJoin _)
+    "q02_golden_join" -> (CoreQueries.q02GoldenJoin _),
+    "q09_parse_funcs" -> (ParseQueries.q09ParseFuncs _),
+    "q10_category_path" -> (ParseQueries.q10CategoryPath _)
   )
 
   /** DuckDB-runnable oracle for each query (same column names/aliases). */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> CoreQueries.q01Oracle,
-    "q02_golden_join" -> CoreQueries.q02Oracle
+    "q02_golden_join" -> CoreQueries.q02Oracle,
+    "q09_parse_funcs" -> ParseQueries.q09Oracle,
+    "q10_category_path" -> ParseQueries.q10Oracle
   )
 }

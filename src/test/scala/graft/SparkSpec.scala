@@ -22,6 +22,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference semantics are pandas errors='coerce' (null on bad cast), not ANSI errors
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -15,21 +15,24 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
-    # decimals, dates, timestamps -> canonical str
+    """Canonical comparable string per value: unifies None/NaN, int vs
+    integral float (nullable bigint becomes float64 in pandas), decimal vs
+    float. Non-integral floats compare by exact repr (bitwise determinism is
+    the contract)."""
     import decimal, datetime
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "␀"
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        v = float(v)
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else repr(v)
+    if isinstance(v, (int,)):
+        return str(v)
     if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
