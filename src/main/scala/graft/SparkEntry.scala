@@ -19,15 +19,29 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (CoreQueries.q01PricingSummary _),
     "q02_golden_join" -> (CoreQueries.q02GoldenJoin _),
+    "q03_dedup_latest" -> (EtlQueries.q03DedupLatest _),
+    "q04_melt" -> (EtlQueries.q04Melt _),
+    "q05_merge_upsert" -> (EtlQueries.q05MergeUpsert _),
+    "q06_hybrid_merge" -> (EtlQueries.q06HybridMerge _),
+    "q07_trends_agg" -> (EtlQueries.q07TrendsAgg _),
+    "q08_quality_checks" -> (EtlQueries.q08QualityChecks _),
     "q09_parse_funcs" -> (ParseQueries.q09ParseFuncs _),
-    "q10_category_path" -> (ParseQueries.q10CategoryPath _)
+    "q10_category_path" -> (ParseQueries.q10CategoryPath _),
+    "q12_star_split" -> (EtlQueries.q12StarSplit _)
   )
 
   /** DuckDB-runnable oracle for each query (same column names/aliases). */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> CoreQueries.q01Oracle,
     "q02_golden_join" -> CoreQueries.q02Oracle,
+    "q03_dedup_latest" -> EtlQueries.q03Oracle,
+    "q04_melt" -> EtlQueries.q04Oracle,
+    "q05_merge_upsert" -> EtlQueries.q05Oracle,
+    "q06_hybrid_merge" -> EtlQueries.q06Oracle,
+    "q07_trends_agg" -> EtlQueries.q07Oracle,
+    "q08_quality_checks" -> EtlQueries.q08Oracle,
     "q09_parse_funcs" -> ParseQueries.q09Oracle,
-    "q10_category_path" -> ParseQueries.q10Oracle
+    "q10_category_path" -> ParseQueries.q10Oracle,
+    "q12_star_split" -> EtlQueries.q12Oracle
   )
 }

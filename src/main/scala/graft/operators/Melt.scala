@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Wide→long unpivot (reference transform_google_trends.py:68 pd.melt).
+  *
+  * Spark-first: `stack` is a zero-shuffle narrow transform — each input row
+  * expands to N output rows inside the same task, so this costs no data
+  * movement at any scale (unlike a union of N self-scans).
+  */
+object Melt {
+  /** @param valueCols (outputLabel, inputColumnName); all inputs are cast to
+    *                  the common `valueType` (stack requires a shared type).
+    */
+  def wideToLong(df: DataFrame, idCols: Seq[String],
+                 valueCols: Seq[(String, String)],
+                 varName: String = "variable", valueName: String = "value",
+                 valueType: String = "double"): DataFrame = {
+    val stackArgs = valueCols
+      .map { case (label, c) => s"'$label', CAST(`$c` AS $valueType)" }
+      .mkString(", ")
+    val stackExpr =
+      expr(s"stack(${valueCols.size}, $stackArgs) AS (`$varName`, `$valueName`)")
+    df.select(idCols.map(col) :+ stackExpr: _*)
+  }
+}

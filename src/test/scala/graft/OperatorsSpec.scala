@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Melt, QualityChecks, Upsert}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Dedup.latestByKey keeps exactly the newest row per key") {
+    val df = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "only"))
+      .toDF("k", "v", "tag")
+    val out = Dedup.latestByKey(df, Seq("k"), Seq(col("v").desc)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out == Set((1L, "new"), (2L, "only")))
+  }
+
+  test("Melt.wideToLong expands each row without shuffle") {
+    val df = Seq((1L, 2.0, 3.0)).toDF("id", "a", "b")
+    val out = Melt.wideToLong(df, Seq("id"), Seq("a" -> "a", "b" -> "b"))
+    assert(out.collect().map(r => (r.getString(1), r.getDouble(2))).toSet ==
+      Set(("a", 2.0), ("b", 3.0)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "melt must be shuffle-free")
+  }
+
+  test("Upsert.merge: update, preserve, keep and insert semantics") {
+    val target = Seq((1, "t1", "manual", "keepme"), (2, "t2", null, "orig"))
+      .toDF("k", "v", "curated", "created")
+    val source = Seq((2, "s2", "auto"), (3, "s3", "auto")).toDF("k", "v", "curated")
+    val out = Upsert.merge(target, source, Seq("k"),
+      keepCols = Seq("curated"), preserveCols = Seq("created"))
+    val rows = out.collect().map(r => (r.getInt(0),
+      r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows == Set(
+      (1, "t1", "manual", "keepme"),   // untouched target row
+      (2, "s2", "auto", "orig"),       // matched: v updated, curated null→source, created preserved
+      (3, "s3", "auto", null)))        // inserted from source
+  }
+
+  test("Upsert.merge keepCols prefers non-null target value") {
+    val target = Seq((1, "manual")).toDF("k", "name")
+    val source = Seq((1, "crawler")).toDF("k", "name")
+    val out = Upsert.merge(target, source, Seq("k"), keepCols = Seq("name"))
+    assert(out.collect().head.getString(1) == "manual")
+  }
+
+  test("QualityChecks.report runs all checks in one pass") {
+    val df = Seq((1, 10.0), (2, -5.0), (3, 0.0)).toDF("id", "price")
+    val rep = QualityChecks.report(df, Seq(
+      QualityChecks.Check("nonpositive_price", col("price") <= 0),
+      QualityChecks.Check("null_id", col("id").isNull)))
+    val byName = rep.collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(byName("nonpositive_price") == (2L, false))
+    assert(byName("null_id") == (0L, true))
+    assert(rep.select("total_rows").head.getLong(0) == 3L)
+  }
+}
