@@ -25,6 +25,11 @@ object SparkEntry {
     "q06_hybrid_merge" -> (EtlQueries.q06HybridMerge _),
     "q07_trends_agg" -> (EtlQueries.q07TrendsAgg _),
     "q08_quality_checks" -> (EtlQueries.q08QualityChecks _),
+    "q11_fx_normalize" -> (AnalyticsQueries.q11FxNormalize _),
+    "q13_top_per_brand" -> (AnalyticsQueries.q13TopPerBrand _),
+    "q14_market_share" -> (AnalyticsQueries.q14MarketShare _),
+    "q15_price_history" -> (AnalyticsQueries.q15PriceHistory _),
+    "q16_rolling_trend" -> (AnalyticsQueries.q16RollingTrend _),
     "q09_parse_funcs" -> (ParseQueries.q09ParseFuncs _),
     "q10_category_path" -> (ParseQueries.q10CategoryPath _),
     "q12_star_split" -> (EtlQueries.q12StarSplit _)
@@ -40,6 +45,11 @@ object SparkEntry {
     "q06_hybrid_merge" -> EtlQueries.q06Oracle,
     "q07_trends_agg" -> EtlQueries.q07Oracle,
     "q08_quality_checks" -> EtlQueries.q08Oracle,
+    "q11_fx_normalize" -> AnalyticsQueries.q11Oracle,
+    "q13_top_per_brand" -> AnalyticsQueries.q13Oracle,
+    "q14_market_share" -> AnalyticsQueries.q14Oracle,
+    "q15_price_history" -> AnalyticsQueries.q15Oracle,
+    "q16_rolling_trend" -> AnalyticsQueries.q16Oracle,
     "q09_parse_funcs" -> ParseQueries.q09Oracle,
     "q10_category_path" -> ParseQueries.q10Oracle,
     "q12_star_split" -> EtlQueries.q12Oracle
