@@ -32,7 +32,11 @@ object SparkEntry {
     "q16_rolling_trend" -> (AnalyticsQueries.q16RollingTrend _),
     "q09_parse_funcs" -> (ParseQueries.q09ParseFuncs _),
     "q10_category_path" -> (ParseQueries.q10CategoryPath _),
-    "q12_star_split" -> (EtlQueries.q12StarSplit _)
+    "q12_star_split" -> (EtlQueries.q12StarSplit _),
+    "q26_lang_id" -> (TextQueries.q26LangId _),
+    "q27_quality_score" -> (TextQueries.q27QualityScore _),
+    "q28_token_count" -> (TextQueries.q28TokenCount _),
+    "q29_fingerprint" -> (TextQueries.q29Fingerprint _)
   )
 
   /** DuckDB-runnable oracle for each query (same column names/aliases). */
@@ -52,6 +56,10 @@ object SparkEntry {
     "q16_rolling_trend" -> AnalyticsQueries.q16Oracle,
     "q09_parse_funcs" -> ParseQueries.q09Oracle,
     "q10_category_path" -> ParseQueries.q10Oracle,
-    "q12_star_split" -> EtlQueries.q12Oracle
+    "q12_star_split" -> EtlQueries.q12Oracle,
+    "q26_lang_id" -> TextQueries.q26Oracle,
+    "q27_quality_score" -> TextQueries.q27Oracle,
+    "q28_token_count" -> TextQueries.q28Oracle,
+    "q29_fingerprint" -> TextQueries.q29Oracle
   )
 }

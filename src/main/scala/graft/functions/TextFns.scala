@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis functions for LLM-training-data pipelines (SURVEY §2
+  * items 37-40). Pure built-in expression compositions: codegen'd,
+  * shuffle-free, and recomputable in the DuckDB oracle.
+  *
+  * Float discipline: every ratio is a single division of two exact integer
+  * counts, and score weighting uses one fixed left-to-right expression, so
+  * results are bitwise deterministic across engines and partitionings.
+  */
+object TextFns {
+
+  /** Whitespace token count. Empty/blank → 0. */
+  def tokenCountWs(text: Column): Column =
+    when(text.isNull || trim(text) === "", 0)
+      .otherwise(size(split(trim(text), """\s+""")))
+
+  /** BPE-ish token count: letter runs, single digits, punctuation marks.
+    * A cheap upper-bound proxy for byte-pair tokenizer counts.
+    */
+  def tokenCountBpe(text: Column): Column =
+    when(text.isNull, 0)
+      .otherwise(size(regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0))))
+
+  private def countMatches(text: Column, pattern: String): Column =
+    when(text.isNull, 0)
+      .otherwise(size(regexp_extract_all(lower(text), lit(pattern), lit(0))))
+
+  /** Marker-word counts per language used by [[languageId]]. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> """\b(the|and|of|to|a|in)\b""",
+    "de" -> """\b(der|die|und|das|nicht)\b""",
+    "es" -> """\b(el|la|los|que|es)\b""",
+    "fr" -> """\b(le|les|des|est|une)\b""",
+    "zh" -> """[一-鿿]""")
+
+  /** N-gram/marker-word language ID. Deterministic argmax: first language
+    * in [[LangMarkers]] order reaching the max count wins; all-zero →
+    * "unknown".
+    */
+  def languageId(text: Column): Column = {
+    val counts = LangMarkers.map { case (l, p) => l -> countMatches(text, p) }
+    val maxCount = greatest(counts.map(_._2): _*)
+    counts.foldLeft(when(maxCount <= 0, "unknown")) { case (acc, (l, c)) =>
+      acc.when(c === maxCount, l)
+    }.otherwise("unknown")
+  }
+
+  /** Alphabetic-character ratio (0 for empty). */
+  def alphaRatio(text: Column): Column = {
+    val len = length(text)
+    when(text.isNull || len === 0, 0.0d)
+      .otherwise(countMatches(text, "[a-z]").cast(DoubleType) / len)
+  }
+
+  /** Stopword-token ratio (0 when no tokens). */
+  def stopwordRatio(text: Column): Column = {
+    val stops = countMatches(text, """\b(the|a|an|and|or|of|to|in|is|it)\b""")
+    val toks = tokenCountWs(text)
+    when(toks === 0, 0.0d).otherwise(stops.cast(DoubleType) / toks)
+  }
+
+  /** Heuristic document quality score in [0,1]:
+    * 0.4·alpha_ratio + 0.3·stopword_ratio + 0.3·min(1, tokens/100).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0d), tokenCountWs(text).cast(DoubleType) / 100.0d)
+    lit(0.4d) * alphaRatio(text) + lit(0.3d) * stopwordRatio(text) +
+      lit(0.3d) * lenScore
+  }
+
+  /** Normalized text (lowercase, collapsed whitespace) — the dedup key. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), """\s+""", " ")
+
+  /** Content fingerprint: md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+}
