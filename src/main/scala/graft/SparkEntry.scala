@@ -33,6 +33,10 @@ object SparkEntry {
     "q09_parse_funcs" -> (ParseQueries.q09ParseFuncs _),
     "q10_category_path" -> (ParseQueries.q10CategoryPath _),
     "q12_star_split" -> (EtlQueries.q12StarSplit _),
+    "q20_dedup_exact" -> (DedupQueries.q20DedupExact _),
+    "q21_ngram_jaccard" -> (DedupQueries.q21NgramJaccard _),
+    "q22_minhash_lsh" -> (DedupQueries.q22MinhashLsh _),
+    "q23_simhash" -> (DedupQueries.q23Simhash _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -57,6 +61,10 @@ object SparkEntry {
     "q09_parse_funcs" -> ParseQueries.q09Oracle,
     "q10_category_path" -> ParseQueries.q10Oracle,
     "q12_star_split" -> EtlQueries.q12Oracle,
+    "q20_dedup_exact" -> DedupQueries.q20Oracle,
+    "q21_ngram_jaccard" -> DedupQueries.q21Oracle,
+    "q22_minhash_lsh" -> DedupQueries.q22Oracle,
+    "q23_simhash" -> DedupQueries.q23Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

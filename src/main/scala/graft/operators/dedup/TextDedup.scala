@@ -1,0 +1,143 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Shared shingling/hashing for the text-dedup family (SURVEY §2 items
+  * 30-33). The shingle hash is the first 32 bits of md5 mod a 31-bit prime —
+  * chosen because it is bit-identical reproducible in any engine (the DuckDB
+  * oracle recomputes it), unlike engine-private hash functions.
+  */
+object TextShingles {
+  /** 31-bit prime modulus keeps a*h+b inside Long without overflow. */
+  val P = 2147483647L
+
+  /** Distinct word-3-gram shingle hashes of the normalized text as
+    * array<long>. Documents shorter than 3 tokens hash the whole text.
+    * Narrow (per-row) computation — no shuffle, scales linearly.
+    */
+  def shingleHashes(text: Column): Column = {
+    val norm = TextFns.normalizeText(text)
+    val toks = split(norm, " ")
+    val n = size(toks)
+    val shingles = when(n >= 3,
+      transform(sequence(lit(0), n - 3), i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(norm))
+    array_distinct(transform(shingles, s =>
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % P))
+  }
+}
+
+/** Exact deduplication by content hash (hash-groupBy; one shuffle on the
+  * fingerprint). Survivor = lowest doc id per group (deterministic).
+  */
+object ExactDedup {
+  def groups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFns.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("survivor_doc_id"),
+        count(lit(1)).as("dup_count"),
+        min(length(col(textCol))).as("min_len"),
+        max(length(col(textCol))).as("max_len"))
+}
+
+/** N-gram Jaccard near-duplicate pairs via an inverted shingle index
+  * (explode + equi-join on shingle hash), exact |A∩B| / |A∪B| from integer
+  * counts.
+  *
+  * Scale note: this is the EXACT near-dup operator — cost is bounded by the
+  * candidate-pair volume of the inverted index. For 100 TB corpora use
+  * [[MinHashLSH]] (banded, tunable) as the scale path and this as the
+  * verifier on its candidates.
+  */
+object NGramJaccard {
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+            threshold: Double): DataFrame = {
+    val hl = df.select(col(idCol).as("doc_id"),
+      TextShingles.shingleHashes(col(textCol)).as("hashes"))
+    val sizes = hl.select(col("doc_id"), size(col("hashes")).as("n"))
+    val hs = hl.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val shared = hs.alias("a").join(hs.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}
+
+/** MinHash signatures + LSH banding (the 100 TB near-dup path: candidate
+  * generation cost is O(docs × bands), never O(docs²)).
+  *
+  * 16 permutations (a_j·h + b_j) mod P in 4 bands × 4 rows. Constants are
+  * fixed so any engine reproduces the signatures exactly.
+  */
+object MinHashLSH {
+  import TextShingles.P
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  val As: Seq[Long] = (1 to NumHashes).map(j => (2654435761L * j) % P)
+  val Bs: Seq[Long] = (1 to NumHashes).map(j => (40503L * j * j + 17) % P)
+
+  /** doc_id, sig: array<long>[16]. */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hl = df.select(col(idCol).as("doc_id"),
+      TextShingles.shingleHashes(col(textCol)).as("hashes"))
+    val sigCols = As.zip(Bs).map { case (a, b) =>
+      array_min(transform(col("hashes"), h => (lit(a) * h + lit(b)) % P))
+    }
+    hl.select(col("doc_id"), array(sigCols: _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing at least one band bucket, with
+    * the MinHash-estimated Jaccard (agreeing rows / 16).
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = signatures(df, idCol, textCol)
+    val bandIds = array((0 until Bands).map(lit): _*)
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(bandIds).as("band_id"))
+      .withColumn("band_key",
+        array_join(transform(
+          slice(col("sig"), col("band_id") * RowsPerBand + 1, lit(RowsPerBand)),
+          _.cast("string")), "-"))
+    val pairs = bands.alias("a").join(bands.alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs.select(col("doc_a"), col("doc_b"),
+      (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x))
+        .cast("double") / NumHashes).as("est_jaccard"))
+  }
+}
+
+/** SimHash 32-bit signatures over shingle hashes: bit b is set when the
+  * majority of features have bit b set. Hamming distance between signatures
+  * approximates cosine similarity of the feature sets.
+  */
+object SimHash {
+  val Bits = 32
+
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = df.select(col(idCol).as("doc_id"),
+        explode(TextShingles.shingleHashes(col(textCol))).as("h"))
+    val bitSums = (0 until Bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"bit_$b"))
+    val agg = hs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), bitSums: _*)
+    val sim = (0 until Bits).map(b =>
+        when(col(s"bit_$b") * 2 > col("n_features"), lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"), col("n_features"))
+  }
+}

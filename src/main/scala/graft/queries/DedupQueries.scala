@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.dedup.{ExactDedup, MinHashLSH, NGramJaccard, SimHash}
+
+/** Deduplication queries over the documents table (SURVEY §2 items 30-33).
+  * Oracle SQL shares one set of CTEs so the DuckDB shingle/hash pipeline is
+  * literally the same formula as the Spark one.
+  */
+object DedupQueries {
+
+  private val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  /** Common shingle-hash CTEs (DuckDB). Mirrors TextShingles.shingleHashes. */
+  private val ShingleCtes =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, $NormSql AS norm FROM documents
+       |), toks AS (
+       |  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM toks_src
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))
+       |    ELSE [norm] END AS shingles
+       |  FROM toks
+       |), hl AS (
+       |  SELECT doc_id, list_distinct(list_transform(shingles,
+       |    s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS hashes
+       |  FROM sh
+       |)""".stripMargin.replace("FROM toks_src", "FROM docs")
+
+  def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    ExactDedup.groups(Tables.documents(spark, dir), "doc_id", "text")
+
+  def q20Oracle: String =
+    s"""SELECT md5($NormSql) AS fingerprint,
+       |  MIN(doc_id) AS survivor_doc_id,
+       |  COUNT(*) AS dup_count,
+       |  CAST(MIN(length(text)) AS INTEGER) AS min_len,
+       |  CAST(MAX(length(text)) AS INTEGER) AS max_len
+       |FROM documents
+       |GROUP BY 1""".stripMargin
+
+  def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    NGramJaccard.pairs(Tables.documents(spark, dir), "doc_id", "text",
+      threshold = 0.1)
+
+  def q21Oracle: String =
+    s"""$ShingleCtes,
+       |hs AS (SELECT doc_id, unnest(hashes) AS h FROM hl),
+       |sizes AS (SELECT doc_id, len(hashes) AS n FROM hl),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.1""".stripMargin
+
+  def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.candidatePairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  def q22Oracle: String = {
+    val sigTerms = MinHashLSH.As.zip(MinHashLSH.Bs).map { case (a, b) =>
+      s"list_min(list_transform(hashes, h -> ($a * h + $b) % 2147483647))"
+    }.mkString(",\n    ")
+    val r = MinHashLSH.RowsPerBand
+    s"""$ShingleCtes,
+       |sig AS (
+       |  SELECT doc_id, [$sigTerms] AS sig FROM hl
+       |), bands AS (
+       |  SELECT doc_id, sig, u.i AS band_id,
+       |    array_to_string(list_transform(sig[$r*u.i+1:$r*u.i+$r], x -> CAST(x AS VARCHAR)), '-') AS band_key
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS u(i)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(list_sum(list_transform(range(${MinHashLSH.NumHashes}),
+       |    i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / ${MinHashLSH.NumHashes}.0 AS est_jaccard
+       |FROM pairs p
+       |JOIN sig sa ON p.doc_a = sa.doc_id
+       |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
+  }
+
+  def q23Simhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.signatures(Tables.documents(spark, dir), "doc_id", "text")
+
+  def q23Oracle: String = {
+    val bitSums = (0 until SimHash.Bits)
+      .map(b => s"SUM((h >> $b) & 1) AS bit_$b").mkString(",\n    ")
+    val simTerms = (0 until SimHash.Bits)
+      .map(b => s"CASE WHEN 2 * bit_$b > n_features THEN ${1L << b} ELSE 0 END")
+      .mkString(" +\n    ")
+    s"""$ShingleCtes,
+       |hs AS (SELECT doc_id, unnest(hashes) AS h FROM hl),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_features,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($simTerms AS BIGINT) AS simhash, n_features
+       |FROM agg""".stripMargin
+  }
+}
