@@ -37,6 +37,9 @@ object SparkEntry {
     "q21_ngram_jaccard" -> (DedupQueries.q21NgramJaccard _),
     "q22_minhash_lsh" -> (DedupQueries.q22MinhashLsh _),
     "q23_simhash" -> (DedupQueries.q23Simhash _),
+    "q24_cosine_topk" -> (SimilarityQueries.q24CosineTopk _),
+    "q25_lsh_ann" -> (SimilarityQueries.q25LshAnn _),
+    "q30_multimodal" -> (SimilarityQueries.q30Multimodal _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -65,6 +68,10 @@ object SparkEntry {
     "q21_ngram_jaccard" -> DedupQueries.q21Oracle,
     "q22_minhash_lsh" -> DedupQueries.q22Oracle,
     "q23_simhash" -> DedupQueries.q23Oracle,
+    "q24_cosine_topk" -> SimilarityQueries.q24Oracle,
+    // q25_lsh_ann intentionally has no oracle (not SQL-expressible at sane
+    // size) → driver rows-only check; recall asserted in SimilaritySpec
+    "q30_multimodal" -> SimilarityQueries.q30Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

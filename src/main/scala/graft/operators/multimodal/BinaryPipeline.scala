@@ -1,0 +1,45 @@
+package graft.operators.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Features extracted from one opaque media blob. */
+final case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int,
+                               height: Int, aspect_ratio: Double,
+                               checksum: Long, format: String)
+
+/** Multimodal column plumbing (SURVEY §2 item 41): media payloads ride as
+  * opaque `binary` columns with typed metadata; decode/feature-extract runs
+  * batched per partition via `mapPartitions` (the Scala analog of a Pandas
+  * mapInPandas UDF — one iterator per partition, no per-row driver calls,
+  * arbitrary native libs usable inside).
+  *
+  * The DECODE STEP IS A DETERMINISTIC STUB — this container has no image/
+  * audio codecs. The Spark-side contract (schema, binary transport,
+  * partition-batched execution, typed output Encoder) is real and tested;
+  * swap `stubDecode` for a real codec call in production.
+  */
+object BinaryPipeline {
+
+  /** Deterministic fake decode: derives "image" dimensions from metadata
+    * and a byte checksum from the payload (stands in for pixel stats).
+    */
+  private def stubDecode(docId: Long, blob: Array[Byte], nChars: Long): MediaFeatures = {
+    val width = (nChars % 640 + 1).toInt
+    val height = (nChars % 480 + 1).toInt
+    val checksum = blob.take(64).foldLeft(0L)((acc, b) => acc + (b & 0xff)) % 9973L
+    MediaFeatures(docId, blob.length, width, height,
+      width.toDouble / height, checksum, "fake/raw")
+  }
+
+  /** df must expose (idCol: long, blobCol: binary, metaCol: long). */
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                     blobCol: String, metaCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"),
+        col(metaCol).cast("long"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions(_.map { case (id, blob, meta) => stubDecode(id, blob, meta) })
+      .toDF()
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.similarity.{CosineTopK, LshAnn}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("LSH ANN recall@10 vs brute-force cosine is usable") {
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val exact = CosineTopK.search(vecs, "vec_id", "embedding", _ < 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = LshAnn.search(vecs, "vec_id", "embedding", _ < 10, 10, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 100, s"expected 10 queries x 10 neighbors, got ${exact.size}")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall")
+    assert(recall >= 0.15, s"LSH recall collapsed: $recall")
+  }
+
+  test("multimodal pipeline produces typed features for every document") {
+    val out = queries.SimilarityQueries.q30Multimodal(spark, sf("0.001"))
+    val n = Tables.documents(spark, sf("0.001")).count()
+    assert(out.count() == n)
+    val row = out.orderBy("doc_id").head()
+    assert(row.getAs[Int]("byte_len") > 0)
+    assert(row.getAs[Double]("aspect_ratio") > 0)
+    assert(row.getAs[String]("format") == "fake/raw")
+  }
+}
