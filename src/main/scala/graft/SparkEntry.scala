@@ -33,6 +33,8 @@ object SparkEntry {
     "q09_parse_funcs" -> (ParseQueries.q09ParseFuncs _),
     "q10_category_path" -> (ParseQueries.q10CategoryPath _),
     "q12_star_split" -> (EtlQueries.q12StarSplit _),
+    "q17_windowed_events" -> (StreamingQueries.q17WindowedEvents _),
+    "q18_sessionize" -> (StreamingQueries.q18Sessionize _),
     "q20_dedup_exact" -> (DedupQueries.q20DedupExact _),
     "q21_ngram_jaccard" -> (DedupQueries.q21NgramJaccard _),
     "q22_minhash_lsh" -> (DedupQueries.q22MinhashLsh _),
@@ -64,6 +66,8 @@ object SparkEntry {
     "q09_parse_funcs" -> ParseQueries.q09Oracle,
     "q10_category_path" -> ParseQueries.q10Oracle,
     "q12_star_split" -> EtlQueries.q12Oracle,
+    "q17_windowed_events" -> StreamingQueries.q17Oracle,
+    "q18_sessionize" -> StreamingQueries.q18Oracle,
     "q20_dedup_exact" -> DedupQueries.q20Oracle,
     "q21_ngram_jaccard" -> DedupQueries.q21Oracle,
     "q22_minhash_lsh" -> DedupQueries.q22Oracle,

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.streaming.{EventAggregates, Sessionize}
+
+/** Batch-equivalent entries for the streaming operators (SURVEY §2 items
+  * 42-43): Structured Streaming's unified model means the identical
+  * aggregation plan runs over readStream sources (see StreamingSpec for the
+  * MemoryStream drive); the DuckDB oracle checks the semantics here.
+  */
+object StreamingQueries {
+
+  /** q17: tumbling 1-hour windowed aggregation over events. */
+  def q17WindowedEvents(spark: SparkSession, dir: String): DataFrame =
+    EventAggregates.windowed(Tables.events(spark, dir))
+
+  def q17Oracle: String =
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |FROM events
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q18: gap-based sessionization (30-minute inactivity gap). */
+  def q18Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.batch(Tables.events(spark, dir), gapSeconds = 1800L)
+
+  def q18Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |FROM numbered
+      |GROUP BY user_id, session_id""".stripMargin
+}

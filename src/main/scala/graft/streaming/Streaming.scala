@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Upsert
+
+/** One event row (events table schema subset) for typed streaming ops. */
+final case class Event(user_id: Long, ts: java.sql.Timestamp,
+                       event_type: String, value: Double)
+
+/** One closed session. */
+final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                            session_end: java.sql.Timestamp,
+                            n_events: Long, total_value: Double)
+
+private final case class SessionState(start: Long, last: Long, n: Long,
+                                      total: Double)
+
+/** Tumbling-window aggregates. The SAME plan serves batch DataFrames and
+  * readStream DataFrames (Structured Streaming's unified model); pass a
+  * watermark for streaming so state for closed windows is dropped.
+  */
+object EventAggregates {
+  def windowed(events: DataFrame, windowDur: String = "1 hour",
+               watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+}
+
+/** Gap-based sessionization, twice: an exact batch formulation (windowed
+  * gap-mark + running sum — one shuffle on user_id) and a streaming
+  * formulation over flatMapGroupsWithState with event-time timeout, which
+  * produces the same sessions incrementally with bounded state.
+  */
+object Sessionize {
+
+  /** Batch: session boundary where the gap to the previous event exceeds
+    * `gapSeconds`. Timestamp deltas compare as exact micro-precision
+    * doubles (identical in the DuckDB oracle).
+    */
+  def batch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSeconds.toDouble,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+  }
+
+  /** Streaming: one state entry per open session per user; sessions close
+    * (and emit) when the event-time watermark passes last_event + gap.
+    */
+  def streaming(events: Dataset[Event], gapSeconds: Long,
+                watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processUser(gapSeconds * 1000L))
+  }
+
+  private def processUser(gapMillis: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    def close(s: SessionState) = SessionOut(userId,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+      s.n, s.total)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close).toList
+      state.remove()
+      out.iterator
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last > gapMillis =>
+            closed ::= close(s)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMillis)
+      }
+      closed.reverseIterator
+    }
+  }
+}
+
+/** Streaming MERGE sink (reference trends_dag.py staging→MERGE, continuous):
+  * each micro-batch upserts into a parquet target via foreachBatch +
+  * [[Upsert.merge]], with a staging-directory swap for atomicity.
+  */
+object UpsertSink {
+  def mergeBatch(targetPath: String, keys: Seq[String])
+                (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deduped = batch.dropDuplicates(keys)
+    val merged =
+      if (fs.exists(new Path(targetPath)))
+        Upsert.merge(spark.read.parquet(targetPath), deduped, keys)
+      else deduped
+    val staging = s"$targetPath-staging-$batchId"
+    merged.write.mode("overwrite").parquet(staging)
+    fs.delete(new Path(targetPath), true)
+    fs.rename(new Path(staging), new Path(targetPath))
+  }
+}

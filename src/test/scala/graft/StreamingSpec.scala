@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Event, EventAggregates, Sessionize, UpsertSink}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed aggregation runs the same plan over a readStream source") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = EventAggregates.windowed(stream.toDF(), "1 hour", Some("10 minutes"))
+    val q = out.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(
+        Event(1L, ts(5), "click", 10.0), Event(1L, ts(15), "click", 5.0),
+        Event(2L, ts(20), "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toMap
+      assert(rows == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = Sessionize.streaming(stream.toDS(), gapSeconds = 600L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // burst 1: two events 1 min apart -> one open session for user 1
+      stream.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(1), "click", 2.0))
+      q.processAllAvailable()
+      // burst 2 far in the future advances the watermark past start+gap,
+      // timing out and emitting user 1's session
+      stream.addData(Event(2L, ts(50), "view", 9.0))
+      q.processAllAvailable()
+      stream.addData(Event(2L, ts(59), "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+      assert(closed.contains((1L, 2L, 3.0)),
+        s"expected user 1 session closed, got ${closed.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("batch sessionization matches hand-computed sessions") {
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0), (1L, ts(10), 2L, "click", 2.0),
+      (1L, ts(50), 3L, "click", 4.0), // 40-min gap -> new session
+      (2L, ts(5), 4L, "view", 8.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Sessionize.batch(ev, gapSeconds = 1800L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("UpsertSink merges micro-batches into a parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val target = s"$dir/target"
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("k", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(UpsertSink.mergeBatch(target, Seq("k")) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      stream.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      stream.addData((2L, "b2"), (3L, "c")); q.processAllAvailable()
+      val out = spark.read.parquet(target).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    } finally q.stop()
+  }
+}
