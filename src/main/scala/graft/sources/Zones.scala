@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Data-lake zone readers/writers (reference: GCS raw/clean zones with
+  * `snapshot_date=YYYY-MM-DD/` Hive layout; transform_tiki.py:383,
+  * load_to_bq.py:143).
+  */
+object RawZone {
+  /** Raw-zone JSON reader: date-partitioned directory of JSON files,
+    * permissive (corrupt records quarantined to _corrupt_record instead of
+    * failing the pipeline — the reference's load survives bad crawler
+    * output the same way). Pass a schema in production: schema inference
+    * costs one extra full scan, which is unacceptable at raw-zone scale.
+    */
+  def read(spark: SparkSession, basePath: String,
+           schema: Option[StructType] = None,
+           date: Option[String] = None): DataFrame = {
+    val path = date.fold(basePath)(d => s"$basePath/snapshot_date=$d")
+    val reader = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    schema.fold(reader)(s => reader.schema(s)).json(path)
+  }
+}
+
+object CleanZone {
+  /** Idempotent daily write (reference WRITE_TRUNCATE / delete-write):
+    * dynamic partition overwrite replaces ONLY the partitions present in
+    * `df` — a re-run of one day never rewrites the table, which is the
+    * difference between O(day) and O(history) at 100 TB.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
+object TrendsCsv {
+  /** Wide Google-Trends CSV (date, keyword columns..., isPartial) — header
+    * + typed date column, ready for Melt.wideToLong
+    * (transform_google_trends.py:29).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path)
+    val dateCol = df.columns.find(_.equalsIgnoreCase("date"))
+      .getOrElse(df.columns.head)
+    df.withColumnRenamed(dateCol, "date").withColumn("date", to_date(col("date")))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CleanZone, RawZone, TrendsCsv}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RawZone reads date-partitioned JSON and quarantines corrupt records") {
+    val dir = Files.createTempDirectory("rawzone").toString
+    val day = s"$dir/snapshot_date=2026-01-21"
+    new java.io.File(day).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$day/part1.json"),
+      """{"product_id": 1, "price": "1.000.000 VND"}
+        |{"product_id": 2, "price": "250.000"}
+        |{bad json line}""".stripMargin)
+    val df = RawZone.read(spark, dir, date = Some("2026-01-21")).cache()
+    assert(df.filter(col("product_id").isNotNull).count() == 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+  }
+
+  test("CleanZone dynamic partition overwrite replaces only touched days") {
+    val path = Files.createTempDirectory("cleanzone").toString + "/fact"
+    val day1 = Seq((1L, "2026-01-01", 10.0), (2L, "2026-01-01", 20.0))
+      .toDF("id", "snapshot_date", "price")
+    val day2 = Seq((3L, "2026-01-02", 30.0)).toDF("id", "snapshot_date", "price")
+    CleanZone.writePartitioned(day1, path, Seq("snapshot_date"))
+    CleanZone.writePartitioned(day2, path, Seq("snapshot_date"))
+    // re-run day1 with corrected data: day2 must survive
+    val day1Fixed = Seq((1L, "2026-01-01", 11.0)).toDF("id", "snapshot_date", "price")
+    CleanZone.writePartitioned(day1Fixed, path, Seq("snapshot_date"))
+    val out = CleanZone.read(spark, path)
+    assert(out.count() == 2)
+    assert(out.filter(col("snapshot_date") === "2026-01-02").count() == 1)
+    assert(out.filter(col("price") === 11.0).count() == 1)
+  }
+
+  test("TrendsCsv reads the wide format ready for melting") {
+    val f = Files.createTempDirectory("trends").toString + "/trends.csv"
+    Files.writeString(java.nio.file.Paths.get(f),
+      """date,iphone,samsung,isPartial
+        |2026-01-01,55,<1,False
+        |2026-01-02,60,12,True""".stripMargin)
+    val df = TrendsCsv.read(spark, f)
+    assert(df.columns.toSeq == Seq("date", "iphone", "samsung", "isPartial"))
+    assert(df.count() == 2)
+    val melted = graft.operators.Melt.wideToLong(df.withColumn("date", col("date").cast("string")),
+      Seq("date", "isPartial"), Seq("iphone" -> "iphone", "samsung" -> "samsung"),
+      varName = "keyword", valueName = "score", valueType = "string")
+    assert(melted.count() == 4)
+    assert(melted.filter(col("score") === "<1").count() == 1)
+  }
+}
