@@ -17,6 +17,11 @@ object TextShingles {
   /** Distinct word-3-gram shingle hashes of the normalized text as
     * array<long>. Documents shorter than 3 tokens hash the whole text.
     * Narrow (per-row) computation — no shuffle, scales linearly.
+    *
+    * Consumers repartition the input first: a small compressed parquet
+    * arrives as ONE split, and this per-row pipeline is CPU-bound — without
+    * a repartition it runs on a single core no matter how many the cluster
+    * has.
     */
   def shingleHashes(text: Column): Column = {
     val norm = TextFns.normalizeText(text)
@@ -54,8 +59,12 @@ object ExactDedup {
 object NGramJaccard {
   def pairs(df: DataFrame, idCol: String, textCol: String,
             threshold: Double): DataFrame = {
-    val hl = df.select(col(idCol).as("doc_id"),
-      TextShingles.shingleHashes(col(textCol)).as("hashes"))
+    // hl is tiny relative to the corpus (one row + hash array per doc) but
+    // feeds three plan branches (both join sides + sizes); caching it stops
+    // the scan+shingle+md5 pipeline from running three times.
+    val hl = df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
     val sizes = hl.select(col("doc_id"), size(col("hashes")).as("n"))
     val hs = hl.select(col("doc_id"), explode(col("hashes")).as("h"))
     val shared = hs.alias("a").join(hs.alias("b"),
@@ -88,8 +97,14 @@ object MinHashLSH {
 
   /** doc_id, sig: array<long>[16]. */
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hl = df.select(col(idCol).as("doc_id"),
-      TextShingles.shingleHashes(col(textCol)).as("hashes"))
+    // Materialize the hash arrays BEFORE fanning out into 16 minhash
+    // expressions: projection collapse would otherwise inline the whole
+    // md5-shingle pipeline into every signature slot (higher-order
+    // functions get no codegen subexpression elimination), i.e. 16× the
+    // scan cost.
+    val hl = df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
     val sigCols = As.zip(Bs).map { case (a, b) =>
       array_min(transform(col("hashes"), h => (lit(a) * h + lit(b)) % P))
     }
@@ -100,24 +115,31 @@ object MinHashLSH {
     * the MinHash-estimated Jaccard (agreeing rows / 16).
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = signatures(df, idCol, textCol)
+    // signature frame is doc-count sized and feeds both self-join sides —
+    // cache it so shingling + 16 minhash passes run once.
+    val sig = signatures(df, idCol, textCol).cache()
     val bandIds = array((0 until Bands).map(lit): _*)
-    val bands = sig.select(col("doc_id"), col("sig"),
-        explode(bandIds).as("band_id"))
-      .withColumn("band_key",
+    // Keep the bucket self-join NARROW (ids + band key only): common
+    // shingles make minhash slots collide across many docs, so bucket
+    // blowup is real — wide rows (two 16-slot sigs) through that join
+    // dominate runtime. Re-attach sigs only to the deduped pairs.
+    val bands = sig.select(col("doc_id"), col("sig"), explode(bandIds).as("band_id"))
+      .select(col("doc_id"), col("band_id"),
         array_join(transform(
           slice(col("sig"), col("band_id") * RowsPerBand + 1, lit(RowsPerBand)),
-          _.cast("string")), "-"))
+          _.cast("string")), "-").as("band_key"))
     val pairs = bands.alias("a").join(bands.alias("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    pairs.select(col("doc_a"), col("doc_b"),
-      (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x))
-        .cast("double") / NumHashes).as("est_jaccard"))
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x))
+          .cast("double") / NumHashes).as("est_jaccard"))
   }
 }
 
@@ -129,15 +151,21 @@ object SimHash {
   val Bits = 32
 
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hs = df.select(col(idCol).as("doc_id"),
-        explode(TextShingles.shingleHashes(col(textCol))).as("h"))
-    val bitSums = (0 until Bits).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"bit_$b"))
-    val agg = hs.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_features"), bitSums: _*)
+    // Array-level bit counting: zero shuffle (vs explode + groupBy), one
+    // row per doc throughout. Materialize the hash arrays first — the 32
+    // bit-count folds would otherwise each inline the md5-shingle pipeline
+    // (no codegen CSE for higher-order functions).
+    val hl = df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
+    val bitCounts = (0 until Bits).map { b =>
+      aggregate(col("hashes"), lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1L)).as(s"bit_$b")
+    }
+    val counted = hl.select(col("doc_id") +: size(col("hashes")).cast("long").as("n_features") +: bitCounts: _*)
     val sim = (0 until Bits).map(b =>
         when(col(s"bit_$b") * 2 > col("n_features"), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"), col("n_features"))
+    counted.select(col("doc_id"), sim.as("simhash"), col("n_features"))
   }
 }
