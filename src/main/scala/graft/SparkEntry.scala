@@ -42,6 +42,8 @@ object SparkEntry {
     "q24_cosine_topk" -> (SimilarityQueries.q24CosineTopk _),
     "q25_lsh_ann" -> (SimilarityQueries.q25LshAnn _),
     "q30_multimodal" -> (SimilarityQueries.q30Multimodal _),
+    "q31_embedding_dedup" -> (ExtraQueries.q31EmbeddingDedup _),
+    "q32_winnow_fingerprint" -> (ExtraQueries.q32WinnowFingerprint _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -76,6 +78,8 @@ object SparkEntry {
     // q25_lsh_ann intentionally has no oracle (not SQL-expressible at sane
     // size) → driver rows-only check; recall asserted in SimilaritySpec
     "q30_multimodal" -> SimilarityQueries.q30Oracle,
+    "q31_embedding_dedup" -> ExtraQueries.q31Oracle,
+    "q32_winnow_fingerprint" -> ExtraQueries.q32Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,
