@@ -13,15 +13,25 @@ import org.apache.spark.sql.functions._
   * sum — reproduces the doubles bitwise.
   */
 object VectorFns {
-  /** Σ aᵢ·bᵢ as an in-order left fold (deterministic). */
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Σ aᵢ·bᵢ via the codegen'd [[graft.plans.DotProduct]] expression —
+    * same in-element-order accumulation as [[dotFold]], compiled to a
+    * primitive loop instead of an interpreted lambda per element.
+    */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.plans.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Reference higher-order-function fold (kept for cross-checking the
+    * native expression; bitwise-equal results).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
 
-  /** ‖a‖₂ with the same in-order fold. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, x) => acc + x))
+  /** ‖a‖₂ = sqrt(a·a) — same accumulation order as the fold. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cos(a,b) given precomputed norms — one fixed-shape expression. */
   def cosine(dotAb: Column, normA: Column, normB: Column): Column =

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.functions._
+
+import graft.operators.similarity.VectorFns
+import graft.plans.DotProduct
+
+class DotProductSpec extends SparkSpec {
+
+  test("native DotProduct is bitwise identical to the HOF fold on real embeddings") {
+    val v = Tables.embeddings(spark, sf("0.001"))
+    val both = v.select(
+      VectorFns.dot(col("embedding"), col("embedding")).as("native"),
+      VectorFns.dotFold(col("embedding"), col("embedding")).as("fold"))
+    val mismatches = both.filter(col("native") =!= col("fold")).count()
+    assert(mismatches == 0)
+  }
+
+  test("DotProduct participates in whole-stage codegen") {
+    val v = Tables.embeddings(spark, sf("0.001"))
+    val plan = v.select(VectorFns.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // whole-stage codegen shows as "WholeStageCodegen" in tree form or a
+    // "*(n)" stage prefix in compact form
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen span in:\n$plan")
+  }
+
+  test("dot_product is SQL-callable once registered (GraftExtensions builder)") {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder)
+    Tables.embeddings(spark, sf("0.001")).createOrReplaceTempView("emb")
+    val row = spark.sql(
+      """SELECT vec_id, dot_product(embedding, embedding) AS d
+        |FROM emb ORDER BY vec_id LIMIT 1""".stripMargin).head()
+    assert(row.getDouble(1) > 0.0)
+  }
+
+  test("null and mismatched-length inputs behave safely") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 9.0f))), // extra elems ignored
+      (None, Some(Seq(1.0f)))                                 // null array -> null
+    ).toDF("a", "b")
+    val out = df.select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+  }
+}
