@@ -24,6 +24,15 @@ object TextShingles {
     * has.
     */
   def shingleHashes(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ShingleHash(ColumnBridge.expression(text),
+      distinct = true))
+  }
+
+  /** Reference composed-builtins formulation (kept for cross-checking the
+    * native expression; identical output).
+    */
+  def shingleHashesBuiltins(text: Column): Column = {
     val norm = TextFns.normalizeText(text)
     val toks = split(norm, " ")
     val n = size(toks)

@@ -53,17 +53,11 @@ object ExtraQueries {
   val WinnowWindow = 4
 
   def q32WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val d = Tables.documents(spark, dir).repartition(col("doc_id"))
-    val norm = TextFns.normalizeText(col("text"))
-    val toks = split(norm, " ")
-    val n = size(toks)
-    val shingles = when(n >= 3,
-      transform(sequence(lit(0), n - 3), i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(norm))
     // ordered (non-distinct) hash sequence — winnowing needs positions
-    val hashSeq = transform(shingles, s =>
-      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long") %
-        graft.operators.dedup.TextShingles.P)
+    val hashSeq = ColumnBridge.column(graft.plans.ShingleHash(
+      ColumnBridge.expression(col("text")), distinct = false))
     val hl = d.select(col("doc_id"), hashSeq.as("hs")).cache()
     val m = size(col("hs"))
     val w = lit(WinnowWindow)
