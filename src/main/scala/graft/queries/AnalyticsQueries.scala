@@ -17,15 +17,18 @@ object AnalyticsQueries {
     val fx = FxRates.daily(Tables.events(spark, dir),
       dayofmonth(col("ts")), col("value"))
     val o = Tables.orders(spark, dir)
+    // exact integer half-up cent rounding — see q02's rationale
+    val pCents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+    val rCents = (coalesce(col("rate"), lit(25400).cast(DecimalType(18, 2))) * 100)
+      .cast("long")
     o.join(broadcast(fx), dayofmonth(o("o_orderdate")) === fx("fx_day"), "left")
+      .withColumn("pc", pCents).withColumn("rc", rCents)
       .select(
         col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
         col("o_totalprice").as("price_vnd"),
         coalesce(col("rate").cast(DoubleType), lit(FxRates.FallbackRate)).as("fx_rate"),
-        round(col("o_totalprice") /
-          coalesce(col("rate").cast(DoubleType), lit(FxRates.FallbackRate)), 2)
-          .as("price_usd"),
+        (expr("(2 * 100 * pc + rc) DIV (2 * rc)") / 100.0d).as("price_usd"),
         when(col("rate").isNull, "Fallback").otherwise("derived").as("fx_source"),
         col("from_currency"), col("to_currency"))
   }
@@ -41,7 +44,9 @@ object AnalyticsQueries {
       |  CAST(o.o_orderdate AS DATE) AS order_date,
       |  o.o_totalprice AS price_vnd,
       |  COALESCE(CAST(fx.rate AS DOUBLE), 25400.0) AS fx_rate,
-      |  ROUND(o.o_totalprice / COALESCE(CAST(fx.rate AS DOUBLE), 25400.0), 2) AS price_usd,
+      |  ((2 * 100 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    + CAST(COALESCE(fx.rate, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
+      |   // (2 * CAST(COALESCE(fx.rate, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))) / 100.0 AS price_usd,
       |  CASE WHEN fx.rate IS NULL THEN 'Fallback' ELSE 'derived' END AS fx_source,
       |  CASE WHEN fx.fx_day IS NOT NULL THEN 'USD' END AS from_currency,
       |  CASE WHEN fx.fx_day IS NOT NULL THEN 'VND' END AS to_currency

@@ -119,16 +119,24 @@ object CoreQueries {
         Dim(e, (f, d) => dayofmonth(f("o_orderdate")) === d("e_day"))
       ))
 
-    enriched.select(
+    // USD price rounded to cents via EXACT integer half-up arithmetic:
+    // ROUND(double_division, 2) is engine-divergent when the true quotient
+    // lands exactly on a half-cent (it does, in real data) — both engines
+    // here compute floor((2·100·P_cents + R_cents) / (2·R_cents)) in int64.
+    val pCents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+    val rCents = (coalesce(col("fx_rate_raw"), lit(25400).cast(DecimalType(18, 2))) * 100)
+      .cast("long")
+    val usdCents = expr("(2 * 100 * pc + rc) DIV (2 * rc)")
+    enriched
+      .withColumn("pc", pCents).withColumn("rc", rCents)
+      .select(
       col("l_orderkey"), col("l_linenumber"),
       to_date(col("o_orderdate")).as("order_date"),
       col("c_name").as("customer_name"),
       col("n_name").as("nation_name"),
       col("r_name").as("region_name"),
       col("l_extendedprice").as("price_vnd_real"),
-      round(col("l_extendedprice") /
-        coalesce(col("fx_rate_raw").cast(DoubleType), lit(25400.0)), 2)
-        .as("price_usd_real"),
+      (usdCents / 100.0d).as("price_usd_real"),
       coalesce(col("fx_rate_raw").cast(DoubleType), lit(25400.0)).as("fx_rate"),
       col("trend_keyword"),
       col("trend_score").cast(DoubleType).as("google_trend_score"),
@@ -155,7 +163,9 @@ object CoreQueries {
       |  n.n_name AS nation_name,
       |  r.r_name AS region_name,
       |  l.l_extendedprice AS price_vnd_real,
-      |  ROUND(l.l_extendedprice / COALESCE(CAST(e.fx_rate_raw AS DOUBLE), 25400.0), 2) AS price_usd_real,
+      |  ((2 * 100 * CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    + CAST(COALESCE(e.fx_rate_raw, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
+      |   // (2 * CAST(COALESCE(e.fx_rate_raw, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))) / 100.0 AS price_usd_real,
       |  COALESCE(CAST(e.fx_rate_raw AS DOUBLE), 25400.0) AS fx_rate,
       |  m.trend_keyword,
       |  CAST(t.trend_score AS DOUBLE) AS google_trend_score,
