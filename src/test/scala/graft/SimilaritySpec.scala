@@ -16,6 +16,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"LSH recall collapsed: $recall")
   }
 
+  test("IVF ANN recall@10 vs brute force is usable and bounded by probe count") {
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val exact = CosineTopK.search(vecs, "vec_id", "embedding", _ < 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.similarity.IvfAnn.search(vecs, "vec_id", "embedding",
+        _ < 10, 10, nCentroids = 8, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall")
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+  }
+
   test("multimodal pipeline produces typed features for every document") {
     val out = queries.SimilarityQueries.q30Multimodal(spark, sf("0.001"))
     val n = Tables.documents(spark, sf("0.001")).count()
