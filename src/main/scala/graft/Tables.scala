@@ -25,6 +25,9 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    // runtime-settable: callers' sessions (e.g. the driver's smoke check)
+    // may not have configured this at build time
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
