@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = StreamOps.dedupWithinWatermark(
+      stream.toDF().toDF("event_id", "ts", "value"),
+      keys = Seq("event_id"), tsCol = "ts", watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData((1L, ts(0), 5.0), (1L, ts(1), 5.0), (2L, ts(2), 7.0))
+      q.processAllAvailable()
+      stream.addData((1L, ts(3), 5.0)) // re-delivery within horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join enriches events with the in-window rate") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[(Long, Timestamp, String)]
+    val rates = MemoryStream[(Timestamp, String, Double)]
+    val joined = StreamOps.intervalEnrich(
+      evs.toDF().toDF("event_id", "ets", "ccy"),
+      "ets",
+      rates.toDF().toDF("rts", "rccy", "rate"),
+      "rts",
+      joinKeys = col("ccy") === col("rccy"),
+      tolerance = "5 MINUTES",
+      eventsWatermark = "10 minutes", refWatermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rates.addData((ts(0), "VND", 25000.0), (ts(10), "VND", 25100.0))
+      evs.addData((1L, ts(2), "VND"))   // in window of ts(0) rate
+      q.processAllAvailable()
+      // advance both watermarks far enough to emit matched + unmatched rows
+      rates.addData((ts(45), "VND", 25200.0))
+      evs.addData((9L, ts(45), "EUR")) // no matching rate stream key
+      q.processAllAvailable()
+      evs.addData((10L, ts(59), "EUR")); rates.addData((ts(59), "VND", 25300.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(5)) null else r.getDouble(5))).toMap
+      assert(rows.get(1L).contains(25000.0), s"got $rows")
+    } finally q.stop()
+  }
+}
