@@ -11,28 +11,41 @@ object StreamOps {
     * within the watermark horizon (state is bounded by the horizon — the
     * streaming twin of the reference's batch drop_duplicates). The event
     * time column must be part of the frame for the watermark to bound
-    * state.
+    * state. Empty `keys` dedups on all columns.
     */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
-                           tsCol: String, watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+                           tsCol: String, watermark: String): DataFrame = {
+    val wm = events.withWatermark(tsCol, watermark)
+    if (keys.isEmpty) wm.dropDuplicatesWithinWatermark()
+    else wm.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
-  /** Stream-stream LEFT interval join: each event picks up the reference
-    * row (e.g. an FX-rate tick) whose event time falls within
-    * [event - tolerance, event]. Both sides carry watermarks so join state
-    * is evicted; the time-range predicate is what makes unbounded
-    * stream-stream joins tractable.
+  private val IntervalPattern =
+    """(?i)\s*\d+\s+(MICROSECOND|MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK)S?\s*""".r
+
+  /** Stream-stream LEFT interval join: each event is joined to EVERY
+    * reference row (e.g. FX-rate tick) whose event time falls within
+    * [event - tolerance, event] — one output row per in-window match, so
+    * size the tolerance to the reference tick interval or deduplicate
+    * downstream if a single as-of row is required. Both sides carry
+    * watermarks so join state is evicted; the time-range predicate is what
+    * makes unbounded stream-stream joins tractable.
+    *
+    * @param joinKeys equality condition built from (events, reference) —
+    *                 use the passed frames so shared column names resolve
+    * @param tolerance "N UNIT" interval, e.g. "5 MINUTES"
     */
   def intervalEnrich(events: DataFrame, eventsTs: String,
                      reference: DataFrame, refTs: String,
-                     joinKeys: org.apache.spark.sql.Column,
+                     joinKeys: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
                      tolerance: String,
                      eventsWatermark: String, refWatermark: String): DataFrame = {
+    require(IntervalPattern.matches(tolerance),
+      s"tolerance must look like '5 MINUTES', got: '$tolerance'")
     val e = events.withWatermark(eventsTs, eventsWatermark)
     val r = reference.withWatermark(refTs, refWatermark)
-    e.join(r, joinKeys &&
-      col(refTs) >= col(eventsTs) - expr(s"INTERVAL $tolerance") &&
-      col(refTs) <= col(eventsTs), "leftOuter")
+    e.join(r, joinKeys(e, r) &&
+      r(refTs) >= e(eventsTs) - expr(s"INTERVAL $tolerance") &&
+      r(refTs) <= e(eventsTs), "leftOuter")
   }
 }

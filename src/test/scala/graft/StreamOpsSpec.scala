@@ -41,7 +41,7 @@ class StreamOpsSpec extends SparkSpec {
       "ets",
       rates.toDF().toDF("rts", "rccy", "rate"),
       "rts",
-      joinKeys = col("ccy") === col("rccy"),
+      joinKeys = (e, r) => e("ccy") === r("rccy"),
       tolerance = "5 MINUTES",
       eventsWatermark = "10 minutes", refWatermark = "10 minutes")
     val q = joined.writeStream.format("memory").queryName("enriched")
@@ -60,5 +60,28 @@ class StreamOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), if (r.isNullAt(5)) null else r.getDouble(5))).toMap
       assert(rows.get(1L).contains(25000.0), s"got $rows")
     } finally q.stop()
+  }
+
+  test("interval join resolves shared timestamp column names without ambiguity") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[(Long, Timestamp, String)]
+    val rates = MemoryStream[(Timestamp, String, Double)]
+    // both sides name their event-time column "ts" — must not throw
+    val joined = StreamOps.intervalEnrich(
+      evs.toDF().toDF("event_id", "ts", "ccy"), "ts",
+      rates.toDF().toDF("ts", "rccy", "rate"), "ts",
+      joinKeys = (e, r) => e("ccy") === r("rccy"),
+      tolerance = "5 MINUTES",
+      eventsWatermark = "10 minutes", refWatermark = "10 minutes")
+    assert(joined.columns.count(_ == "ts") == 2) // analysis succeeded
+  }
+
+  test("malformed tolerance is rejected at the API boundary") {
+    val df = spark.range(1).toDF("x")
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.intervalEnrich(df, "x", df, "x", (a, b) => a("x") === b("x"),
+        tolerance = "5min", eventsWatermark = "1 minute", refWatermark = "1 minute")
+    }
+    assert(ex.getMessage.contains("tolerance"))
   }
 }
