@@ -14,10 +14,14 @@ import org.apache.spark.sql.types.DoubleType
   */
 object TextFns {
 
-  /** Whitespace token count. Empty/blank → 0. */
+  /** Whitespace token count = number of \S+ runs. Counting matches (like
+    * the oracle) rather than splitting sidesteps split()'s kept empty
+    * strings around leading/trailing whitespace that trim (ASCII-space
+    * only) does not remove. Empty/blank → 0.
+    */
   def tokenCountWs(text: Column): Column =
-    when(text.isNull || trim(text) === "", 0)
-      .otherwise(size(split(trim(text), """\s+""")))
+    when(text.isNull, 0)
+      .otherwise(size(regexp_extract_all(text, lit("""\S+"""), lit(0))))
 
   /** BPE-ish token count: letter runs, single digits, punctuation marks.
     * A cheap upper-bound proxy for byte-pair tokenizer counts.

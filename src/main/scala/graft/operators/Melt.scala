@@ -13,10 +13,17 @@ object Melt {
   /** @param valueCols (outputLabel, inputColumnName); all inputs are cast to
     *                  the common `valueType` (stack requires a shared type).
     */
+  private val SafeLabel = "^[^'`\\\\]*$".r
+
   def wideToLong(df: DataFrame, idCols: Seq[String],
                  valueCols: Seq[(String, String)],
                  varName: String = "variable", valueName: String = "value",
                  valueType: String = "double"): DataFrame = {
+    // labels/columns are interpolated into a stack() expression
+    valueCols.foreach { case (label, c) =>
+      require(SafeLabel.matches(label), s"melt label may not contain quotes: '$label'")
+      require(!c.contains("`"), s"column name may not contain backticks: '$c'")
+    }
     val stackArgs = valueCols
       .map { case (label, c) => s"'$label', CAST(`$c` AS $valueType)" }
       .mkString(", ")

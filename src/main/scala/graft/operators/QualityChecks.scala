@@ -15,8 +15,15 @@ object QualityChecks {
 
   final case class Check(name: String, violation: Column)
 
-  /** One row per check: (check_name, violations, passed). Single job. */
+  private val SafeName = "^[A-Za-z][A-Za-z0-9_]*$".r
+
+  /** One row per check: (check_name, violations, passed). Single job.
+    * Check names are interpolated into a stack() expression, so they are
+    * restricted to identifier characters.
+    */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    checks.foreach(c => require(SafeName.matches(c.name) && c.name != "__total",
+      s"check name must be a plain identifier, got: '${c.name}'"))
     val aggs = checks.map(c => sum(when(c.violation, 1L).otherwise(0L)).as(c.name)) :+
       count(lit(1)).as("__total")
     val wide = df.agg(aggs.head, aggs.tail: _*)

@@ -34,6 +34,7 @@ object StarSchema {
   def split(snapshot: DataFrame, factCols: Seq[String], dimKey: String,
             dimCols: Seq[String], catKey: String, catCols: Seq[String],
             updatedAtCol: String): Split = {
+    require(catCols.nonEmpty, "catCols must name at least one attribute column")
     val fact = select(snapshot, factCols)
     val dimAggs = dimCols.map(c => max(col(c)).as(c)) ++ Seq(
       min(col(updatedAtCol)).as("created_at"),

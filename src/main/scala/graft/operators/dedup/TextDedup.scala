@@ -104,29 +104,38 @@ object MinHashLSH {
   val As: Seq[Long] = (1 to NumHashes).map(j => (2654435761L * j) % P)
   val Bs: Seq[Long] = (1 to NumHashes).map(j => (40503L * j * j + 17) % P)
 
-  /** doc_id, sig: array<long>[16]. */
-  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Materialize the hash arrays BEFORE fanning out into 16 minhash
-    // expressions: projection collapse would otherwise inline the whole
-    // md5-shingle pipeline into every signature slot (higher-order
-    // functions get no codegen subexpression elimination), i.e. 16× the
-    // scan cost.
-    val hl = df.repartition(col(idCol))
-      .select(col(idCol).as("doc_id"),
-        TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
+  /** (doc_id, sig) from a materialized (doc_id, hashes) frame. The hash
+    * frame must be cached/materialized BEFORE fanning out into 16 minhash
+    * expressions: projection collapse would otherwise inline the whole
+    * md5-shingle pipeline into every signature slot (higher-order
+    * functions get no codegen subexpression elimination), i.e. 16× the
+    * scan cost.
+    */
+  private def signaturesFromHashes(hl: DataFrame): DataFrame = {
     val sigCols = As.zip(Bs).map { case (a, b) =>
       array_min(transform(col("hashes"), h => (lit(a) * h + lit(b)) % P))
     }
     hl.select(col("doc_id"), array(sigCols: _*).as("sig"))
   }
 
+  private def hashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextShingles.shingleHashes(col(textCol)).as("hashes"))
+
+  /** doc_id, sig: array<long>[16]. */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    signaturesFromHashes(hashFrame(df, idCol, textCol).cache())
+
   /** Candidate near-dup pairs: docs sharing at least one band bucket, with
     * the MinHash-estimated Jaccard (agreeing rows / 16).
+    *
+    * Caching: exactly one cache (the hash frame — where the expensive md5
+    * work lives); the signature projection over it is cheap enough to
+    * recompute per join branch. No nested orphan caches.
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // signature frame is doc-count sized and feeds both self-join sides —
-    // cache it so shingling + 16 minhash passes run once.
-    val sig = signatures(df, idCol, textCol).cache()
+    val sig = signaturesFromHashes(hashFrame(df, idCol, textCol).cache())
     val bandIds = array((0 until Bands).map(lit): _*)
     // Keep the bucket self-join NARROW (ids + band key only): common
     // shingles make minhash slots collide across many docs, so bucket
@@ -161,9 +170,9 @@ object SimHash {
 
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Array-level bit counting: zero shuffle (vs explode + groupBy), one
-    // row per doc throughout. Materialize the hash arrays first — the 32
-    // bit-count folds would otherwise each inline the md5-shingle pipeline
-    // (no codegen CSE for higher-order functions).
+    // row per doc throughout. Materialize (cache) the hash arrays first —
+    // the 32 bit-count folds would otherwise each inline the md5-shingle
+    // pipeline (no codegen CSE for higher-order functions).
     val hl = df.repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
         TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()

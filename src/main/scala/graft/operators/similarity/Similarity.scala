@@ -61,10 +61,10 @@ object CosineTopK {
 }
 
 /** Random-hyperplane LSH ANN — the 100 TB path: each vector lands in
-  * `Tables` sign-pattern buckets; candidate generation joins on bucket keys
-  * (O(N) index build, sublinear probe) and only candidates pay the exact
-  * cosine. Plane weights come from a fixed LCG so signatures are
-  * reproducible anywhere.
+  * `NumTables` sign-pattern buckets (one per table); candidate generation
+  * joins on bucket keys (O(N) index build, sublinear probe) and only
+  * candidates pay the exact cosine. Plane weights come from a fixed LCG so
+  * signatures are reproducible anywhere.
   */
 object LshAnn {
   // 8 coarser tables (2^6 buckets each) trade index size for recall — on
@@ -85,7 +85,9 @@ object LshAnn {
     (VectorFns.dot(vec, w) > 0).cast("int")
   }
 
-  /** Bucket key per table: packed sign bits of the 8 hyperplane projections. */
+  /** Bucket key per table: packed sign bits of the `PlanesPerTable`
+    * hyperplane projections.
+    */
   def bucketKey(vec: Column, table: Int, dims: Int): Column =
     (0 until PlanesPerTable).map(p => planeCol(vec, table, p, dims) * (1 << p))
       .reduce(_ + _)

@@ -39,7 +39,8 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
-  /** q25: random-hyperplane LSH ANN (4 tables × 8 planes). Not
+  /** q25: random-hyperplane LSH ANN (LshAnn.NumTables tables ×
+    * LshAnn.PlanesPerTable planes). Not
     * SQL-expressible at reasonable size → rows-only check from the driver;
     * recall vs q24 is asserted in SimilaritySpec.
     */

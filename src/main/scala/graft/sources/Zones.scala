@@ -22,7 +22,13 @@ object RawZone {
     val reader = spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-    schema.fold(reader)(s => reader.schema(s)).json(path)
+    // PERMISSIVE only routes bad rows to the corrupt column if the schema
+    // CONTAINS that column — append it so a caller-supplied data schema
+    // doesn't silently disable the quarantine.
+    val withCorrupt = schema.map(s =>
+      if (s.fieldNames.contains("_corrupt_record")) s
+      else s.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+    withCorrupt.fold(reader)(s => reader.schema(s)).json(path)
   }
 }
 
@@ -52,8 +58,9 @@ object TrendsCsv {
   def read(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(path)
-    val dateCol = df.columns.find(_.equalsIgnoreCase("date"))
-      .getOrElse(df.columns.head)
+    val dateCol = df.columns.find(_.equalsIgnoreCase("date")).getOrElse(
+      throw new IllegalArgumentException(
+        s"trends CSV needs a 'date' column; found: ${df.columns.mkString(", ")}"))
     df.withColumnRenamed(dateCol, "date").withColumn("date", to_date(col("date")))
   }
 }

@@ -75,38 +75,53 @@ object Sessionize {
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        processUser(gapSeconds * 1000L))
+        processUser(gapSeconds * 1000000L))
   }
 
-  private def processUser(gapMillis: Long)(
+  /** Full microsecond precision: the events source is micro-precision and
+    * Timestamp.getTime alone truncates to milliseconds, which can merge
+    * sessions the batch path splits.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  private def processUser(gapMicros: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
-    def close(s: SessionState) = SessionOut(userId,
-      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-      s.n, s.total)
+    def close(s: SessionState) =
+      SessionOut(userId, toTs(s.start), toTs(s.last), s.n, s.total)
     if (state.hasTimedOut) {
       val out = state.getOption.map(close).toList
       state.remove()
       out.iterator
     } else {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      val sorted = events.toSeq.sortBy(e => micros(e.ts))
       var closed = List.empty[SessionOut]
       var cur = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = micros(e.ts)
         cur match {
-          case Some(s) if t - s.last > gapMillis =>
+          case Some(s) if t - s.last > gapMicros =>
             closed ::= close(s)
             cur = Some(SessionState(t, t, 1L, e.value))
           case Some(s) =>
-            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            // admitted late events may precede the stored start — extend
+            // backwards like the batch min(ts) does
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+              s.n + 1, s.total + e.value))
           case None =>
             cur = Some(SessionState(t, t, 1L, e.value))
         }
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMillis)
+        state.setTimeoutTimestamp(s.last / 1000 + gapMicros / 1000)
       }
       closed.reverseIterator
     }
@@ -115,21 +130,33 @@ object Sessionize {
 
 /** Streaming MERGE sink (reference trends_dag.py staging→MERGE, continuous):
   * each micro-batch upserts into a parquet target via foreachBatch +
-  * [[Upsert.merge]], with a staging-directory swap for atomicity.
+  * [[Upsert.merge]].
+  *
+  * Swap protocol: write staging → move current target to a backup → move
+  * staging in → drop backup. This is NOT atomic (plain filesystems have no
+  * multi-dir transactions) but every crash window leaves a recoverable
+  * full copy: either the backup or the staging dir still holds the merged
+  * history. Use a transactional table format for exactly-once guarantees.
   */
 object UpsertSink {
   def mergeBatch(targetPath: String, keys: Seq[String])
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(targetPath)
+    val backup = new Path(s"$targetPath-backup")
     val deduped = batch.dropDuplicates(keys)
     val merged =
-      if (fs.exists(new Path(targetPath)))
+      if (fs.exists(target))
         Upsert.merge(spark.read.parquet(targetPath), deduped, keys)
       else deduped
-    val staging = s"$targetPath-staging-$batchId"
-    merged.write.mode("overwrite").parquet(staging)
-    fs.delete(new Path(targetPath), true)
-    fs.rename(new Path(staging), new Path(targetPath))
+    val staging = new Path(s"$targetPath-staging-$batchId")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) {
+      fs.delete(backup, true)
+      fs.rename(target, backup)
+    }
+    fs.rename(staging, target)
+    fs.delete(backup, true)
   }
 }
