@@ -48,6 +48,8 @@ object SparkEntry {
     "q24_cosine_topk" -> (SimilarityQueries.q24CosineTopk _),
     "q25_lsh_ann" -> (SimilarityQueries.q25LshAnn _),
     "q30_multimodal" -> (SimilarityQueries.q30Multimodal _),
+    "q34_shipping_priority" -> (MartQueries.q34ShippingPriority _),
+    "q35_regional_volume" -> (MartQueries.q35RegionalVolume _),
     "q33_ivf_ann" -> (IvfQueries.q33IvfAnn _),
     "q31_embedding_dedup" -> (ExtraQueries.q31EmbeddingDedup _),
     "q32_winnow_fingerprint" -> (ExtraQueries.q32WinnowFingerprint _),
@@ -85,6 +87,8 @@ object SparkEntry {
     // q25_lsh_ann intentionally has no oracle (not SQL-expressible at sane
     // size) → driver rows-only check; recall asserted in SimilaritySpec
     "q30_multimodal" -> SimilarityQueries.q30Oracle,
+    "q34_shipping_priority" -> MartQueries.q34Oracle,
+    "q35_regional_volume" -> MartQueries.q35Oracle,
     "q33_ivf_ann" -> IvfQueries.q33Oracle,
     "q31_embedding_dedup" -> ExtraQueries.q31Oracle,
     "q32_winnow_fingerprint" -> ExtraQueries.q32Oracle,

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Join-heavy mart queries in the classic warehouse shapes the reference's
+  * analytics layer serves to dashboards (README "Analytics/OBT"): q34
+  * (shipping-priority: selective filters + 2 joins + agg + rank) and q35
+  * (regional volume: 5 joins + agg). Both are decimal-exact and
+  * top-N-bounded so the oracle compare is deterministic.
+  */
+object MartQueries {
+
+  /** q34: top 10 urgent-order revenue opportunities (TPC-H Q3 shape). */
+  def q34ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  def q34Oracle: String =
+    """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+      |  o.o_orderpriority,
+      |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < '1998-01-01'
+      |  AND l.l_shipdate > '1998-01-01'
+      |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+      |ORDER BY revenue DESC, l.l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** q35: revenue by nation within one region-year (TPC-H Q5 shape —
+    * the full dim chain joined back to the fact).
+    */
+  def q35RegionalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey",
+      "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  def q35Oracle: String =
+    """SELECT n.n_name AS nation_name,
+      |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
+      |GROUP BY n.n_name""".stripMargin
+}
