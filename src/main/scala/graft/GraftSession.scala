@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession builder pre-configured with the
+  * settings graft's semantics assume and the adaptive features a large
+  * cluster needs. Use this (or mirror these settings) in any application
+  * embedding the library.
+  */
+object GraftSession {
+
+  /** @param shufflePartitions size to ~2-3× total executor cores, or rely
+    *                          on AQE coalescing at scale.
+    */
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // pandas-style coerce semantics (null on bad cast) — the reference's
+      // cleaning contract; see SURVEY §4
+      .config("spark.sql.ansi.enabled", "false")
+      // testdata events.parquet ships TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime re-planning: partition coalescing, skew-join splitting,
+      // shuffle-to-broadcast demotion
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+}

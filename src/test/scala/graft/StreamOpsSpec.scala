@@ -76,6 +76,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(joined.columns.count(_ == "ts") == 2) // analysis succeeded
   }
 
+  test("stream-static dim join: the streaming golden-join pattern is stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.nation(spark, sf("0.001")) // static dimension
+    val stream = MemoryStream[(Long, Timestamp, Int)]
+    val enriched = stream.toDF().toDF("event_id", "ts", "nation_key")
+      .join(broadcast(dim), col("nation_key") === col("n_nationkey"), "left")
+      .select("event_id", "n_name")
+    val q = enriched.writeStream.format("memory").queryName("dim_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData((1L, ts(0), 0), (2L, ts(1), 99)) // 99: no dim match
+      q.processAllAvailable()
+      val rows = spark.table("dim_join").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).isDefined && rows(2L).isEmpty)
+    } finally q.stop()
+  }
+
   test("malformed tolerance is rejected at the API boundary") {
     val df = spark.range(1).toDF("x")
     val ex = intercept[IllegalArgumentException] {
