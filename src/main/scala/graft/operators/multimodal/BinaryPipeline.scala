@@ -42,4 +42,42 @@ object BinaryPipeline {
       .mapPartitions(_.map { case (id, blob, meta) => stubDecode(id, blob, meta) })
       .toDF()
   }
+
+  /** Resize stage (STUB): a real implementation hands each batch to a
+    * native imaging lib; the stub scales the fake dimensions and re-emits
+    * the payload untouched. Runs per partition — same batch shape a codec
+    * call would use.
+    */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+             blobCol: String, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        (id, blob, targetW, targetH, s"resized-${targetW}x$targetH")
+      })
+      .toDF(idCol, blobCol, "width", "height", "transform")
+  }
+
+  /** Frame-sampling stage (STUB): a real implementation decodes a video
+    * container and emits one row per sampled frame; the stub slices the
+    * payload into `frames` equal byte windows. One input row → N output
+    * rows, preserving partition-batched execution (the iterator never
+    * materializes the whole partition).
+    */
+  def frameSample(spark: SparkSession, df: DataFrame, idCol: String,
+                  blobCol: String, frames: Int): DataFrame = {
+    import spark.implicits._
+    require(frames > 0, "frames must be positive")
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        val window = math.max(1, blob.length / frames)
+        (0 until math.min(frames, blob.length)).iterator.map { f =>
+          val start = f * window
+          (id, f, blob.slice(start, math.min(start + window, blob.length)))
+        }
+      })
+      .toDF(idCol, "frame_no", "frame_bytes")
+  }
 }

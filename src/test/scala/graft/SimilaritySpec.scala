@@ -37,4 +37,21 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Double]("aspect_ratio") > 0)
     assert(row.getAs[String]("format") == "fake/raw")
   }
+
+  test("multimodal resize and frame-sample stages keep batch plumbing intact") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf("0.001"))
+      .select(col("doc_id"), col("text").cast("binary").as("blob")).limit(20)
+    val resized = graft.operators.multimodal.BinaryPipeline
+      .resize(spark, d, "doc_id", "blob", 224, 224)
+    assert(resized.count() == 20)
+    assert(resized.select("transform").head().getString(0) == "resized-224x224")
+    val frames = graft.operators.multimodal.BinaryPipeline
+      .frameSample(spark, d, "doc_id", "blob", frames = 4)
+    assert(frames.count() == 80, "one row per sampled frame")
+    val fl = frames.filter(col("doc_id") === frames.select("doc_id").head().getLong(0))
+      .orderBy("frame_no").collect()
+    assert(fl.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(fl.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
+  }
 }
