@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, TopK}
+
+class TopKSpec extends SparkSpec {
+
+  test("partial-agg top-k equals the window formulation on real data") {
+    val base = Tables.lineitem(spark, sf("0.001"))
+      .select(col("l_partkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
+        col("l_extendedprice"))
+    val windowed = Analytics.topNPerGroup(base, Seq("l_partkey"),
+        Seq(col("l_extendedprice").desc, col("uid").asc), n = 3)
+      .select("l_partkey", "uid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agged = TopK.perGroup(base, Seq("l_partkey"), "l_extendedprice", "uid", k = 3)
+      .select("l_partkey", "uid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agged == windowed)
+  }
+
+  test("top-k handles groups smaller than k and k=1") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("b", 3L, 1.0))
+      .toDF("g", "id", "v")
+    val top1 = TopK.perGroup(df, Seq("g"), "v", "id", k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top1 == Set(("a", 2L), ("b", 3L)))
+    val top5 = TopK.perGroup(df, Seq("g"), "v", "id", k = 5)
+    assert(top5.count() == 3)
+  }
+}
