@@ -25,6 +25,24 @@ object FxRates {
       .withColumn("to_currency", lit("VND"))
       .withColumn("source", lit("derived"))
 
+  /** USD price rounded to cents via EXACT integer half-up arithmetic.
+    * ROUND(double_division, 2) is engine-divergent when the true quotient
+    * lands exactly on a half-cent (it does, in real data): both this and
+    * the DuckDB oracle compute floor((2·100·P_cents + R_cents) /
+    * (2·R_cents)) in int64 instead — no float division at all.
+    *
+    * @param priceVnd 2-decimal money column (any numeric)
+    * @param rate     nullable DECIMAL rate; falls back to [[FallbackRate]]
+    */
+  def usdPrice(df: DataFrame, priceVnd: org.apache.spark.sql.Column,
+               rate: org.apache.spark.sql.Column, out: String): DataFrame =
+    df.withColumn("__graft_pc", (priceVnd.cast(DecimalType(18, 2)) * 100).cast("long"))
+      .withColumn("__graft_rc",
+        (coalesce(rate, lit(25400).cast(DecimalType(18, 2))) * 100).cast("long"))
+      .withColumn(out,
+        expr("(2 * 100 * __graft_pc + __graft_rc) DIV (2 * __graft_rc)") / 100.0d)
+      .drop("__graft_pc", "__graft_rc")
+
   /** Validation from transform_fx_rate.py:121 — nulls or non-positive rates
     * are defects.
     */

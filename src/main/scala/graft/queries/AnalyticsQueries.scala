@@ -17,18 +17,15 @@ object AnalyticsQueries {
     val fx = FxRates.daily(Tables.events(spark, dir),
       dayofmonth(col("ts")), col("value"))
     val o = Tables.orders(spark, dir)
-    // exact integer half-up cent rounding — see q02's rationale
-    val pCents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
-    val rCents = (coalesce(col("rate"), lit(25400).cast(DecimalType(18, 2))) * 100)
-      .cast("long")
-    o.join(broadcast(fx), dayofmonth(o("o_orderdate")) === fx("fx_day"), "left")
-      .withColumn("pc", pCents).withColumn("rc", rCents)
+    val joined = o.join(broadcast(fx),
+      dayofmonth(o("o_orderdate")) === fx("fx_day"), "left")
+    FxRates.usdPrice(joined, col("o_totalprice"), col("rate"), "__usd")
       .select(
         col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
         col("o_totalprice").as("price_vnd"),
         coalesce(col("rate").cast(DoubleType), lit(FxRates.FallbackRate)).as("fx_rate"),
-        (expr("(2 * 100 * pc + rc) DIV (2 * rc)") / 100.0d).as("price_usd"),
+        col("__usd").as("price_usd"),
         when(col("rate").isNull, "Fallback").otherwise("derived").as("fx_source"),
         col("from_currency"), col("to_currency"))
   }

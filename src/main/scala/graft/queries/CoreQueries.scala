@@ -34,7 +34,7 @@ object CoreQueries {
     val taxD   = col("l_tax").cast(DecimalType(4, 2))
     l.filter(col("l_shipdate") <= lit("1998-09-02"))
       .withColumn("in_stock",
-        col("l_extendedprice").isNotNull && col("l_extendedprice") > 0)
+        graft.functions.CleanFns.inventoryStatus(col("l_extendedprice")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
@@ -104,8 +104,7 @@ object CoreQueries {
       .agg(max(col("value").cast(DecimalType(18, 2))).as("trend_score"))
 
     // FX dim (reference dim_exchange_rate): one deterministic rate per day.
-    val e = ev.groupBy(dayofmonth(col("ts")).as("e_day"))
-      .agg(max(col("value").cast(DecimalType(18, 2))).as("fx_rate_raw"))
+    val e = graft.operators.FxRates.daily(ev, dayofmonth(col("ts")), col("value"))
 
     val enriched = GoldenJoin.leftEnrich(
       l.join(o, l("l_orderkey") === o("o_orderkey"), "left"),
@@ -116,19 +115,11 @@ object CoreQueries {
         Dim(m, (f, d) => f("c_mktsegment") === d("m_segment")),
         Dim(t, (f, d) => f("trend_keyword") === d("t_keyword") &&
           dayofmonth(f("o_orderdate")) === d("t_day")),
-        Dim(e, (f, d) => dayofmonth(f("o_orderdate")) === d("e_day"))
+        Dim(e, (f, d) => dayofmonth(f("o_orderdate")) === d("fx_day"))
       ))
 
-    // USD price rounded to cents via EXACT integer half-up arithmetic:
-    // ROUND(double_division, 2) is engine-divergent when the true quotient
-    // lands exactly on a half-cent (it does, in real data) — both engines
-    // here compute floor((2·100·P_cents + R_cents) / (2·R_cents)) in int64.
-    val pCents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
-    val rCents = (coalesce(col("fx_rate_raw"), lit(25400).cast(DecimalType(18, 2))) * 100)
-      .cast("long")
-    val usdCents = expr("(2 * 100 * pc + rc) DIV (2 * rc)")
-    enriched
-      .withColumn("pc", pCents).withColumn("rc", rCents)
+    graft.operators.FxRates
+      .usdPrice(enriched, col("l_extendedprice"), col("rate"), "__usd")
       .select(
       col("l_orderkey"), col("l_linenumber"),
       to_date(col("o_orderdate")).as("order_date"),
@@ -136,8 +127,9 @@ object CoreQueries {
       col("n_name").as("nation_name"),
       col("r_name").as("region_name"),
       col("l_extendedprice").as("price_vnd_real"),
-      (usdCents / 100.0d).as("price_usd_real"),
-      coalesce(col("fx_rate_raw").cast(DoubleType), lit(25400.0)).as("fx_rate"),
+      col("__usd").as("price_usd_real"),
+      coalesce(col("rate").cast(DoubleType),
+        lit(graft.operators.FxRates.FallbackRate)).as("fx_rate"),
       col("trend_keyword"),
       col("trend_score").cast(DoubleType).as("google_trend_score"),
       when(col("trend_keyword").isNull, "Unmapped")

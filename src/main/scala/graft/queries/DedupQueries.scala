@@ -70,13 +70,14 @@ object DedupQueries {
       s"list_min(list_transform(hashes, h -> ($a * h + $b) % 2147483647))"
     }.mkString(",\n    ")
     val r = MinHashLSH.RowsPerBand
+    val bandValues = (0 until MinHashLSH.Bands).map(b => s"($b)").mkString(", ")
     s"""$ShingleCtes,
        |sig AS (
        |  SELECT doc_id, [$sigTerms] AS sig FROM hl
        |), bands AS (
        |  SELECT doc_id, sig, u.i AS band_id,
        |    array_to_string(list_transform(sig[$r*u.i+1:$r*u.i+$r], x -> CAST(x AS VARCHAR)), '-') AS band_key
-       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS u(i)
+       |  FROM sig CROSS JOIN (VALUES $bandValues) AS u(i)
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b

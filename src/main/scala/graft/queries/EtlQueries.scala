@@ -56,8 +56,11 @@ object EtlQueries {
       .select(col("o_orderkey"),
         expr("CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))").as("total_price"),
         lit("U").as("status"))
+    // offset far above any plausible orderkey (TPC-H max ≈ 6e6·SF) so the
+    // synthetic insert keys can never collide with real ones and break
+    // Upsert.merge's unique-source-key precondition
     val inserts = o.filter(col("o_orderkey") % 7 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 1000000000000000L).as("o_orderkey"),
         priceD.as("total_price"), lit("N").as("status"))
     Upsert.merge(target, updates.unionByName(inserts), keys = Seq("o_orderkey"))
   }
@@ -72,7 +75,7 @@ object EtlQueries {
       |         'U' AS status
       |  FROM orders WHERE o_orderkey % 10 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, CAST(o_totalprice AS DECIMAL(18,2)), 'N'
+      |  SELECT o_orderkey + 1000000000000000, CAST(o_totalprice AS DECIMAL(18,2)), 'N'
       |  FROM orders WHERE o_orderkey % 7 = 0
       |)
       |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,

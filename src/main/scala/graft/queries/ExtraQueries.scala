@@ -58,7 +58,8 @@ object ExtraQueries {
     // ordered (non-distinct) hash sequence — winnowing needs positions
     val hashSeq = ColumnBridge.column(graft.plans.ShingleHash(
       ColumnBridge.expression(col("text")), distinct = false))
-    val hl = d.select(col("doc_id"), hashSeq.as("hs")).cache()
+    // single consumer — no cache (nothing to reuse, unlike the dedup family)
+    val hl = d.select(col("doc_id"), hashSeq.as("hs"))
     val m = size(col("hs"))
     val w = lit(WinnowWindow)
     val minima = when(m >= WinnowWindow,

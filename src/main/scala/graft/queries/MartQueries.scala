@@ -65,7 +65,9 @@ object MartQueries {
       .filter(col("r_name") === "ASIA").select("r_regionkey")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+      // no broadcast hint on supplier: it grows with SF (10k·SF rows) —
+      // AQE broadcasts it at runtime only while it is actually small
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
         c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

@@ -18,7 +18,9 @@ object ParseQueries {
   def q09ParseFuncs(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey", "l_shipdate")
-    val qtyS = col("l_quantity").cast("bigint").cast("string")
+    // floor() before the int cast: Spark's double→bigint cast truncates but
+    // DuckDB's rounds — floor makes the derived input identical either way
+    val qtyS = floor(col("l_quantity")).cast("bigint").cast("string")
     val pk900 = (col("l_partkey") % 900 + 100).cast("string")
     val salesText = when(col("l_linenumber") % 4 === 0, concat(lit("Đã bán "), qtyS))
       .when(col("l_linenumber") % 4 === 1, concat(lit("Đã bán "), qtyS, lit("k")))
@@ -45,9 +47,9 @@ object ParseQueries {
   def q09Oracle: String =
     """WITH src AS (
       |  SELECT l_orderkey, l_linenumber,
-      |    CASE WHEN l_linenumber % 4 = 0 THEN 'Đã bán ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
-      |         WHEN l_linenumber % 4 = 1 THEN 'Đã bán ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || 'k'
-      |         WHEN l_linenumber % 4 = 2 THEN 'Đã bán ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.5tr'
+      |    CASE WHEN l_linenumber % 4 = 0 THEN 'Đã bán ' || CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)
+      |         WHEN l_linenumber % 4 = 1 THEN 'Đã bán ' || CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || 'k'
+      |         WHEN l_linenumber % 4 = 2 THEN 'Đã bán ' || CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || '.5tr'
       |         ELSE 'Đã bán ' || CAST(l_partkey % 900 + 100 AS VARCHAR) || '.000' END AS sales_text,
       |    '-' || CAST(l_suppkey % 100 AS VARCHAR) || '%' AS discount_text,
       |    CASE WHEN l_linenumber % 3 = 0 THEN CAST(l_partkey % 900 + 100 AS VARCHAR) || '.000 VND'

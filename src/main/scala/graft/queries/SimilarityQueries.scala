@@ -48,10 +48,15 @@ object SimilarityQueries {
     LshAnn.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
       _ < 10, K, Dims)
 
-  /** q30: multimodal binary-column pipeline with stubbed decode. */
+  /** q30: multimodal binary-column pipeline with stubbed decode. Null
+    * payload/metadata normalize to empty/0 (mirrored in the oracle) — the
+    * typed decode path must never die on a null row.
+    */
   def q30Multimodal(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"), col("n_chars"))
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("blob"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
     BinaryPipeline.decodeFeatures(spark, d, "doc_id", "blob", "n_chars")
   }
 
@@ -60,11 +65,11 @@ object SimilarityQueries {
     */
   def q30Oracle: String =
     """SELECT doc_id,
-      |  CAST(strlen(text) AS INTEGER) AS byte_len,
-      |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
-      |  CAST(n_chars % 480 + 1 AS INTEGER) AS height,
-      |  CAST(CAST(n_chars % 640 + 1 AS INTEGER) AS DOUBLE) / CAST(n_chars % 480 + 1 AS INTEGER) AS aspect_ratio,
-      |  CAST(COALESCE(list_sum(list_transform(range(least(64, length(text))),
+      |  CAST(strlen(COALESCE(text, '')) AS INTEGER) AS byte_len,
+      |  CAST(COALESCE(n_chars, 0) % 640 + 1 AS INTEGER) AS width,
+      |  CAST(COALESCE(n_chars, 0) % 480 + 1 AS INTEGER) AS height,
+      |  CAST(CAST(COALESCE(n_chars, 0) % 640 + 1 AS INTEGER) AS DOUBLE) / CAST(COALESCE(n_chars, 0) % 480 + 1 AS INTEGER) AS aspect_ratio,
+      |  CAST(COALESCE(list_sum(list_transform(range(least(64, length(COALESCE(text, '')))),
       |    i -> unicode(text[i+1:i+1]))), 0) % 9973 AS BIGINT) AS checksum,
       |  'fake/raw' AS format
       |FROM documents""".stripMargin

@@ -25,11 +25,11 @@ object TextQueries {
   def q26Oracle: String =
     """WITH m AS (
       |  SELECT doc_id, lang AS source_lang,
-      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in)\b')) AS INTEGER) AS c_en,
-      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|nicht)\b')) AS INTEGER) AS c_de,
-      |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|que|es)\b')) AS INTEGER) AS c_es,
-      |    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|est|une)\b')) AS INTEGER) AS c_fr,
-      |    CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) AS INTEGER) AS c_zh
+      |    CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '\b(the|and|of|to|a|in)\b')) AS INTEGER) AS c_en,
+      |    CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '\b(der|die|und|das|nicht)\b')) AS INTEGER) AS c_de,
+      |    CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '\b(el|la|los|que|es)\b')) AS INTEGER) AS c_es,
+      |    CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '\b(le|les|des|est|une)\b')) AS INTEGER) AS c_fr,
+      |    CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[一-鿿]')) AS INTEGER) AS c_zh
       |  FROM documents
       |)
       |SELECT doc_id, source_lang,
@@ -84,7 +84,7 @@ object TextQueries {
     """SELECT doc_id, n_chars,
       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
       |       ELSE CAST(len(regexp_extract_all(trim(text), '\S+')) AS INTEGER) END AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+      |  CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
       |  CAST(length(text) AS INTEGER) AS measured_chars
       |FROM documents""".stripMargin
 
