@@ -50,6 +50,7 @@ object SparkEntry {
     "q30_multimodal" -> (SimilarityQueries.q30Multimodal _),
     "q34_shipping_priority" -> (MartQueries.q34ShippingPriority _),
     "q35_regional_volume" -> (MartQueries.q35RegionalVolume _),
+    "q36_big_baskets" -> (MartQueries.q36BigBaskets _),
     "q33_ivf_ann" -> (IvfQueries.q33IvfAnn _),
     "q31_embedding_dedup" -> (ExtraQueries.q31EmbeddingDedup _),
     "q32_winnow_fingerprint" -> (ExtraQueries.q32WinnowFingerprint _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q30_multimodal" -> SimilarityQueries.q30Oracle,
     "q34_shipping_priority" -> MartQueries.q34Oracle,
     "q35_regional_volume" -> MartQueries.q35Oracle,
+    "q36_big_baskets" -> MartQueries.q36Oracle,
     "q33_ivf_ann" -> IvfQueries.q33Oracle,
     "q31_embedding_dedup" -> ExtraQueries.q31Oracle,
     "q32_winnow_fingerprint" -> ExtraQueries.q32Oracle,

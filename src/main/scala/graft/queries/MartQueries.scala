@@ -77,6 +77,41 @@ object MartQueries {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** q36: large-basket customers (TPC-H Q18 shape): orders whose total
+    * quantity exceeds a threshold, joined back to customer — the
+    * aggregate-then-semi-join pattern (the aggregation prunes before the
+    * joins, so only qualifying orders pay the join cost).
+    */
+  def q36BigBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val bigOrders = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    bigOrders.join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name").as("customer_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total_price"),
+        col("total_qty"))
+  }
+
+  def q36Oracle: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      |)
+      |SELECT c.c_name AS customer_name, o.o_orderkey,
+      |  CAST(o.o_orderdate AS DATE) AS order_date,
+      |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+      |  big.total_qty
+      |FROM big
+      |JOIN orders o ON big.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+
   def q35Oracle: String =
     """SELECT n.n_name AS nation_name,
       |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
