@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // testdata events.parquet ships TIMESTAMP(NANOS)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs (BigQuery/DuckDB-compatible) timestamps, not INT96/ns —
+      // keeps derived-timestamp outputs physically identical to the oracle
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // runtime re-planning: partition coalescing, skew-join splitting,
       // shuffle-to-broadcast demotion
       .config("spark.sql.adaptive.enabled", "true")

@@ -59,6 +59,8 @@ object AnalyticsQueries {
         (lit(1) - col("l_discount").cast(DecimalType(4, 2))))).as("revenue"))
     Analytics.topNPerGroup(revenue, Seq("p_brand"),
       Seq(col("revenue").desc, col("p_partkey").asc), n = 3)
+      // rank on the exact decimal; emit the canonical double (VERDICT r1)
+      .withColumn("revenue", col("revenue").cast(DoubleType))
   }
 
   def q13Oracle: String =
@@ -68,7 +70,8 @@ object AnalyticsQueries {
       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |  GROUP BY p.p_brand, p.p_partkey, p.p_name
       |)
-      |SELECT * FROM (
+      |SELECT p_brand, p_partkey, p_name, CAST(revenue AS DOUBLE) AS revenue, rank
+      |FROM (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS INTEGER) AS rank
       |  FROM rev) t
       |WHERE rank <= 3""".stripMargin
@@ -86,6 +89,8 @@ object AnalyticsQueries {
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
         count(lit(1)).as("n_orders"))
     Analytics.shareOfTotal(nationRev, Seq("region_name"), "revenue", "revenue_share")
+      // share divides the exact decimal sums; emit revenue as canonical double
+      .withColumn("revenue", col("revenue").cast(DoubleType))
   }
 
   def q14Oracle: String =
@@ -99,7 +104,8 @@ object AnalyticsQueries {
       |  JOIN region r ON n.n_regionkey = r.r_regionkey
       |  GROUP BY r.r_name, n.n_name
       |)
-      |SELECT *, CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER (PARTITION BY region_name) AS DOUBLE) AS revenue_share
+      |SELECT region_name, nation_name, CAST(revenue AS DOUBLE) AS revenue, n_orders,
+      |  CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER (PARTITION BY region_name) AS DOUBLE) AS revenue_share
       |FROM rev""".stripMargin
 
   /** q15: day-over-day average price change per product (price-history
@@ -135,6 +141,8 @@ object AnalyticsQueries {
         count(lit(1)).as("n_events"))
     Analytics.rollingAvg(daily, Seq("keyword"), col("trend_date"),
       "daily_value", size = 7, avgCol = "rolling_avg_7d")
+      // the rolling window sums the exact decimal; emit canonical double
+      .withColumn("daily_value", col("daily_value").cast(DoubleType))
   }
 
   def q16Oracle: String =
@@ -143,7 +151,7 @@ object AnalyticsQueries {
       |    SUM(CAST(value AS DECIMAL(18,2))) AS daily_value, COUNT(*) AS n_events
       |  FROM events GROUP BY 1, 2
       |)
-      |SELECT *,
+      |SELECT keyword, trend_date, CAST(daily_value AS DOUBLE) AS daily_value, n_events,
       |  CAST(SUM(daily_value) OVER w AS DOUBLE) / COUNT(daily_value) OVER w AS rolling_avg_7d
       |FROM daily
       |WINDOW w AS (PARTITION BY keyword ORDER BY trend_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin

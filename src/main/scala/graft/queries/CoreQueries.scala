@@ -36,11 +36,16 @@ object CoreQueries {
       .withColumn("in_stock",
         graft.functions.CleanFns.inventoryStatus(col("l_extendedprice")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // sums aggregate as exact decimals (order-independent) and are cast to
+      // double only in the final projection: Spark's sum(decimal) result
+      // precision (28,2) differs from DuckDB's (38,2), so emitting the
+      // decimal directly diverges physically even though values are equal.
+      // Canonical output type for derived aggregates is double (VERDICT r1).
       .agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-        sum(priceD).as("sum_base_price"),
-        sum(priceD * (lit(1) - discD)).as("sum_disc_price"),
-        sum(priceD * (lit(1) - discD) * (lit(1) + taxD)).as("sum_charge"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(priceD).cast(DoubleType).as("sum_base_price"),
+        sum(priceD * (lit(1) - discD)).cast(DoubleType).as("sum_disc_price"),
+        sum(priceD * (lit(1) - discD) * (lit(1) + taxD)).cast(DoubleType).as("sum_charge"),
         count(lit(1)).as("count_order"),
         sum(when(col("in_stock"), 1L).otherwise(0L)).as("in_stock_count"))
       .withColumn("avg_qty",
@@ -52,10 +57,10 @@ object CoreQueries {
 
   def q01Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |  COUNT(*) AS count_order,
       |  CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS in_stock_count,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,

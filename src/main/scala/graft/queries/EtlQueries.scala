@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.operators.{Dedup, Melt, QualityChecks, Upsert}
@@ -63,6 +64,10 @@ object EtlQueries {
       .select((col("o_orderkey") + 1000000000000000L).as("o_orderkey"),
         priceD.as("total_price"), lit("N").as("status"))
     Upsert.merge(target, updates.unionByName(inserts), keys = Seq("o_orderkey"))
+      // merge arithmetic stays decimal-exact; the output type is canonical
+      // double (Spark's (18,2)*(2,1) decimal result precision differs from
+      // DuckDB's, so the raw decimal diverges physically — VERDICT r1)
+      .withColumn("total_price", col("total_price").cast(DoubleType))
   }
 
   def q05Oracle: String =
@@ -79,7 +84,7 @@ object EtlQueries {
       |  FROM orders WHERE o_orderkey % 7 = 0
       |)
       |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-      |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.total_price ELSE t.total_price END AS total_price,
+      |  CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.total_price ELSE t.total_price END AS DOUBLE) AS total_price,
       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.status ELSE t.status END AS status,
       |  t.o_orderpriority
       |FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey""".stripMargin

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.streaming.{EventAggregates, Sessionize}
@@ -15,19 +17,22 @@ object StreamingQueries {
   /** q17: tumbling 1-hour windowed aggregation over events. */
   def q17WindowedEvents(spark: SparkSession, dir: String): DataFrame =
     EventAggregates.windowed(Tables.events(spark, dir))
+      // aggregate exactly as decimal; emit canonical double (VERDICT r1)
+      .withColumn("total_value", col("total_value").cast(DoubleType))
 
   def q17Oracle: String =
     """SELECT date_trunc('hour', ts) AS window_start,
       |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
       |  event_type,
       |  COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2, 3""".stripMargin
 
   /** q18: gap-based sessionization (30-minute inactivity gap). */
   def q18Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Tables.events(spark, dir), gapSeconds = 1800L)
+      .withColumn("total_value", col("total_value").cast(DoubleType))
 
   def q18Oracle: String =
     """WITH marked AS (
@@ -45,7 +50,7 @@ object StreamingQueries {
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  COUNT(*) AS n_events,
-      |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM numbered
       |GROUP BY user_id, session_id""".stripMargin
 }

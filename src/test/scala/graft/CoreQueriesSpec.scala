@@ -10,7 +10,7 @@ class CoreQueriesSpec extends SparkSpec {
     val byKey = rows.map(r => (r.getString(0), r.getString(1))).toSet
     assert(byKey.size == rows.length, "one row per (returnflag, linestatus)")
     rows.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_qty").signum() > 0)
+      assert(r.getAs[Double]("sum_qty") > 0)
       assert(r.getAs[Long]("count_order") > 0)
       assert(r.getAs[Long]("in_stock_count") <= r.getAs[Long]("count_order"))
     }

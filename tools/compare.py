@@ -1,43 +1,81 @@
 #!/usr/bin/env python3
-"""Local dev harness emulating the driver's correctness gate.
+"""Local dev harness emulating the driver's correctness gate — STRICT.
 
 Usage: python3 tools/compare.py [sfdir] [outdir]
   1) expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have been run
   2) runs each oracle_sql.json query in DuckDB over the sfdir parquet tables
-  3) compares with the Spark result parquet: schema (column names), row count,
-     and exact values after sorting columns by name and rows by all columns.
+  3) compares with the Spark result parquet at the ARROW level:
+     - physical schema per column (decimal precision/scale, timestamp unit,
+       integer width) must be identical
+     - values compare exactly: decimals as exact Decimal (scale included),
+       floats by bit pattern, timestamps as raw epoch ints in their unit
+
+Round-1 lesson (VERDICT r1): the old harness normalized Decimal->float and
+int<->integral-float, which is strictly looser than the driver's hash gate —
+it predicted 34/34 where the driver saw 25/35. No normalization here.
 
 Dev-only tooling (driver-side python stack); the shipped library is Scala.
 """
-import sys, os, json, math
+import sys, os, json, math, struct, decimal
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def norm(v):
-    """Canonical comparable string per value: unifies None/NaN, int vs
-    integral float (nullable bigint becomes float64 in pandas), decimal vs
-    float. Non-integral floats compare by exact repr (bitwise determinism is
-    the contract)."""
-    import decimal, datetime
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type string; strict on decimal precision/scale and
+    timestamp unit. Timezone-naive vs UTC-marked micros are unified (Spark
+    marks UTC, DuckDB is naive; both are the same physical int64 wall time
+    under the sessions' UTC setting)."""
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def col_values(arr: pa.ChunkedArray):
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        # raw epoch count in the column's own unit; unit equality is already
+        # enforced by the schema check
+        return arr.cast(pa.int64()).to_pylist()
+    return arr.to_pylist()
+
+
+def typed(v) -> str:
+    """Exact value representation: no cross-type unification."""
+    if v is None:
         return "␀"
-    if isinstance(v, decimal.Decimal):
-        v = float(v)
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
-        return str(int(v)) if v.is_integer() else repr(v)
-    if isinstance(v, (int,)):
-        return str(v)
-    if isinstance(v, (datetime.date, datetime.datetime)):
-        return str(v)
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
+        return "f:nan" if math.isnan(v) else "f:" + struct.pack("<d", v).hex()
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(typed(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    return f"s:{v}"
+
+
+def table_rows(tbl: pa.Table, cols):
+    data = [col_values(tbl.column(c)) for c in cols]
+    return sorted(tuple(typed(col[i]) for col in data) for i in range(tbl.num_rows))
+
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
@@ -47,19 +85,31 @@ def main():
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{outdir}/{name}"
         try:
-            want = con.execute(sql).fetchdf()
-            got = duckdb.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
-            wcols, gcols = sorted(want.columns), sorted(got.columns)
+            want = con.execute(sql).arrow()
+            got = pq.read_table(spark_dir)
+            wcols, gcols = sorted(want.column_names), sorted(got.column_names)
             if wcols != gcols:
                 print(f"FAIL {name}: columns differ\n  oracle={wcols}\n  spark ={gcols}")
-                n_fail += 1; continue
-            if len(want) != len(got):
-                print(f"FAIL {name}: rows oracle={len(want)} spark={len(got)}")
-                n_fail += 1; continue
-            wrows = sorted(tuple(norm(v) for v in row) for row in want[wcols].itertuples(index=False, name=None))
-            grows = sorted(tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False, name=None))
+                n_fail += 1
+                continue
+            schema_diffs = []
+            for c in wcols:
+                wt = canon_type(want.schema.field(c).type)
+                gt = canon_type(got.schema.field(c).type)
+                if wt != gt:
+                    schema_diffs.append(f"{c}: oracle={wt} spark={gt}")
+            if schema_diffs:
+                print(f"FAIL {name}: physical schema differs: " + "; ".join(schema_diffs))
+                n_fail += 1
+                continue
+            if want.num_rows != got.num_rows:
+                print(f"FAIL {name}: rows oracle={want.num_rows} spark={got.num_rows}")
+                n_fail += 1
+                continue
+            wrows = table_rows(want, wcols)
+            grows = table_rows(got, gcols)
             if wrows == grows:
-                print(f"PASS {name} ({len(want)} rows)")
+                print(f"PASS {name} ({want.num_rows} rows)")
                 n_pass += 1
             else:
                 bad = [(a, b) for a, b in zip(wrows, grows) if a != b][:3]
@@ -72,6 +122,7 @@ def main():
             n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
