@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * nearest centroid; a query probes only its `probes` closest cells and
   * pays exact cosine on those candidates.
   *
-  * Scale shape: assignment is one broadcast pass over the corpus (centroid
-  * set is tiny); the cell index is a plain column usable as a partition/
-  * bucket key, so at 100 TB the probe reads only matching cells
-  * (partition pruning), unlike LSH's multi-table union.
+  * Scale shape: the centroid set is packed into ONE broadcast row (an array
+  * of (cid, cvec, cnrm) structs), so assignment is a per-row argmax fold —
+  * zero joins, zero shuffles on the corpus side (the only Exchange in the
+  * assignment plan is the tiny centroid collect_list). The cell id is a
+  * plain column usable as a partition/bucket key, so at 100 TB the probe
+  * reads only matching cells (partition pruning), unlike LSH's multi-table
+  * union.
   *
   * Centroid "training" here is deterministic (first `nCentroids` vector
   * ids) — swap in k-means offline in production; the operator contract
@@ -19,44 +22,69 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
+  /** One-row frame holding every centroid in a cid-ascending struct array.
+    * collect_list feeds a single-group aggregate: the Exchange moves
+    * `nCentroids` rows, nothing corpus-sized.
+    */
+  private def centroidArray(v: DataFrame, nCentroids: Int): DataFrame =
+    v.filter(col("vid") < nCentroids)
+      .select(struct(col("vid").cast("long").as("cid"), col("vec").as("cvec"),
+        col("nrm").as("cnrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+
+  private def cosTo(vec: Column, nrm: Column, c: Column): Column =
+    VectorFns.cosine(VectorFns.dot(vec, c.getField("cvec")),
+      nrm, c.getField("cnrm"))
+
   /** (vid, vec, nrm, cluster_id): each vector tagged with its nearest
-    * centroid (ties → lowest centroid id).
+    * centroid (ties → lowest centroid id; the fold scans cids ascending and
+    * keeps strictly-better scores, which is exactly row_number over
+    * (ccos DESC, cid ASC) = 1).
     */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
              nCentroids: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
-    val cents = v.filter(col("vid") < nCentroids)
-      .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
-    val scored = v.join(broadcast(cents), lit(true))
-      .select(col("vid"), col("vec"), col("nrm"), col("cid"),
-        VectorFns.cosine(VectorFns.dot(col("vec"), col("cvec")),
-          col("nrm"), col("cnrm")).as("ccos"))
-    val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vid"), col("vec"), col("nrm"), col("cid").as("cluster_id"))
+    val cents = centroidArray(v, nCentroids)
+    v.join(broadcast(cents), lit(true))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val cc = cosTo(col("vec"), col("nrm"), c)
+          when(cc > acc.getField("cos"),
+            struct(cc.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("vid"), col("vec"), col("nrm"),
+        col("best").getField("cid").as("cluster_id"))
   }
 
   /** Approximate top-k: probe the `probes` nearest cells per query, exact
-    * cosine re-rank within them.
+    * cosine re-rank within them. Probe selection is the same broadcast
+    * array fold (sort the per-query centroid scores in-row, slice the top
+    * `probes`) — no corpus-side window.
     */
   def search(vectors: DataFrame, idCol: String, vecCol: String,
              queryPred: Column => Column, k: Int,
              nCentroids: Int, probes: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      VectorFns.norm(col(vecCol)).as("nrm"))
+    val cents = centroidArray(v, nCentroids)
     val assigned = assign(vectors, idCol, vecCol, nCentroids).cache()
-    val cents = assigned.filter(col("vid") < nCentroids)
-      .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
     val queries = assigned.filter(queryPred(col("vid")))
       .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
-    val probed = queries.join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"),
-        VectorFns.cosine(VectorFns.dot(col("qvec"), col("cvec")),
-          col("qnrm"), col("cnrm")).as("ccos"))
-    val pw = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid").asc)
-    val probeCells = probed.withColumn("prank", row_number().over(pw))
-      .filter(col("prank") <= probes)
-      .select(col("query_id"), col("qvec"), col("qnrm"), col("cid"))
+    val probeCells = queries.join(broadcast(cents), lit(true))
+      .withColumn("scored", transform(col("cents"), c =>
+        struct(cosTo(col("qvec"), col("qnrm"), c).as("cos"),
+          c.getField("cid").as("cid"))))
+      .withColumn("probe", slice(array_sort(col("scored"), (l, r) =>
+        when(l.getField("cos") > r.getField("cos"), lit(-1))
+          .when(l.getField("cos") < r.getField("cos"), lit(1))
+          .when(l.getField("cid") < r.getField("cid"), lit(-1))
+          .when(l.getField("cid") > r.getField("cid"), lit(1))
+          .otherwise(lit(0))), 1, probes))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        explode(col("probe").getField("cid")).as("cid"))
     val cands = probeCells.join(assigned,
         probeCells("cid") === assigned("cluster_id") &&
           col("query_id") =!= assigned("vid"))

@@ -40,8 +40,11 @@ object VectorFns {
 
 /** Brute-force exact cosine top-k: the correctness baseline. O(|Q|·N·D) —
   * with a broadcast query set this is a single map-side pass over the
-  * corpus + one shuffle for the per-query top-k window; use [[LshAnn]] as
-  * the sublinear path at corpus scale.
+  * corpus; the per-query top-k runs through [[graft.operators.TopK]]'s
+  * k-bounded partial aggregation, so the shuffle carries at most k rows per
+  * query per mapper instead of the full N×|Q| scored set (which a window
+  * formulation would sort — and spill — at corpus scale). Use [[LshAnn]] as
+  * the sublinear path when even one scoring pass is too much.
   */
 object CosineTopK {
   def search(vectors: DataFrame, idCol: String, vecCol: String,
@@ -54,9 +57,8 @@ object CosineTopK {
       .select(col("query_id"), col("vid").as("neighbor_id"),
         VectorFns.cosine(VectorFns.dot(col("qvec"), col("vec")),
           col("qnrm"), col("nrm")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    graft.operators.TopK.perGroup(scored, Seq("query_id"),
+      sortCol = "cosine", idCol = "neighbor_id", k = k)
   }
 }
 
@@ -73,8 +75,11 @@ object LshAnn {
   val NumTables = 8
   val PlanesPerTable = 6
 
-  /** Deterministic pseudo-random plane weight in [-0.5, 0.5). */
-  private def weight(table: Int, plane: Int, dim: Int): Double = {
+  /** Deterministic pseudo-random plane weight in [-0.5, 0.5). Public so an
+    * external oracle (e.g. the DuckDB correctness gate) can reproduce the
+    * exact signatures.
+    */
+  def weight(table: Int, plane: Int, dim: Int): Double = {
     val seed = table.toLong * 1000003L + plane.toLong * 64L + dim
     val x = (1103515245L * seed + 12345L) % 2147483648L
     x.toDouble / 2147483648.0d - 0.5d
@@ -118,5 +123,46 @@ object LshAnn {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
+
+/** Embedding-cosine near-duplicate PAIRS at scale: LSH-banded candidate
+  * generation + exact-cosine verification — never an unblocked O(n²)
+  * self-join (SURVEY §4). The bucket self-join is narrow (ids + bucket key
+  * only); embeddings re-attach after pair dedup, the same shape as
+  * [[graft.operators.dedup.MinHashLSH]].
+  *
+  * The operator is APPROXIMATE by contract: a pair is reported iff it
+  * shares an LSH bucket in ≥1 table AND its exact cosine clears the
+  * threshold. Recall vs the brute-force all-pairs baseline is
+  * data-dependent (high for true near-dups, lower near the decision
+  * boundary) and is measured in CosinePairsSpec; the brute-force
+  * formulation lives only there, as the oracle reference.
+  */
+object CosinePairs {
+  def banded(vectors: DataFrame, idCol: String, vecCol: String,
+             threshold: Double, dims: Int): DataFrame = {
+    val keyed = vectors.select(
+      col(idCol).as("vid") +: col(vecCol).as("vec") +:
+        VectorFns.norm(col(vecCol)).as("nrm") +:
+        (0 until LshAnn.NumTables).map(t =>
+          LshAnn.bucketKey(col(vecCol), t, dims).as(s"bk_$t")): _*)
+      .cache() // consumed three times: bucket entries + both pair sides
+    val entries = keyed.select(col("vid"),
+      explode(array((0 until LshAnn.NumTables).map(t =>
+        struct(lit(t).as("t"), col(s"bk_$t").as("k"))): _*)).as("bucket"))
+    val pairs = entries.alias("a").join(entries.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
+      .distinct() // a pair may collide in several tables; verify it once
+    val va = keyed.select(col("vid").as("vec_a"), col("vec").as("avec"),
+      col("nrm").as("anrm"))
+    val vb = keyed.select(col("vid").as("vec_b"), col("vec").as("bvec"),
+      col("nrm").as("bnrm"))
+    pairs.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        VectorFns.cosine(VectorFns.dot(col("avec"), col("bvec")),
+          col("anrm"), col("bnrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -21,6 +21,32 @@ class TopKSpec extends SparkSpec {
     assert(agged == windowed)
   }
 
+  test("null and NaN sort values order exactly like the window desc formulation") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(Double.NaN)),
+      ("a", 4L, Some(7.0)), ("b", 5L, None), ("b", 6L, None))
+      .toDF("g", "id", "v")
+    val windowed = Analytics.topNPerGroup(df, Seq("g"),
+        Seq(col("v").desc, col("id").asc), n = 2)
+      .select("g", "id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val agged = TopK.perGroup(df, Seq("g"), "v", "id", k = 2)
+      .select("g", "id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agged == windowed)
+    // Spark desc: NaN greatest, nulls last => a: (NaN id=3, 7.0 id=4)
+    assert(agged == Set(("a", 3L, 1), ("a", 4L, 2), ("b", 5L, 1), ("b", 6L, 2)))
+  }
+
+  test("null group keys stay distinct from the literal string \"null\"") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], 1L, 1.0), (Some("null"), 2L, 2.0))
+      .toDF("g", "id", "v")
+    val out = TopK.perGroup(df, Seq("g"), "v", "id", k = 1)
+    assert(out.count() == 2, "null key and \"null\" key are different groups")
+  }
+
   test("top-k handles groups smaller than k and k=1") {
     import spark.implicits._
     val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("b", 3L, 1.0))
