@@ -36,6 +36,7 @@ object SparkEntry {
     "q14_market_share" -> (AnalyticsQueries.q14MarketShare _),
     "q15_price_history" -> (AnalyticsQueries.q15PriceHistory _),
     "q16_rolling_trend" -> (AnalyticsQueries.q16RollingTrend _),
+    "q37_fx_carry_forward" -> (AnalyticsQueries.q37FxCarryForward _),
     "q09_parse_funcs" -> (ParseQueries.q09ParseFuncs _),
     "q10_category_path" -> (ParseQueries.q10CategoryPath _),
     "q12_star_split" -> (EtlQueries.q12StarSplit _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "q14_market_share" -> AnalyticsQueries.q14Oracle,
     "q15_price_history" -> AnalyticsQueries.q15Oracle,
     "q16_rolling_trend" -> AnalyticsQueries.q16Oracle,
+    "q37_fx_carry_forward" -> AnalyticsQueries.q37Oracle,
     "q09_parse_funcs" -> ParseQueries.q09Oracle,
     "q10_category_path" -> ParseQueries.q10Oracle,
     "q12_star_split" -> EtlQueries.q12Oracle,

@@ -43,6 +43,39 @@ object FxRates {
         expr("(2 * 100 * __graft_pc + __graft_rc) DIV (2 * __graft_rc)") / 100.0d)
       .drop("__graft_pc", "__graft_rc")
 
+  /** Carry the last observed rate forward across missing days — the
+    * warehouse formulation of fx_rate_dag.py:74-129's "fall back to a
+    * previous rate when today's fetch fails" (last_value-ignore-nulls over
+    * the date ordering instead of a static constant).
+    *
+    * `calendar` holds one row per `dayCol` value to fill (e.g. the fact
+    * table's distinct days); every (partitionCols) series is completed to
+    * the full calendar and gap-filled independently. Adds `rate_filled`
+    * (rateCol carried forward) and `rate_source` ('observed' | 'carried';
+    * null when no prior observation exists).
+    *
+    * Scale: an FX dim is days × currency pairs — broadcast-tiny by
+    * construction. The per-pair window sorts only that tiny dim; never
+    * point this at a fact table.
+    */
+  def carryForward(fx: DataFrame, calendar: DataFrame, dayCol: String,
+                   rateCol: String = "rate",
+                   partitionCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = calendar.select(col(dayCol)).distinct()
+    val series =
+      if (partitionCols.isEmpty) days
+      else days.join(fx.select(partitionCols.map(col): _*).distinct(), lit(true))
+    val joined = series.join(fx, Seq(dayCol) ++ partitionCols, "left")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("rate_filled", last(col(rateCol), ignoreNulls = true).over(w))
+      .withColumn("rate_source",
+        when(col(rateCol).isNotNull, "observed")
+          .when(col("rate_filled").isNotNull, "carried"))
+  }
+
   /** Validation from transform_fx_rate.py:121 — nulls or non-positive rates
     * are defects.
     */

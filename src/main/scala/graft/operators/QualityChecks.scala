@@ -13,7 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object QualityChecks {
 
-  final case class Check(name: String, violation: Column)
+  /** Two polarities, matching the reference's ASSERT block:
+    *   - zero-violations (`minCount` empty): `predicate` marks a BAD row;
+    *     the check passes when no row matches (e.g. "no negative prices").
+    *   - min-count (`minCount = Some(m)`): `predicate` marks a GOOD row;
+    *     the check passes when at least `m` rows match (the reference's
+    *     "at least some data was inserted" / "some products have trend
+    *     data" checks, analytics_dag.py:204,222). Reported `violations` is
+    *     the shortfall max(0, m - matches), so `passed = violations == 0`
+    *     holds uniformly for both polarities.
+    */
+  final case class Check(name: String, predicate: Column,
+                         minCount: Option[Long] = None)
+
+  object Check {
+    /** Min-count polarity: pass iff ≥ `min` rows match `evidence`. */
+    def atLeast(name: String, evidence: Column, min: Long = 1L): Check =
+      Check(name, evidence, Some(min))
+  }
 
   private val SafeName = "^[A-Za-z][A-Za-z0-9_]*$".r
 
@@ -24,8 +41,15 @@ object QualityChecks {
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     checks.foreach(c => require(SafeName.matches(c.name) && c.name != "__total",
       s"check name must be a plain identifier, got: '${c.name}'"))
-    val aggs = checks.map(c => sum(when(c.violation, 1L).otherwise(0L)).as(c.name)) :+
-      count(lit(1)).as("__total")
+    val aggs = checks.map { c =>
+      // coalesce: sum over an empty frame is null, which must read as
+      // "0 matches" (fails a min-count check rather than silently passing)
+      val matches = coalesce(sum(when(c.predicate, 1L).otherwise(0L)), lit(0L))
+      c.minCount match {
+        case None      => matches.as(c.name)
+        case Some(min) => greatest(lit(0L), lit(min) - matches).as(c.name)
+      }
+    } :+ count(lit(1)).as("__total")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val longRows = checks
       .map { c => s"'${c.name}', CAST(`${c.name}` AS BIGINT)" }

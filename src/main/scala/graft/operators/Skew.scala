@@ -20,13 +20,24 @@ object Skew {
   def salt(buckets: Int, stableCols: Column*): Column =
     pmod(hash(stableCols: _*), lit(buckets))
 
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti", "cross")
+
   /** Inner/left salted equi-join of `big` (skewed) with `small` on
     * `keyCol`. `saltSource` must be stable, high-cardinality columns of
     * `big` (e.g. the row's unique id).
+    *
+    * Right/full outer are rejected: an unmatched `small` row would surface
+    * once per salt bucket (`buckets` duplicates), silently corrupting the
+    * result.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
                  buckets: Int, saltSource: Seq[String],
                  joinType: String = "inner"): DataFrame = {
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType': " +
+        "unmatched small-side rows would duplicate once per salt bucket")
     val salted = big.withColumn("__salt", salt(buckets, saltSource.map(col): _*))
     val replicated = small
       .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))

@@ -51,9 +51,16 @@ object TrendsPipeline {
     val staging = new org.apache.hadoop.fs.Path(s"$path-staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     val backup = new org.apache.hadoop.fs.Path(s"$path-backup")
-    if (fs.exists(target)) { fs.delete(backup, true); fs.rename(target, backup) }
-    fs.rename(staging, target)
-    fs.delete(backup, true)
+    // rename/delete signal failure by returning false on HDFS-style
+    // filesystems; check them or a failed swap silently loses the merge
+    if (fs.exists(target)) {
+      if (fs.exists(backup))
+        require(fs.delete(backup, true), s"delete $backup failed")
+      require(fs.rename(target, backup), s"rename $target -> $backup failed")
+    }
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    if (fs.exists(backup))
+      require(fs.delete(backup, true), s"delete $backup failed")
     spark.read.parquet(path).count()
   }
 }
@@ -136,7 +143,13 @@ object AnalyticsPipeline {
       QualityChecks.Check("invalid_price", col("price_vnd_real") <= 0),
       QualityChecks.Check("null_product_id", col("product_id").isNull),
       QualityChecks.Check("null_fx_rate", col("fx_rate").isNull),
-      QualityChecks.Check("unrealistic_usd_price", col("price_usd_real") > 100000)))
+      QualityChecks.Check("unrealistic_usd_price", col("price_usd_real") > 100000),
+      // reference Check 4 + Check 6 (analytics_dag.py:204,222): the ">0"
+      // polarity — a day that inserts nothing, or maps no trend data at
+      // all, must fail the gate even though it has zero bad rows
+      QualityChecks.Check.atLeast("rows_inserted", lit(true)),
+      QualityChecks.Check.atLeast("has_trend_data",
+        col("trend_signal_status") === "Full Data")))
     (mart.count(), quality)
   }
 }

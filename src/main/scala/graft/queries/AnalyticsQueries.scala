@@ -49,6 +49,52 @@ object AnalyticsQueries {
       |  CASE WHEN fx.fx_day IS NOT NULL THEN 'VND' END AS to_currency
       |FROM orders o LEFT JOIN fx ON EXTRACT(day FROM o.o_orderdate) = fx.fx_day""".stripMargin
 
+  /** q37: FX carry-forward gap-fill (ref fx_rate_dag.py:74-129's fallback
+    * to a previous rate, as last_value-ignore-nulls over the calendar).
+    * Every third observed day is dropped to manufacture gaps; the calendar
+    * comes from the fact side's distinct days, so days the fx feed never
+    * saw (day 31) are filled too.
+    */
+  def q37FxCarryForward(spark: SparkSession, dir: String): DataFrame = {
+    val fx = FxRates.daily(Tables.events(spark, dir),
+        dayofmonth(col("ts")), col("value"))
+      .withColumn("fx_day", col("fx_day").cast("long"))
+      .filter(col("fx_day") % 3 =!= 0)
+      .select("fx_day", "rate", "from_currency", "to_currency")
+    val cal = Tables.orders(spark, dir)
+      .select(dayofmonth(col("o_orderdate")).cast("long").as("fx_day"))
+      .distinct()
+    FxRates.carryForward(fx, cal, "fx_day", "rate",
+      partitionCols = Seq("from_currency", "to_currency"))
+  }
+
+  def q37Oracle: String =
+    """WITH fx AS (
+      |  SELECT EXTRACT(day FROM ts) AS fx_day,
+      |         MAX(CAST(value AS DECIMAL(18,2))) AS rate,
+      |         'USD' AS from_currency, 'VND' AS to_currency
+      |  FROM events GROUP BY 1
+      |), gapped AS (
+      |  SELECT * FROM fx WHERE fx_day % 3 <> 0
+      |), cal AS (
+      |  SELECT DISTINCT EXTRACT(day FROM o_orderdate) AS fx_day FROM orders
+      |), series AS (
+      |  SELECT c.fx_day, p.from_currency, p.to_currency
+      |  FROM cal c CROSS JOIN (SELECT DISTINCT from_currency, to_currency FROM gapped) p
+      |), j AS (
+      |  SELECT s.fx_day, s.from_currency, s.to_currency, g.rate,
+      |    last_value(g.rate IGNORE NULLS) OVER (
+      |      PARTITION BY s.from_currency, s.to_currency ORDER BY s.fx_day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_filled
+      |  FROM series s LEFT JOIN gapped g
+      |    ON s.fx_day = g.fx_day AND s.from_currency = g.from_currency
+      |   AND s.to_currency = g.to_currency
+      |)
+      |SELECT fx_day, from_currency, to_currency, rate, rate_filled,
+      |  CASE WHEN rate IS NOT NULL THEN 'observed'
+      |       WHEN rate_filled IS NOT NULL THEN 'carried' END AS rate_source
+      |FROM j""".stripMargin
+
   /** q13: top-3 products per brand by revenue (dashboard ranking). */
   def q13TopPerBrand(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).select("l_partkey", "l_extendedprice", "l_discount")

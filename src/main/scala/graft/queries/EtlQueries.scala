@@ -175,7 +175,11 @@ object EtlQueries {
       Check("null_product_id", col("l_orderkey").isNull),
       Check("null_fx_rate", col("fx_rate").isNull),
       Check("unrealistic_usd_price", col("price_usd_real") > 100000),
-      Check("unmapped_share_high", col("trend_signal_status") === "Unmapped")))
+      Check("unmapped_share_high", col("trend_signal_status") === "Unmapped"),
+      // reference Check 4 + Check 6 (analytics_dag.py:204,222): ">0"
+      // polarity — some rows inserted, some products carry trend data
+      Check.atLeast("rows_inserted", lit(true)),
+      Check.atLeast("has_trend_data", col("trend_signal_status") === "Full Data")))
   }
 
   def q08Oracle: String = {
@@ -188,7 +192,9 @@ object EtlQueries {
        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_product_id,
        |    CAST(SUM(CASE WHEN fx_rate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fx_rate,
        |    CAST(SUM(CASE WHEN price_usd_real > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS unrealistic_usd_price,
-       |    CAST(SUM(CASE WHEN trend_signal_status = 'Unmapped' THEN 1 ELSE 0 END) AS BIGINT) AS unmapped_share_high
+       |    CAST(SUM(CASE WHEN trend_signal_status = 'Unmapped' THEN 1 ELSE 0 END) AS BIGINT) AS unmapped_share_high,
+       |    CAST(GREATEST(0, 1 - COUNT(*)) AS BIGINT) AS rows_inserted,
+       |    CAST(GREATEST(0, 1 - SUM(CASE WHEN trend_signal_status = 'Full Data' THEN 1 ELSE 0 END)) AS BIGINT) AS has_trend_data
        |  FROM base
        |)
        |SELECT c.check_name, c.violations, agg.total_rows, c.violations = 0 AS passed
@@ -197,7 +203,9 @@ object EtlQueries {
        |  ('null_product_id', null_product_id),
        |  ('null_fx_rate', null_fx_rate),
        |  ('unrealistic_usd_price', unrealistic_usd_price),
-       |  ('unmapped_share_high', unmapped_share_high)) AS c(check_name, violations)""".stripMargin
+       |  ('unmapped_share_high', unmapped_share_high),
+       |  ('rows_inserted', rows_inserted),
+       |  ('has_trend_data', has_trend_data)) AS c(check_name, violations)""".stripMargin
   }
 
   /** q12: star-schema dimension build (ref transform_tiki.py:601-775 split

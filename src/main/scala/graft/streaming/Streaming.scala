@@ -152,11 +152,19 @@ object UpsertSink {
       else deduped
     val staging = new Path(s"$targetPath-staging-$batchId")
     merged.write.mode("overwrite").parquet(staging.toString)
+    // HDFS-style filesystems signal rename/delete failure by returning
+    // false, not throwing — swallow it and the micro-batch is silently
+    // dropped while the stream reports success. Fail loudly so the batch
+    // is retried.
+    def mustRename(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed")
     if (fs.exists(target)) {
-      fs.delete(backup, true)
-      fs.rename(target, backup)
+      if (fs.exists(backup))
+        require(fs.delete(backup, true), s"delete $backup failed")
+      mustRename(target, backup)
     }
-    fs.rename(staging, target)
-    fs.delete(backup, true)
+    mustRename(staging, target)
+    if (fs.exists(backup))
+      require(fs.delete(backup, true), s"delete $backup failed")
   }
 }

@@ -54,4 +54,20 @@ class OperatorsSpec extends SparkSpec {
     assert(byName("null_id") == (0L, true))
     assert(rep.select("total_rows").head.getLong(0) == 3L)
   }
+
+  test("QualityChecks min-count polarity: shortfall fails, evidence passes, empty input fails") {
+    val df = Seq((1, "ok"), (2, "ok"), (3, "bad")).toDF("id", "status")
+    val rep = QualityChecks.report(df, Seq(
+      QualityChecks.Check.atLeast("some_ok", col("status") === "ok"),
+      QualityChecks.Check.atLeast("three_bad", col("status") === "bad", min = 3L)))
+    val byName = rep.collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(byName("some_ok") == (0L, true), "evidence present => 0 violations")
+    assert(byName("three_bad") == (2L, false), "shortfall of 2 reported as violations")
+    // empty input: a min-count check must FAIL, never silently pass
+    val empty = df.filter(col("id") < 0)
+    val emptyRep = QualityChecks.report(empty, Seq(
+      QualityChecks.Check.atLeast("rows_inserted", lit(true))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(emptyRep("rows_inserted") == (1L, false))
+  }
 }
