@@ -8,21 +8,69 @@ final case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int,
                                height: Int, aspect_ratio: Double,
                                checksum: Long, format: String)
 
+/** Minimal 24-bit uncompressed BMP writer — a pure-JVM way to materialize
+  * REAL image bytes (parseable by any codec, javax.imageio included) with
+  * fully deterministic content, so decode paths can be verified end-to-end
+  * without external image libraries.
+  */
+object Bmp {
+  /** Deterministic pixel byte at offset `i` for seed `s`. The seed is
+    * bounded (mod 9973) and the arithmetic stays far below 2^63, so an
+    * external oracle (DuckDB int64, which errors on overflow instead of
+    * wrapping) can reproduce every byte with plain integer ops.
+    */
+  def pixelByte(seed: Long, i: Long): Int =
+    ((((seed % 9973L) * 2654435761L + i * 1103515245L + 12345L) / 65536L) % 256L).toInt
+
+  def encode(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val rowSize = (3 * width + 3) / 4 * 4 // rows pad to 4-byte boundaries
+    val imgSize = rowSize * height
+    val total = 54 + imgSize
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(total)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var i = 0
+    while (i < imgSize) {
+      b.put(pixelByte(seed, i.toLong).toByte)
+      i += 1
+    }
+    b.array()
+  }
+}
+
 /** Multimodal column plumbing (SURVEY §2 item 41): media payloads ride as
   * opaque `binary` columns with typed metadata; decode/feature-extract runs
   * batched per partition via `mapPartitions` (the Scala analog of a Pandas
   * mapInPandas UDF — one iterator per partition, no per-row driver calls,
   * arbitrary native libs usable inside).
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB — this container has no image/
-  * audio codecs. The Spark-side contract (schema, binary transport,
-  * partition-batched execution, typed output Encoder) is real and tested;
-  * swap `stubDecode` for a real codec call in production.
+  * Decode is REAL for the formats the JVM ships codecs for (BMP/PNG/JPEG/
+  * GIF via javax.imageio — magic-byte sniffed, then parsed); payloads that
+  * are not images fall back to a clearly-labeled deterministic stub
+  * ('fake/raw') standing in for codecs this container lacks (video/audio).
   */
 object BinaryPipeline {
 
-  /** Deterministic fake decode: derives "image" dimensions from metadata
-    * and a byte checksum from the payload (stands in for pixel stats).
+  // keep ImageIO off its disk cache: blobs are small in-memory arrays
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private def sniff(blob: Array[Byte]): Option[String] = {
+    def at(i: Int) = blob(i) & 0xff
+    if (blob.length >= 4 && at(0) == 'B' && at(1) == 'M') Some("image/bmp")
+    else if (blob.length >= 4 && at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      Some("image/png")
+    else if (blob.length >= 2 && at(0) == 0xff && at(1) == 0xd8) Some("image/jpeg")
+    else if (blob.length >= 4 && at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
+      Some("image/gif")
+    else None
+  }
+
+  /** Deterministic fake decode for non-image payloads: derives "image"
+    * dimensions from metadata and a byte checksum from the payload.
     */
   private def stubDecode(docId: Long, blob: Array[Byte], nChars: Long): MediaFeatures = {
     val width = (nChars % 640 + 1).toInt
@@ -32,6 +80,27 @@ object BinaryPipeline {
       width.toDouble / height, checksum, "fake/raw")
   }
 
+  /** Real decode: parse the image, report true dimensions and a checksum
+    * over the first ≤64 decoded pixels (row-major, r+g+b summed).
+    */
+  private def decodeOne(docId: Long, blob: Array[Byte], nChars: Long): MediaFeatures =
+    sniff(blob).flatMap { fmt =>
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+        .map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var i = 0
+          val n = math.min(64, w * h)
+          while (i < n) {
+            val rgb = img.getRGB(i % w, i / w)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            i += 1
+          }
+          MediaFeatures(docId, blob.length, w, h, w.toDouble / h, sum % 9973L, fmt)
+        }
+    }.getOrElse(stubDecode(docId, blob, nChars))
+
   /** df must expose (idCol: long, blobCol: binary, metaCol: long). */
   def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
                      blobCol: String, metaCol: String): DataFrame = {
@@ -39,14 +108,33 @@ object BinaryPipeline {
     df.select(col(idCol).cast("long"), col(blobCol).cast("binary"),
         col(metaCol).cast("long"))
       .as[(Long, Array[Byte], Long)]
-      .mapPartitions(_.map { case (id, blob, meta) => stubDecode(id, blob, meta) })
+      .mapPartitions(_.map { case (id, blob, meta) => decodeOne(id, blob, meta) })
       .toDF()
   }
 
-  /** Resize stage (STUB): a real implementation hands each batch to a
-    * native imaging lib; the stub scales the fake dimensions and re-emits
-    * the payload untouched. Runs per partition — same batch shape a codec
-    * call would use.
+  /** Materialize REAL (deterministic) BMP payloads from per-row dimension/
+    * seed columns — the write-side counterpart of [[decodeFeatures]], and
+    * the way specs/queries obtain genuine image bytes without external
+    * libraries. Output: (idCol, blob, metaCol passthrough).
+    */
+  def encodeBmp(spark: SparkSession, df: DataFrame, idCol: String,
+                wCol: String, hCol: String, seedCol: String,
+                metaCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(seedCol).cast("long"),
+        col(metaCol).cast("long"))
+      .as[(Long, Int, Int, Long, Long)]
+      .mapPartitions(_.map { case (id, w, h, seed, meta) =>
+        (id, Bmp.encode(w, h, seed), meta)
+      })
+      .toDF(idCol, "blob", metaCol)
+  }
+
+  /** Resize stage: decodes real images, scales them with AWT (area-capable
+    * bilinear via Graphics2D), re-encodes as BMP; non-image payloads pass
+    * through a labeled stub path. Runs per partition — same batch shape a
+    * native codec call would use.
     */
   def resize(spark: SparkSession, df: DataFrame, idCol: String,
              blobCol: String, targetW: Int, targetH: Int): DataFrame = {
@@ -54,16 +142,34 @@ object BinaryPipeline {
     df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        (id, blob, targetW, targetH, s"resized-${targetW}x$targetH")
+        val real = sniff(blob).flatMap { _ =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+        }.map { img =>
+          val out = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "bmp", buf)
+          buf.toByteArray
+        }
+        real match {
+          case Some(bytes) => (id, bytes, targetW, targetH, s"resized-${targetW}x$targetH")
+          case None => (id, blob, targetW, targetH, s"resized-${targetW}x$targetH")
+        }
       })
       .toDF(idCol, blobCol, "width", "height", "transform")
   }
 
-  /** Frame-sampling stage (STUB): a real implementation decodes a video
-    * container and emits one row per sampled frame; the stub slices the
-    * payload into `frames` equal byte windows. One input row → N output
-    * rows, preserving partition-batched execution (the iterator never
-    * materializes the whole partition).
+  /** Frame-sampling stage (STUB — no video codecs in the JVM): a real
+    * implementation decodes a video container and emits one row per sampled
+    * frame; the stub slices the payload into `frames` equal byte windows.
+    * One input row → N output rows, preserving partition-batched execution
+    * (the iterator never materializes the whole partition).
     */
   def frameSample(spark: SparkSession, df: DataFrame, idCol: String,
                   blobCol: String, frames: Int): DataFrame = {

@@ -48,29 +48,47 @@ object SimilarityQueries {
     LshAnn.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
       _ < 10, K, Dims)
 
-  /** q30: multimodal binary-column pipeline with stubbed decode. Null
-    * payload/metadata normalize to empty/0 (mirrored in the oracle) — the
-    * typed decode path must never die on a null row.
+  /** q30: multimodal binary pipeline over REAL image bytes — each document
+    * materializes a deterministic 24-bit BMP (dimensions from n_chars,
+    * pixels from a bounded LCG over doc_id), and decodeFeatures parses it
+    * with the JVM's actual codec (javax.imageio). The oracle PREDICTS every
+    * output from the encoding spec: dimensions, exact file size, and the
+    * checksum over the first ≤64 decoded pixels (BMP rows are stored
+    * bottom-up, so decoded pixel (x,y) reads file row h-1-y) — if the
+    * encoder emitted malformed BMPs or the decoder misparsed them, the
+    * dimensions/checksum would diverge and the gate would fail.
     */
   def q30Multimodal(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        coalesce(col("text"), lit("")).cast("binary").as("blob"),
+        (coalesce(col("n_chars"), lit(0L)) % 64 + 1).as("w"),
+        (coalesce(col("n_chars"), lit(0L)) % 48 + 1).as("h"),
+        col("doc_id").as("seed"),
         coalesce(col("n_chars"), lit(0L)).as("n_chars"))
-    BinaryPipeline.decodeFeatures(spark, d, "doc_id", "blob", "n_chars")
+    val blobs = BinaryPipeline.encodeBmp(spark, d, "doc_id",
+      "w", "h", "seed", "n_chars")
+    BinaryPipeline.decodeFeatures(spark, blobs, "doc_id", "blob", "n_chars")
   }
 
-  /** Text is ASCII in this corpus, so the byte checksum equals the
-    * codepoint checksum DuckDB can compute.
-    */
   def q30Oracle: String =
-    """SELECT doc_id,
-      |  CAST(strlen(COALESCE(text, '')) AS INTEGER) AS byte_len,
-      |  CAST(COALESCE(n_chars, 0) % 640 + 1 AS INTEGER) AS width,
-      |  CAST(COALESCE(n_chars, 0) % 480 + 1 AS INTEGER) AS height,
-      |  CAST(CAST(COALESCE(n_chars, 0) % 640 + 1 AS INTEGER) AS DOUBLE) / CAST(COALESCE(n_chars, 0) % 480 + 1 AS INTEGER) AS aspect_ratio,
-      |  CAST(COALESCE(list_sum(list_transform(range(least(64, length(COALESCE(text, '')))),
-      |    i -> unicode(text[i+1:i+1]))), 0) % 9973 AS BIGINT) AS checksum,
-      |  'fake/raw' AS format
-      |FROM documents""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    COALESCE(n_chars, 0) % 64 + 1 AS w,
+      |    COALESCE(n_chars, 0) % 48 + 1 AS h
+      |  FROM documents
+      |), geo AS (
+      |  SELECT doc_id, w, h, (3*w + 3) // 4 * 4 AS row_size FROM dims
+      |)
+      |SELECT doc_id,
+      |  CAST(54 + row_size * h AS INTEGER) AS byte_len,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(w AS DOUBLE) / CAST(h AS INTEGER) AS aspect_ratio,
+      |  CAST(list_sum(list_transform(range(LEAST(64, w*h)), i ->
+      |    (((doc_id % 9973) * 2654435761 + ((h-1 - i//w)*row_size + 3*(i%w)) * 1103515245 + 12345) // 65536) % 256
+      |    + (((doc_id % 9973) * 2654435761 + ((h-1 - i//w)*row_size + 3*(i%w) + 1) * 1103515245 + 12345) // 65536) % 256
+      |    + (((doc_id % 9973) * 2654435761 + ((h-1 - i//w)*row_size + 3*(i%w) + 2) * 1103515245 + 12345) // 65536) % 256
+      |  )) % 9973 AS BIGINT) AS checksum,
+      |  'image/bmp' AS format
+      |FROM geo""".stripMargin
 }

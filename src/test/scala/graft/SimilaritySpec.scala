@@ -28,14 +28,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
   }
 
-  test("multimodal pipeline produces typed features for every document") {
+  test("multimodal pipeline REAL-decodes a BMP per document") {
     val out = queries.SimilarityQueries.q30Multimodal(spark, sf("0.001"))
     val n = Tables.documents(spark, sf("0.001")).count()
     assert(out.count() == n)
     val row = out.orderBy("doc_id").head()
-    assert(row.getAs[Int]("byte_len") > 0)
+    assert(row.getAs[Int]("byte_len") > 54, "real BMP bytes, not raw text")
     assert(row.getAs[Double]("aspect_ratio") > 0)
-    assert(row.getAs[String]("format") == "fake/raw")
+    assert(row.getAs[String]("format") == "image/bmp")
+  }
+
+  test("decodeFeatures parses real PNG bytes and falls back to the stub for non-images") {
+    import spark.implicits._
+    import graft.operators.multimodal.BinaryPipeline
+    // a real 7x5 PNG written by the JVM codec
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 3, 0x123456)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val df = Seq((1L, png, 99L), (2L, "not an image".getBytes("UTF-8"), 42L))
+      .toDF("doc_id", "blob", "meta")
+    val out = BinaryPipeline.decodeFeatures(spark, df, "doc_id", "blob", "meta")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 7 && out(1L).getAs[Int]("height") == 5)
+    assert(out(1L).getAs[String]("format") == "image/png")
+    // stub path: dimensions derive from metadata, format labeled fake
+    assert(out(2L).getAs[String]("format") == "fake/raw")
+    assert(out(2L).getAs[Int]("width") == 43 && out(2L).getAs[Int]("height") == 43)
+  }
+
+  test("resize really rescales decodable images") {
+    import spark.implicits._
+    import graft.operators.multimodal.{Bmp, BinaryPipeline}
+    val df = Seq((1L, Bmp.encode(32, 16, seed = 7L))).toDF("doc_id", "blob")
+    val resized = BinaryPipeline.resize(spark, df, "doc_id", "blob", 8, 8)
+    val blob = resized.head().getAs[Array[Byte]]("blob")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(back.getWidth == 8 && back.getHeight == 8, "re-decoded resized BMP")
   }
 
   test("multimodal resize and frame-sample stages keep batch plumbing intact") {
