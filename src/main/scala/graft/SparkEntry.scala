@@ -87,8 +87,7 @@ object SparkEntry {
     "q22_minhash_lsh" -> DedupQueries.q22Oracle,
     "q23_simhash" -> DedupQueries.q23Oracle,
     "q24_cosine_topk" -> SimilarityQueries.q24Oracle,
-    // q25_lsh_ann intentionally has no oracle (not SQL-expressible at sane
-    // size) → driver rows-only check; recall asserted in SimilaritySpec
+    "q25_lsh_ann" -> SimilarityQueries.q25Oracle,
     "q30_multimodal" -> SimilarityQueries.q30Oracle,
     "q34_shipping_priority" -> MartQueries.q34Oracle,
     "q35_regional_volume" -> MartQueries.q35Oracle,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.similarity.{CosinePairs, LshAnn}
+import graft.operators.similarity.CosinePairs
 
 /** Round-1 widening: embedding near-dup (SURVEY §2 item 34 as a standalone
   * query) and winnowing fingerprints (item 40's rolling-hash variant).
@@ -37,16 +37,7 @@ object ExtraQueries {
       .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
       .mkString(" + ")
     // same LCG weights, same in-element-order sign sums as LshAnn.bucketKey
-    def planeDot(t: Int, p: Int) = (1 to dims)
-      .map(i => s"CAST(embedding[$i] AS DOUBLE)*${LshAnn.weight(t, p, i - 1)}")
-      .mkString(" + ")
-    def bucket(t: Int) = (0 until LshAnn.PlanesPerTable)
-      .map(p => s"(CASE WHEN (${planeDot(t, p)}) > 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
-    val bucketCols = (0 until LshAnn.NumTables)
-      .map(t => s"(${bucket(t)}) AS bk_$t").mkString(",\n    ")
-    val anyBucket = (0 until LshAnn.NumTables)
-      .map(t => s"a.bk_$t = b.bk_$t").mkString(" OR ")
+    val (bucketCols, anyBucket) = SimilarityQueries.lshBucketSql
     s"""WITH v AS (
        |  SELECT vec_id, embedding, sqrt($sumsq) AS nrm,
        |    $bucketCols

@@ -39,14 +39,61 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** SQL fragments reproducing [[LshAnn.bucketKey]] bit-for-bit: the LCG
+    * plane weights embed as double literals (Java shortest-repr round-trips
+    * through DuckDB's parser) and each sign sum is in-element-order, so
+    * both engines compute identical signatures. Shared by the q25 and q31
+    * oracles. Returns (bucket column SQL for a SELECT over `embedding`,
+    * any-table-collision predicate between aliases a and b).
+    */
+  private[queries] def lshBucketSql: (String, String) = {
+    def planeDot(t: Int, p: Int) = (1 to Dims)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)*${LshAnn.weight(t, p, i - 1)}")
+      .mkString(" + ")
+    def bucket(t: Int) = (0 until LshAnn.PlanesPerTable)
+      .map(p => s"(CASE WHEN (${planeDot(t, p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val bucketCols = (0 until LshAnn.NumTables)
+      .map(t => s"(${bucket(t)}) AS bk_$t").mkString(",\n    ")
+    val anyBucket = (0 until LshAnn.NumTables)
+      .map(t => s"a.bk_$t = b.bk_$t").mkString(" OR ")
+    (bucketCols, anyBucket)
+  }
+
   /** q25: random-hyperplane LSH ANN (LshAnn.NumTables tables ×
-    * LshAnn.PlanesPerTable planes). Not
-    * SQL-expressible at reasonable size → rows-only check from the driver;
-    * recall vs q24 is asserted in SimilaritySpec.
+    * LshAnn.PlanesPerTable planes). Fully oracle-gated: the DuckDB oracle
+    * rebuilds the bucket signatures from the same embedded weights, so the
+    * approximate result is checked EXACTLY (candidates, cosines, ranks);
+    * recall vs q24 is additionally asserted in SimilaritySpec.
     */
   def q25LshAnn(spark: SparkSession, dir: String): DataFrame =
     LshAnn.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
       _ < 10, K, Dims)
+
+  def q25Oracle: String = {
+    val dot = (1 to Dims)
+      .map(i => s"CAST(q.embedding[$i] AS DOUBLE)*CAST(c.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val sumsq = (1 to Dims)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val (bucketCols, anyBucket) = lshBucketSql
+    val collide = anyBucket.replace("a.bk_", "q.bk_").replace("b.bk_", "c.bk_")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, sqrt($sumsq) AS nrm,
+       |    $bucketCols
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ($dot) / (q.nrm * c.nrm) AS cosine
+       |  FROM v q JOIN v c ON c.vec_id <> q.vec_id AND ($collide)
+       |  WHERE q.vec_id < 10
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $K""".stripMargin
+  }
 
   /** q30: multimodal binary pipeline over REAL image bytes — each document
     * materializes a deterministic 24-bit BMP (dimensions from n_chars,
