@@ -52,6 +52,10 @@ object SparkEntry {
     "q34_shipping_priority" -> (MartQueries.q34ShippingPriority _),
     "q35_regional_volume" -> (MartQueries.q35RegionalVolume _),
     "q36_big_baskets" -> (MartQueries.q36BigBaskets _),
+    "q38_cheapest_supplier" -> (MartQueries.q38CheapestSupplier _),
+    "q39_top_orders_per_cust" -> (MartQueries.q39TopOrdersPerCustomer _),
+    "q40_supplier_type_counts" -> (MartQueries.q40SupplierTypeCounts _),
+    "q41_trends_complete" -> (EtlQueries.q41TrendsComplete _),
     "q33_ivf_ann" -> (IvfQueries.q33IvfAnn _),
     "q31_embedding_dedup" -> (ExtraQueries.q31EmbeddingDedup _),
     "q32_winnow_fingerprint" -> (ExtraQueries.q32WinnowFingerprint _),
@@ -92,6 +96,10 @@ object SparkEntry {
     "q34_shipping_priority" -> MartQueries.q34Oracle,
     "q35_regional_volume" -> MartQueries.q35Oracle,
     "q36_big_baskets" -> MartQueries.q36Oracle,
+    "q38_cheapest_supplier" -> MartQueries.q38Oracle,
+    "q39_top_orders_per_cust" -> MartQueries.q39Oracle,
+    "q40_supplier_type_counts" -> MartQueries.q40Oracle,
+    "q41_trends_complete" -> EtlQueries.q41Oracle,
     "q33_ivf_ann" -> IvfQueries.q33Oracle,
     "q31_embedding_dedup" -> ExtraQueries.q31Oracle,
     "q32_winnow_fingerprint" -> ExtraQueries.q32Oracle,

@@ -163,6 +163,17 @@ object EtlQueries {
       |  COUNT(*) AS n_obs
       |FROM long GROUP BY trend_date, keyword""".stripMargin
 
+  /** q41: the trends aggregate restricted to fully-observed days — the
+    * reference's dashboards drop the partial final day
+    * (transform_google_trends.py keeps `isPartial`; the Looker layer
+    * filters it). [[graft.operators.Trends.completeDays]] over q07.
+    */
+  def q41TrendsComplete(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Trends.completeDays(q07TrendsAgg(spark, dir), col("is_partial"))
+
+  def q41Oracle: String =
+    s"""SELECT * FROM (${q07Oracle}) WHERE NOT COALESCE(is_partial, false)"""
+
   /** q08: data-quality report in ONE aggregation pass
     * (ref dags/analytics_dag.py:172-240 ASSERT block — the reference scans
     * once per check; we fold all checks into a single partial-agg job).

@@ -117,6 +117,87 @@ object MartQueries {
       |JOIN orders o ON big.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
 
+  /** q38: cheapest-shipment-per-part join-back (TPC-H Q2 shape): the
+    * aggregate computes each part's minimum shipped price, then joins BACK
+    * to the fact to recover who achieved it — the min-per-group-with-
+    * attributes pattern that a plain groupBy cannot express. All
+    * min-achieving (part, supplier) combinations are kept, as in Q2.
+    * Scale: the min aggregate is partial-agg friendly and the join-back is
+    * a same-key shuffle join the fact already partitions for; nation is
+    * broadcast.
+    */
+  def q38CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") < 15).select("p_partkey", "p_name")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    // distinct output names on the aggregate side: the join-back is a
+    // self-derived join and unqualified l_partkey would be ambiguous
+    val minPrice = l.groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    l.join(minPrice,
+        l("l_partkey") === minPrice("mp_partkey") &&
+          l("l_extendedprice") === minPrice("min_price"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name").as("nation_name"), col("min_price"))
+      .distinct()
+  }
+
+  def q38Oracle: String =
+    """WITH mp AS (
+      |  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT DISTINCT p.p_partkey, p.p_name, s.s_name,
+      |  n.n_name AS nation_name, mp.min_price
+      |FROM lineitem l
+      |JOIN mp ON l.l_partkey = mp.l_partkey AND l.l_extendedprice = mp.min_price
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE p.p_size < 15""".stripMargin
+
+  /** q39: top-2 orders per customer through [[graft.operators.TopK]]'s
+    * k-bounded partial aggregation — the window-free ranking path,
+    * oracle-checked against the row_number formulation it must match.
+    */
+  def q39TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.perGroup(
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_custkey"), sortCol = "o_totalprice", idCol = "o_orderkey", k = 2)
+
+  def q39Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, rank FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+      |  FROM orders) t
+      |WHERE rank <= 2""".stripMargin
+
+  /** q40: distinct-count rollup (TPC-H Q16 shape): suppliers per part
+    * type. count(DISTINCT) over a shuffled pre-dedup — partial-agg
+    * friendly (Spark plans it as two-stage aggregate).
+    */
+  def q40SupplierTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  def q40Oracle: String =
+    """SELECT p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_type""".stripMargin
+
   def q35Oracle: String =
     """SELECT n.n_name AS nation_name,
       |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

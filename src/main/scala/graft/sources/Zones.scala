@@ -48,6 +48,44 @@ object CleanZone {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Concurrent-safe variant of [[writePartitioned]]: two jobs writing
+    * DIFFERENT days of the same table at once must not clobber each other
+    * (the reference gets this from BigQuery's `table$YYYYMMDD` atomic
+    * decorator). Plain dynamic overwrite shares one `_temporary` staging
+    * tree per table across jobs, so job A's commit/abort can delete job
+    * B's in-flight files. Here each write stages into its own unique
+    * directory and then swaps ONLY its partition directories into the
+    * table — concurrent writers touch disjoint paths end-to-end (per-day
+    * dir replacement; rename is atomic per directory on HDFS-style
+    * filesystems).
+    */
+  def writePartitionedIsolated(df: DataFrame, path: String,
+                               partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val spark = df.sparkSession
+    val staging = s"$path-staging-${java.util.UUID.randomUUID}"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+             depth: Int): Unit =
+      fs.listStatus(src).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .foreach { part =>
+          val target = new org.apache.hadoop.fs.Path(dst, part.getPath.getName)
+          if (depth == partitionCols.size - 1) {
+            if (fs.exists(target))
+              require(fs.delete(target, true), s"delete $target failed")
+            require(fs.mkdirs(dst) || fs.exists(dst), s"mkdirs $dst failed")
+            require(fs.rename(part.getPath, target),
+              s"rename ${part.getPath} -> $target failed")
+          } else swap(part.getPath, target, depth + 1)
+        }
+    try swap(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path), 0)
+    finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
 }
 
 object TrendsCsv {

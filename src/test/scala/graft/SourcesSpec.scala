@@ -38,6 +38,32 @@ class SourcesSpec extends SparkSpec {
     assert(out.filter(col("price") === 11.0).count() == 1)
   }
 
+  test("CleanZone isolated write: concurrent two-day writers don't clobber") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = Files.createTempDirectory("cleanzone-iso").toString + "/fact"
+    val day1 = Seq((1L, "2026-01-01", 10.0), (2L, "2026-01-01", 20.0))
+      .toDF("id", "snapshot_date", "price")
+    val day2 = Seq((3L, "2026-01-02", 30.0)).toDF("id", "snapshot_date", "price")
+    // two genuinely concurrent jobs against the same table root — the
+    // reference gets this safety from BigQuery's $day decorator atomicity
+    val writes = Seq(day1, day2).map(df => Future(
+      CleanZone.writePartitionedIsolated(df, path, Seq("snapshot_date"))))
+    Await.result(Future.sequence(writes), 120.seconds)
+    val out = CleanZone.read(spark, path)
+    assert(out.count() == 3)
+    assert(out.filter(col("snapshot_date") === "2026-01-01").count() == 2)
+    assert(out.filter(col("snapshot_date") === "2026-01-02").count() == 1)
+    // re-run day1 with corrected data: only day1 is replaced
+    val day1Fixed = Seq((1L, "2026-01-01", 11.0)).toDF("id", "snapshot_date", "price")
+    CleanZone.writePartitionedIsolated(day1Fixed, path, Seq("snapshot_date"))
+    val after = CleanZone.read(spark, path)
+    assert(after.count() == 2)
+    assert(after.filter(col("price") === 11.0).count() == 1)
+    assert(after.filter(col("snapshot_date") === "2026-01-02").count() == 1)
+  }
+
   test("TrendsCsv reads the wide format ready for melting") {
     val f = Files.createTempDirectory("trends").toString + "/trends.csv"
     Files.writeString(java.nio.file.Paths.get(f),
