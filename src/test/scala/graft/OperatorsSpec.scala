@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Melt, QualityChecks, Upsert}
+import graft.operators.{Dedup, FxRates, Melt, QualityChecks, Upsert}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -53,6 +53,22 @@ class OperatorsSpec extends SparkSpec {
     assert(byName("nonpositive_price") == (2L, false))
     assert(byName("null_id") == (0L, true))
     assert(rep.select("total_rows").head.getLong(0) == 3L)
+  }
+
+  test("FxRates.carryForward: gaps fill forward, leading gap stays null") {
+    val fx = Seq((3, 100.0), (4, 110.0), (7, 120.0))
+      .toDF("d", "rate").withColumn("rate", col("rate").cast("decimal(18,2)"))
+    val cal = Seq(1, 2, 3, 4, 5, 6, 7, 8).toDF("d")
+    val out = FxRates.carryForward(fx, cal, "d").collect()
+      .map(r => r.getInt(0) -> (Option(r.getDecimal(2)).map(_.doubleValue),
+        Option(r.getString(3)))).toMap
+    assert(out(1) == (None, None), "no prior observation => null fill, null source")
+    assert(out(2) == (None, None))
+    assert(out(3) == (Some(100.0), Some("observed")))
+    assert(out(5) == (Some(110.0), Some("carried")))
+    assert(out(6) == (Some(110.0), Some("carried")))
+    assert(out(7) == (Some(120.0), Some("observed")))
+    assert(out(8) == (Some(120.0), Some("carried")))
   }
 
   test("QualityChecks min-count polarity: shortfall fails, evidence passes, empty input fails") {
