@@ -128,6 +128,24 @@ object Sessionize {
   }
 }
 
+/** Streaming counterpart of [[graft.operators.Dedup]] (reference
+  * transform_tiki.py:582's keep-per-key dedup, continuously): bounded-state
+  * exact dedup on key columns using `dropDuplicatesWithinWatermark` — two
+  * rows with the same key whose event times fall within the watermark
+  * delay dedup to the FIRST-arriving row; state for keys older than the
+  * watermark is dropped, so state stays proportional to the dedup window,
+  * not the stream history. (True "keep most recent" needs a terminal batch
+  * MERGE — [[UpsertSink]] — because a stream cannot retract an
+  * already-emitted row; this operator is the at-source duplicate filter the
+  * reference's crawler re-delivery needs.)
+  */
+object StreamingDedup {
+  def withinWatermark(events: DataFrame, keys: Seq[String], tsCol: String,
+                      delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+}
+
 /** Streaming MERGE sink (reference trends_dag.py staging→MERGE, continuous):
   * each micro-batch upserts into a parquet target via foreachBatch +
   * [[Upsert.merge]].

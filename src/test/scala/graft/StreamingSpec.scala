@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{Event, EventAggregates, Sessionize, UpsertSink}
+import graft.streaming.{Event, EventAggregates, Sessionize, StreamingDedup, UpsertSink}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
         r.getAs[Long]("n_events"))).toSet
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("StreamingDedup drops re-delivered keys within the watermark, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = StreamingDedup.withinWatermark(stream.toDF(),
+      Seq("event_type"), "ts", delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(
+        Event(1L, ts(5), "click", 1.0),
+        Event(2L, ts(6), "click", 2.0), // duplicate key within watermark
+        Event(3L, ts(7), "view", 3.0))
+      q.processAllAvailable()
+      stream.addData(Event(4L, ts(8), "click", 4.0)) // still within delay
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+      assert(rows.toSet == Set(("click", 1L), ("view", 3L)),
+        "first arrival per key survives; re-deliveries within watermark drop")
+    } finally q.stop()
   }
 
   test("UpsertSink merges micro-batches into a parquet target") {
