@@ -46,7 +46,14 @@ object TopK {
     override def zero: List[Entry] = Nil
     override def reduce(buf: List[Entry], r: Row): List[Entry] = {
       val sortVal: java.lang.Double =
-        if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+        if (r.isNullAt(0)) null
+        else {
+          // Spark SQL ordering treats -0.0 == 0.0 (SQLOrderingUtil);
+          // java.lang.Double.compare does not — normalize so ties break by
+          // id exactly like the window formulation
+          val d = r.getDouble(0)
+          java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d)
+        }
       maybeTrim((sortVal, r.getLong(1), r) :: buf)
     }
     override def merge(a: List[Entry], b: List[Entry]): List[Entry] =
@@ -69,7 +76,12 @@ object TopK {
     idx.foreach { i =>
       if (r.isNullAt(i)) sb.append("-:")
       else {
-        val s = String.valueOf(r.get(i))
+        val s = r.get(i) match {
+          // groupBy normalizes signed zero; String.valueOf would not
+          case d: java.lang.Double if d == 0.0d => "0.0"
+          case f: java.lang.Float if f == 0.0f  => "0.0"
+          case v => String.valueOf(v)
+        }
         sb.append(s.length).append(':').append(s)
       }
     }
@@ -82,6 +94,20 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String], sortCol: String,
                idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    groupCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      val ok = dt match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }
+      // String.valueOf on arrays/binary yields identity strings — equal
+      // values would silently land in different groups
+      require(ok, s"group column '$c' has non-atomic type ${dt.catalogString}; " +
+        "project it to a comparable scalar first")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val pre = df.select(

@@ -159,7 +159,9 @@ object BinaryPipeline {
         }
         real match {
           case Some(bytes) => (id, bytes, targetW, targetH, s"resized-${targetW}x$targetH")
-          case None => (id, blob, targetW, targetH, s"resized-${targetW}x$targetH")
+          // undecodable payloads pass through untouched — label them so no
+          // consumer mistakes them for genuinely rescaled images
+          case None => (id, blob, targetW, targetH, s"passthrough-${targetW}x$targetH")
         }
       })
       .toDF(idCol, blobCol, "width", "height", "transform")

@@ -45,7 +45,13 @@ object IvfAnn {
              nCentroids: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
-    val cents = centroidArray(v, nCentroids)
+    assignFrom(v, centroidArray(v, nCentroids))
+  }
+
+  /** Same, from a pre-projected corpus and prebuilt centroid row — lets
+    * [[search]] build both exactly once.
+    */
+  private def assignFrom(v: DataFrame, cents: DataFrame): DataFrame =
     v.join(broadcast(cents), lit(true))
       .withColumn("best", aggregate(
         col("cents"),
@@ -57,7 +63,6 @@ object IvfAnn {
         }))
       .select(col("vid"), col("vec"), col("nrm"),
         col("best").getField("cid").as("cluster_id"))
-  }
 
   /** Approximate top-k: probe the `probes` nearest cells per query, exact
     * cosine re-rank within them. Probe selection is the same broadcast
@@ -70,7 +75,7 @@ object IvfAnn {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
     val cents = centroidArray(v, nCentroids)
-    val assigned = assign(vectors, idCol, vecCol, nCentroids).cache()
+    val assigned = assignFrom(v, cents).cache()
     val queries = assigned.filter(queryPred(col("vid")))
       .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val probeCells = queries.join(broadcast(cents), lit(true))

@@ -45,6 +45,13 @@ object TrendsPipeline {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    val backupPre = new org.apache.hadoop.fs.Path(s"$path-backup")
+    // Crash/rerun recovery: a failed swap leaves the merged history only in
+    // the backup dir. Restore it BEFORE deciding between merge-vs-fresh, or
+    // a rerun would rebuild from today's delta alone and then delete the
+    // backup holding every prior day.
+    if (!fs.exists(target) && fs.exists(backupPre))
+      require(fs.rename(backupPre, target), s"restore $backupPre -> $target failed")
     val merged =
       if (fs.exists(target)) Upsert.merge(spark.read.parquet(path), delta, keys, keepCols)
       else delta

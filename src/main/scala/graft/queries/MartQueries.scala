@@ -39,18 +39,24 @@ object MartQueries {
   }
 
   def q34Oracle: String =
-    """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
-      |  o.o_orderpriority,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-      |FROM lineitem l
-      |JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |JOIN customer c ON o.o_custkey = c.c_custkey
-      |WHERE c.c_mktsegment = 'BUILDING'
-      |  AND o.o_orderdate < '1998-01-01'
-      |  AND l.l_shipdate > '1998-01-01'
-      |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
-      |ORDER BY revenue DESC, l.l_orderkey ASC
-      |LIMIT 10""".stripMargin
+    """SELECT l_orderkey, order_date, o_orderpriority,
+      |  CAST(revenue AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+      |    o.o_orderpriority,
+      |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'
+      |    AND o.o_orderdate < '1998-01-01'
+      |    AND l.l_shipdate > '1998-01-01'
+      |  GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+      |  -- rank on the EXACT decimal (as the Spark side does, casting only
+      |  -- after limit): two decimals collapsing to one double must not
+      |  -- change which rows clear the top-10 boundary
+      |  ORDER BY revenue DESC, l.l_orderkey ASC
+      |  LIMIT 10) t""".stripMargin
 
   /** q35: revenue by nation within one region-year (TPC-H Q5 shape —
     * the full dim chain joined back to the fact).

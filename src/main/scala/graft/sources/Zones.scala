@@ -69,22 +69,37 @@ object CleanZone {
       .parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Old partition data retires into a dot-dir (invisible to Spark's
+    // partition discovery) instead of being deleted before the new dir
+    // lands: a crash between the two renames loses nothing — the old data
+    // sits recoverable in .retired-*, the new data in the staging dir. The
+    // reader-visible gap is one rename, not an O(files) delete.
+    val trash = new org.apache.hadoop.fs.Path(path,
+      s".retired-${java.util.UUID.randomUUID}")
     def swap(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
              depth: Int): Unit =
       fs.listStatus(src).filter(s => s.isDirectory && s.getPath.getName.contains("="))
         .foreach { part =>
           val target = new org.apache.hadoop.fs.Path(dst, part.getPath.getName)
           if (depth == partitionCols.size - 1) {
-            if (fs.exists(target))
-              require(fs.delete(target, true), s"delete $target failed")
             require(fs.mkdirs(dst) || fs.exists(dst), s"mkdirs $dst failed")
+            if (fs.exists(target)) {
+              require(fs.mkdirs(trash) || fs.exists(trash), s"mkdirs $trash failed")
+              require(fs.rename(target, new org.apache.hadoop.fs.Path(trash,
+                s"$depth-${part.getPath.getName}-${java.util.UUID.randomUUID}")),
+                s"retire $target failed")
+            }
             require(fs.rename(part.getPath, target),
               s"rename ${part.getPath} -> $target failed")
           } else swap(part.getPath, target, depth + 1)
         }
-    try swap(new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(path), 0)
-    finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    try {
+      swap(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path), 0)
+      // only a fully successful swap discards the retired data; on failure
+      // the .retired-* dir stays behind as the recovery copy
+      fs.delete(trash, true)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 }
 

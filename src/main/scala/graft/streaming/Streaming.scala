@@ -163,6 +163,11 @@ object UpsertSink {
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(targetPath)
     val backup = new Path(s"$targetPath-backup")
+    // Crash/retry recovery: a failed swap can leave the merged history only
+    // in the backup dir. Restore it FIRST — merging from the raw batch
+    // alone and then deleting the backup would discard all prior upserts.
+    if (!fs.exists(target) && fs.exists(backup))
+      require(fs.rename(backup, target), s"restore $backup -> $target failed")
     val deduped = batch.dropDuplicates(keys)
     val merged =
       if (fs.exists(target))

@@ -76,7 +76,8 @@ class SimilaritySpec extends SparkSpec {
     val resized = graft.operators.multimodal.BinaryPipeline
       .resize(spark, d, "doc_id", "blob", 224, 224)
     assert(resized.count() == 20)
-    assert(resized.select("transform").head().getString(0) == "resized-224x224")
+    // text payloads are not decodable images: labeled passthrough
+    assert(resized.select("transform").head().getString(0) == "passthrough-224x224")
     val frames = graft.operators.multimodal.BinaryPipeline
       .frameSample(spark, d, "doc_id", "blob", frames = 4)
     assert(frames.count() == 80, "one row per sampled frame")

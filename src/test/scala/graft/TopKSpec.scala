@@ -39,6 +39,23 @@ class TopKSpec extends SparkSpec {
     assert(agged == Set(("a", 3L, 1), ("a", 4L, 2), ("b", 5L, 1), ("b", 6L, 2)))
   }
 
+  test("signed zero ties break by id, matching Spark SQL ordering") {
+    import spark.implicits._
+    val df = Seq(("a", 10L, 0.0), ("a", 1L, -0.0)).toDF("g", "id", "v")
+    val top1 = TopK.perGroup(df, Seq("g"), "v", "id", k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // Spark treats -0.0 == 0.0: the tie must break by id asc => id=1
+    assert(top1 == Set(("a", 1L)))
+  }
+
+  test("non-atomic group column types are rejected, not silently mis-keyed") {
+    import spark.implicits._
+    val df = Seq((Array[Byte](1, 2), 1L, 1.0)).toDF("g", "id", "v")
+    intercept[IllegalArgumentException] {
+      TopK.perGroup(df, Seq("g"), "v", "id", k = 1)
+    }
+  }
+
   test("null group keys stay distinct from the literal string \"null\"") {
     import spark.implicits._
     val df = Seq((Option.empty[String], 1L, 1.0), (Some("null"), 2L, 2.0))
