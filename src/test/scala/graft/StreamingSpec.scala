@@ -66,6 +66,27 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("UpsertSink recovers merged history from the backup after a crashed swap") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("upsert_recover").toString
+    val target = s"$dir/target"
+    // batch 0 establishes history
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(target)
+    // simulate a crash between target->backup and staging->target: the
+    // merged history sits ONLY in the backup dir
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(target), new Path(s"$target-backup")))
+    // the retried batch must restore the backup and merge INTO it, not
+    // rebuild from the batch alone
+    UpsertSink.mergeBatch(target, Seq("k"))(
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), batchId = 1L)
+    val out = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+      "history row k=1 survived the crashed swap")
+    assert(!fs.exists(new Path(s"$target-backup")))
+  }
+
   test("StreamingDedup drops re-delivered keys within the watermark, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
