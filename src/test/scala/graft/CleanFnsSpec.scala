@@ -19,6 +19,14 @@ class CleanFnsSpec extends SparkSpec {
     assert(out == Seq(1500L, 100L, 2000000L, 1500L, 10000L, 2500000L, 3000000L, 1000000L, 0L, 0L, 0L))
   }
 
+  test("parseSalesVolume: reference edge cases (test_transform_logic.py)") {
+    // uppercase K, suffix text after/before the number, surrounding padding
+    val in = Seq("Đã bán 1.2K", "1.5k sold", "sold 500", "  Đã bán 200  ",
+      "Đã bán 2,5k", "Đã bán 1")
+    assert(run(in, CleanFns.parseSalesVolume _) ==
+      Seq(1200L, 1500L, 500L, 200L, 2500L, 1L))
+  }
+
   test("parseDiscountRate: percent strings") {
     val in = Seq("-41%", "41%", "-25", null, "", "abc")
     assert(run(in, CleanFns.parseDiscountRate _) == Seq(41, 41, 25, 0, 0, 0))
@@ -27,6 +35,17 @@ class CleanFnsSpec extends SparkSpec {
   test("cleanPrice: thousand separators and currency symbols") {
     val in = Seq("1.000.000 VND", "1.000.000", "250.000đ", "123456", "12.5", null, "", "abc")
     assert(run(in, CleanFns.cleanPrice _) == Seq(1000000L, 1000000L, 250000L, 123456L, 12L, null, null, null))
+  }
+
+  test("cleanPrice: reference edge cases — comma separators, $ prefix, N/A") {
+    val in = Seq("1,000,000", "$1000", "N/A")
+    assert(run(in, CleanFns.cleanPrice _) == Seq(1000000L, 1000L, null))
+  }
+
+  test("extractCategoryId: first /c match wins; bare paths parse") {
+    val in = Seq("/c123/subcategory/c456", "/c9999",
+      "https://tiki.vn/category/c1234?sort=price&order=asc")
+    assert(run(in, CleanFns.extractCategoryId _) == Seq(123L, 9999L, 1234L))
   }
 
   test("extractCategoryId / extractUrlKey") {
@@ -47,5 +66,11 @@ class CleanFnsSpec extends SparkSpec {
     val in = Seq("2026-01-18T16:49:55.805Z", "2026-01-18T16:49:55", "garbage", null)
     val out = run(in, CleanFns.toSnapshotDate _).map(v => if (v == null) null else v.toString)
     assert(out == Seq("2026-01-18", "2026-01-18", null, null))
+  }
+
+  test("toSnapshotDate: timezone offsets keep the written date; slashes rejected") {
+    val in = Seq("2026-01-22T08:00:00+07:00", "2026/01/21")
+    val out = run(in, CleanFns.toSnapshotDate _).map(v => if (v == null) null else v.toString)
+    assert(out == Seq("2026-01-22", null))
   }
 }
