@@ -204,6 +204,36 @@ object MartQueries {
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY p.p_type""".stripMargin
 
+  /** q42: revenue by market segment through BUCKETED tables — the write
+    * pays the shuffle once (hash-clustered on o_custkey), then the
+    * orders⋈customer join runs co-located with no Exchange on either side
+    * (asserted plan-level in BucketedSpec). The oracle computes the same
+    * join from the raw tables: bucketing must never change semantics.
+    */
+  def q42BucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketed
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    Bucketed.write(Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_totalprice")),
+      "graft_q42_orders", s"$base/q42_orders", "o_custkey", buckets = 8)
+    Bucketed.write(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_q42_customer", s"$base/q42_customer", "c_custkey", buckets = 8)
+    val o = Bucketed.read(spark, "graft_q42_orders")
+    val c = Bucketed.read(spark, "graft_q42_customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  def q42Oracle: String =
+    """SELECT c.c_mktsegment,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment""".stripMargin
+
   def q35Oracle: String =
     """SELECT n.n_name AS nation_name,
       |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
