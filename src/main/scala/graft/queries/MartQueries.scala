@@ -212,7 +212,9 @@ object MartQueries {
     */
   def q42BucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketed
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    // per-process path: a concurrently running second JVM (e.g. a driver
+    // harness next to a local bench) must not overwrite these files mid-read
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed-${ProcessHandle.current().pid()}"
     Bucketed.write(Tables.orders(spark, dir)
         .select(col("o_custkey"), col("o_totalprice")),
       "graft_q42_orders", s"$base/q42_orders", "o_custkey", buckets = 8)
