@@ -61,11 +61,17 @@ object TextFns {
       .otherwise(countMatches(text, "[a-z]").cast(DoubleType) / len)
   }
 
-  /** Stopword-token ratio (0 when no tokens). */
+  /** Stopword-token ratio, clamped to [0,1] (0 when no tokens). The clamp
+    * matters: the numerator counts word-boundary matches while the
+    * denominator counts whitespace runs, so "a,a,a,a" has 4 matches in 1
+    * token — without the clamp the ratio (and [[qualityScore]]) would
+    * exceed their documented ranges.
+    */
   def stopwordRatio(text: Column): Column = {
     val stops = countMatches(text, """\b(the|a|an|and|or|of|to|in|is|it)\b""")
     val toks = tokenCountWs(text)
-    when(toks === 0, 0.0d).otherwise(stops.cast(DoubleType) / toks)
+    when(toks === 0, 0.0d)
+      .otherwise(least(lit(1.0d), stops.cast(DoubleType) / toks))
   }
 
   /** Heuristic document quality score in [0,1]:
@@ -77,9 +83,13 @@ object TextFns {
       lit(0.3d) * lenScore
   }
 
-  /** Normalized text (lowercase, collapsed whitespace) — the dedup key. */
+  /** Normalized text (lowercase, collapsed whitespace) — the dedup key.
+    * Collapse BEFORE trimming: trim strips ASCII spaces only, so a leading/
+    * trailing tab or newline would survive a trim-first order as a residual
+    * space and split fingerprints for texts equal up to trailing whitespace.
+    */
   def normalizeText(text: Column): Column =
-    regexp_replace(lower(trim(text)), """\s+""", " ")
+    trim(regexp_replace(lower(text), """\s+""", " "))
 
   /** Content fingerprint: md5 of normalized text. */
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))

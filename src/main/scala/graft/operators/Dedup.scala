@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
   def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input already has a __rn column; rename it — latestByKey would clobber it")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

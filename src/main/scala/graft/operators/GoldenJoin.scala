@@ -25,6 +25,16 @@ object GoldenJoin {
 
   def leftEnrich(fact: DataFrame, dims: Seq[Dim]): DataFrame =
     dims.foldLeft(fact) { (acc, d) =>
+      // a typo'd hint must not silently take the shuffle path: at scale an
+      // un-broadcast dim lookup shuffles the whole fact with no error
+      require(d.hint == "broadcast" || d.hint == "shuffle",
+        s"unknown join hint '${d.hint}' (use \"broadcast\" or \"shuffle\")")
+      // column names must stay unique across the accumulated fact and each
+      // dim: cond's acc("c") would otherwise throw AMBIGUOUS_REFERENCE (or
+      // worse, later select the wrong side). Fail with the offenders named.
+      val dup = acc.columns.toSet.intersect(d.df.columns.toSet)
+      require(dup.isEmpty,
+        s"dim columns collide with the enriched fact: ${dup.mkString(", ")} — rename them before joining")
       val dim = if (d.hint == "broadcast") broadcast(d.df) else d.df
       acc.join(dim, d.cond(acc, dim), "left")
     }

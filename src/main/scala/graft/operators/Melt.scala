@@ -19,11 +19,17 @@ object Melt {
                  valueCols: Seq[(String, String)],
                  varName: String = "variable", valueName: String = "value",
                  valueType: String = "double"): DataFrame = {
-    // labels/columns are interpolated into a stack() expression
+    // ALL strings below are interpolated into a stack() SQL expression —
+    // validate every one, not just the labels
     valueCols.foreach { case (label, c) =>
       require(SafeLabel.matches(label), s"melt label may not contain quotes: '$label'")
       require(!c.contains("`"), s"column name may not contain backticks: '$c'")
     }
+    Seq("varName" -> varName, "valueName" -> valueName).foreach { case (what, v) =>
+      require(!v.contains("`"), s"$what may not contain backticks: '$v'")
+    }
+    require("^[A-Za-z_][A-Za-z0-9_ ]*(\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\))?$".r.matches(valueType),
+      s"valueType must be a plain SQL type name, got: '$valueType'")
     val stackArgs = valueCols
       .map { case (label, c) => s"'$label', CAST(`$c` AS $valueType)" }
       .mkString(", ")

@@ -27,6 +27,10 @@ object Upsert {
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             keepCols: Seq[String] = Nil, preserveCols: Seq[String] = Nil): DataFrame = {
+    Seq("__tgt" -> target, "__src" -> source).foreach { case (m, df) =>
+      require(!df.columns.contains(m),
+        s"input already has a $m column; rename it — merge uses it as a side marker")
+    }
     // Explicit aliases: target and source frequently share lineage (e.g. a
     // delta derived from the same base table), which would otherwise trip
     // Spark's ambiguous-self-join resolution.

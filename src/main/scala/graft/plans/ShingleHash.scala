@@ -66,8 +66,12 @@ object ShingleHash {
     s.substring(i, j)
   }
 
+  /** Collapse before trimming (same order as TextFns.normalizeText): after
+    * the collapse all whitespace is ASCII spaces, so the space-only trim
+    * removes every leading/trailing whitespace run.
+    */
   def normalize(text: String): String =
-    trimSpaces(text.toLowerCase(java.util.Locale.ROOT)).replaceAll("\\s+", " ")
+    trimSpaces(text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " "))
 
   private def hashShingle(s: String): Long = {
     val md = digest.get()

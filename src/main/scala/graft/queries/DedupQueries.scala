@@ -11,7 +11,10 @@ import graft.operators.dedup.{ExactDedup, MinHashLSH, NGramJaccard, SimHash}
   */
 object DedupQueries {
 
-  private val NormSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  // trim AFTER collapsing, mirroring TextFns.normalizeText: trim strips
+  // ASCII spaces only, so the collapse must turn tabs/newlines into spaces
+  // before the trim can remove them at the edges
+  private val NormSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   /** Common shingle-hash CTEs (DuckDB). Mirrors TextShingles.shingleHashes. */
   private val ShingleCtes =

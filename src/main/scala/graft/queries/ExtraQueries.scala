@@ -80,7 +80,7 @@ object ExtraQueries {
 
   def q32Oracle: String =
     s"""WITH docs AS (
-       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
        |), toks AS (
        |  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs
        |), sh AS (

@@ -64,7 +64,7 @@ object TextQueries {
       |  FROM documents
       |), r AS (
       |  SELECT doc_id, n_tokens, alpha_ratio,
-      |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stops AS DOUBLE) / n_tokens END AS stopword_ratio
+      |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE LEAST(1.0, CAST(n_stops AS DOUBLE) / n_tokens) END AS stopword_ratio
       |  FROM base
       |)
       |SELECT doc_id, n_tokens, alpha_ratio, stopword_ratio,
@@ -103,8 +103,8 @@ object TextQueries {
   def q29Oracle: String =
     """WITH fp AS (
       |  SELECT doc_id,
-      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-      |    CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS INTEGER) AS n_norm_chars
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |    CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
       |  FROM documents
       |)
       |SELECT doc_id, fingerprint, n_norm_chars,

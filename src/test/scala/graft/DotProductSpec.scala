@@ -37,14 +37,22 @@ class DotProductSpec extends SparkSpec {
     assert(row.getDouble(1) > 0.0)
   }
 
-  test("null and mismatched-length inputs behave safely") {
+  test("null arrays yield null; mismatched lengths fail loudly") {
     import spark.implicits._
     val df = Seq(
-      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 9.0f))), // extra elems ignored
-      (None, Some(Seq(1.0f)))                                 // null array -> null
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f))) // null array -> null
     ).toDF("a", "b")
     val out = df.select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
     assert(out(0).getDouble(0) == 11.0)
     assert(out(1).isNullAt(0))
+    // a silently truncated sum would be a plausible-but-wrong similarity
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f, 9.0f))).toDF("a", "b")
+    val e = intercept[Throwable] {
+      bad.select(VectorFns.dot(col("a"), col("b")).as("d")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("length mismatch")), e.toString)
   }
 }
