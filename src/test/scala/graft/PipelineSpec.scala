@@ -38,6 +38,29 @@ class PipelineSpec extends SparkSpec {
     assert(padded.dimProducts.filter(col("brand_name").isNull).count() == 2)
   }
 
+  test("StarSchema.split: attributes are the LATEST row's tuple, never a per-column max chimera") {
+    // product 1 renamed Zebra->Apple and moved category 30->10 on day 2:
+    // lexicographic max would keep ("Zebra", 30) — a stale mix; SCD1 keeps
+    // the whole day-2 tuple. Null-keyed rows are dropped.
+    val snap = Seq(
+      (Some(1L), "2026-01-01", "Zebra Phone", "BrandA", 30L),
+      (Some(1L), "2026-01-02", "Apple Phone", "BrandA", 10L),
+      (Option.empty[Long], "2026-01-02", "Ghost", "BrandX", 99L))
+      .toDF("product_id", "snapshot_date", "name", "brand_name", "category_id")
+    val out = StarSchema.split(snap,
+      factCols = Seq("snapshot_date", "product_id"),
+      dimKey = "product_id", dimCols = Seq("name", "brand_name", "category_id"),
+      catKey = "category_id", catCols = Seq("brand_name"),
+      updatedAtCol = "snapshot_date")
+    val dim = out.dimProducts.collect()
+    assert(dim.length == 1, "null-key row dropped")
+    val r = dim.head
+    assert(r.getAs[String]("name") == "Apple Phone")
+    assert(r.getAs[Long]("category_id") == 10L)
+    assert(r.getAs[String]("created_at") == "2026-01-01")
+    assert(r.getAs[String]("updated_at") == "2026-01-02")
+  }
+
   test("Upsert.merge with composite key (date, keyword) like the trends staging MERGE") {
     val target = Seq(("2026-01-01", "iphone", 50L), ("2026-01-01", "samsung", 40L))
       .toDF("date", "keyword", "score")
