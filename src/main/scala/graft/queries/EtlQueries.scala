@@ -240,4 +240,31 @@ object EtlQueries {
       |  COUNT(*) AS n_snapshots
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY p.p_partkey""".stripMargin
+
+  /** q43: [[graft.operators.StarSchema.split]]'s dim_products output
+    * directly (q12 computes the equivalent rollup with plain aggregates;
+    * this gates the operator itself — latest-row SCD1 attributes + history
+    * date stamps). Attributes are functionally dependent on the key in this
+    * testdata, so the oracle's MAX() equals the latest-row value while the
+    * operator still runs its dedup-then-join plan.
+    */
+  def q43StarDim(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_shipdate")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand")
+    val snap = l.join(p, l("l_partkey") === p("p_partkey"))
+      .select(col("p_partkey").as("product_id"), col("p_name").as("name"),
+        col("p_brand").as("brand_name"), col("l_shipdate"))
+    graft.operators.StarSchema.split(snap,
+      factCols = Seq("product_id", "l_shipdate"),
+      dimKey = "product_id", dimCols = Seq("name", "brand_name"),
+      catKey = "brand_name", catCols = Seq("name"),
+      updatedAtCol = "l_shipdate").dimProducts
+  }
+
+  def q43Oracle: String =
+    """SELECT p.p_partkey AS product_id, MAX(p.p_name) AS name,
+      |  MAX(p.p_brand) AS brand_name,
+      |  MIN(l.l_shipdate) AS created_at, MAX(l.l_shipdate) AS updated_at
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_partkey""".stripMargin
 }
