@@ -8,17 +8,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL evaluation through the noop sink: count() would let
+    // Catalyst prune every projection-only expression (the parsers, text
+    // scores, SimHash folds...) and time a bare scan instead of the work.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}"); false
+      }
     // Untimed warmup: JVM/codegen/first-scan costs would otherwise be
     // billed to whichever query happens to run first.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = run(fn)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // leaked per-query caches must not skew later timings (Verify does
+      // the same); clearing is outside the recorded interval
+      spark.catalog.clearCache()
+      // a crashed query must read as a failure marker, not a fast success
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -50,10 +50,15 @@ object CleanFns {
     val text = trim(value)
     val anchored =
       regexp_extract(text, """(?i)^\s*(\d{1,3}(?:\.\d{3})+)(?:\s*(?:đ|VND|₫))?\s*$""", 1)
-    val fallback = regexp_replace(text, """[^\d.]""", "")
+    val stripped = regexp_replace(text, """[^\d.]""", "")
+    // a VN-separated price inside prose ("Giá: 1.299.000") survives the
+    // strip as "1.299.000" — an invalid double; recognize it before the
+    // cast instead of losing the price to null
+    val strippedVn = regexp_extract(stripped, """^(\d{1,3}(?:\.\d{3})+)$""", 1)
     when(value.isNull, lit(null).cast(LongType))
       .when(anchored =!= "", translate(anchored, ".", "").cast(LongType))
-      .otherwise(fallback.cast(DoubleType).cast(LongType))
+      .when(strippedVn =!= "", translate(strippedVn, ".", "").cast(LongType))
+      .otherwise(stripped.cast(DoubleType).cast(LongType))
   }
 
   /** Category URL → category id (ref transform_tiki.py:286):

@@ -49,6 +49,7 @@ object Analytics {
   def rollingAvg(df: DataFrame, partitionCols: Seq[String], orderCol: Column,
                  valueCol: String, size: Int,
                  avgCol: String = "rolling_avg"): DataFrame = {
+    require(size >= 1, s"window size must be >= 1, got $size")
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(-(size - 1), Window.currentRow)
     df.withColumn(avgCol,

@@ -38,9 +38,15 @@ object FxRates {
                rate: org.apache.spark.sql.Column, out: String): DataFrame =
     df.withColumn("__graft_pc", (priceVnd.cast(DecimalType(18, 2)) * 100).cast("long"))
       .withColumn("__graft_rc",
-        (coalesce(rate, lit(25400).cast(DecimalType(18, 2))) * 100).cast("long"))
+        // the one FallbackRate constant — an inlined 25400 here would
+        // silently drift from the fx_rate column callers build with it
+        (coalesce(rate, lit(FallbackRate).cast(DecimalType(18, 2))) * 100).cast("long"))
       .withColumn(out,
-        expr("(2 * 100 * __graft_pc + __graft_rc) DIV (2 * __graft_rc)") / 100.0d)
+        // guard rate <= 0 explicitly: integer DIV by zero nulls silently in
+        // non-ANSI Spark while other engines error — make "no valid rate →
+        // null price" the defined cross-engine contract
+        expr("CASE WHEN __graft_rc > 0 THEN " +
+          "(2 * 100 * __graft_pc + __graft_rc) DIV (2 * __graft_rc) END") / 100.0d)
       .drop("__graft_pc", "__graft_rc")
 
   /** Carry the last observed rate forward across missing days — the
@@ -62,7 +68,11 @@ object FxRates {
                    rateCol: String = "rate",
                    partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the window must see EVERY observation day, calendar member or not —
+    // otherwise an fx fetch on a day absent from the calendar silently
+    // vanishes and later days carry an older rate than the last observed
     val days = calendar.select(col(dayCol)).distinct()
+      .unionByName(fx.select(col(dayCol)).distinct()).distinct()
     val series =
       if (partitionCols.isEmpty) days
       else days.join(fx.select(partitionCols.map(col): _*).distinct(), lit(true))
@@ -74,6 +84,8 @@ object FxRates {
       .withColumn("rate_source",
         when(col(rateCol).isNotNull, "observed")
           .when(col("rate_filled").isNotNull, "carried"))
+      // output stays calendar-shaped; observation-only days fed the window
+      .join(calendar.select(col(dayCol)).distinct(), Seq(dayCol), "left_semi")
   }
 
   /** Validation from transform_fx_rate.py:121 — nulls or non-positive rates

@@ -22,7 +22,7 @@ object Skew {
 
   private val SupportedJoinTypes =
     Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
-      "leftanti", "left_anti", "cross")
+      "leftanti", "left_anti")
 
   /** Inner/left salted equi-join of `big` (skewed) with `small` on
     * `keyCol`. `saltSource` must be stable, high-cardinality columns of

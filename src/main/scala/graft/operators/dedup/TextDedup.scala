@@ -30,7 +30,8 @@ object TextShingles {
   }
 
   /** Reference composed-builtins formulation (kept for cross-checking the
-    * native expression; identical output).
+    * native expression; identical output INCLUDING null text → null, which
+    * the naive composition would instead turn into [null]).
     */
   def shingleHashesBuiltins(text: Column): Column = {
     val norm = TextFns.normalizeText(text)
@@ -39,8 +40,9 @@ object TextShingles {
     val shingles = when(n >= 3,
       transform(sequence(lit(0), n - 3), i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array(norm))
-    array_distinct(transform(shingles, s =>
-      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % P))
+    when(text.isNull, lit(null).cast("array<long>"))
+      .otherwise(array_distinct(transform(shingles, s =>
+        conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % P)))
   }
 }
 

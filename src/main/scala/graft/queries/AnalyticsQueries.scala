@@ -41,9 +41,11 @@ object AnalyticsQueries {
       |  CAST(o.o_orderdate AS DATE) AS order_date,
       |  o.o_totalprice AS price_vnd,
       |  COALESCE(CAST(fx.rate AS DOUBLE), 25400.0) AS fx_rate,
-      |  ((2 * 100 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |    + CAST(COALESCE(fx.rate, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
-      |   // (2 * CAST(COALESCE(fx.rate, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))) / 100.0 AS price_usd,
+      |  (CASE WHEN CAST(COALESCE(fx.rate, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT) > 0
+      |    THEN (2 * 100 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + CAST(COALESCE(fx.rate, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
+      |     // (2 * CAST(COALESCE(fx.rate, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
+      |   END) / 100.0 AS price_usd,
       |  CASE WHEN fx.rate IS NULL THEN 'Fallback' ELSE 'derived' END AS fx_source,
       |  CASE WHEN fx.fx_day IS NOT NULL THEN 'USD' END AS from_currency,
       |  CASE WHEN fx.fx_day IS NOT NULL THEN 'VND' END AS to_currency

@@ -160,9 +160,11 @@ object CoreQueries {
       |  n.n_name AS nation_name,
       |  r.r_name AS region_name,
       |  l.l_extendedprice AS price_vnd_real,
-      |  ((2 * 100 * CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |    + CAST(COALESCE(e.fx_rate_raw, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
-      |   // (2 * CAST(COALESCE(e.fx_rate_raw, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))) / 100.0 AS price_usd_real,
+      |  (CASE WHEN CAST(COALESCE(e.fx_rate_raw, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT) > 0
+      |    THEN (2 * 100 * CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + CAST(COALESCE(e.fx_rate_raw, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
+      |     // (2 * CAST(COALESCE(e.fx_rate_raw, CAST(25400 AS DECIMAL(18,2))) * 100 AS BIGINT))
+      |   END) / 100.0 AS price_usd_real,
       |  COALESCE(CAST(e.fx_rate_raw AS DOUBLE), 25400.0) AS fx_rate,
       |  m.trend_keyword,
       |  CAST(t.trend_score AS DOUBLE) AS google_trend_score,

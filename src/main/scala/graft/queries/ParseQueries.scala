@@ -16,8 +16,13 @@ object ParseQueries {
     * (ref transform_tiki.py:191,261,286,308,350,663).
     */
   def q09ParseFuncs(spark: SparkSession, dir: String): DataFrame = {
+    // a small compressed parquet arrives as ONE split and this query is a
+    // pure projection (no shuffle anywhere) — without a repartition the
+    // whole regex-parse pipeline runs on a single core (SURVEY §5 trap);
+    // the narrow 6-column shuffle is ~100x cheaper than the serial parse
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey", "l_shipdate")
+      .repartition(col("l_orderkey"))
     // floor() before the int cast: Spark's double→bigint cast truncates but
     // DuckDB's rounds — floor makes the derived input identical either way
     val qtyS = floor(col("l_quantity")).cast("bigint").cast("string")
@@ -76,6 +81,8 @@ object ParseQueries {
       |  CASE
       |    WHEN regexp_extract(pt, '(?i)^\s*(\d{1,3}(?:\.\d{3})+)(?:\s*(?:đ|VND|₫))?\s*$', 1) <> ''
       |      THEN CAST(replace(regexp_extract(pt, '(?i)^\s*(\d{1,3}(?:\.\d{3})+)(?:\s*(?:đ|VND|₫))?\s*$', 1), '.', '') AS BIGINT)
+      |    WHEN regexp_extract(regexp_replace(pt, '[^0-9.]', '', 'g'), '^(\d{1,3}(?:\.\d{3})+)$', 1) <> ''
+      |      THEN CAST(replace(regexp_extract(regexp_replace(pt, '[^0-9.]', '', 'g'), '^(\d{1,3}(?:\.\d{3})+)$', 1), '.', '') AS BIGINT)
       |    ELSE CAST(trunc(TRY_CAST(regexp_replace(pt, '[^0-9.]', '', 'g') AS DOUBLE)) AS BIGINT)
       |  END AS current_price,
       |  CASE WHEN regexp_extract(url, '/c(\d+)', 1) <> '' THEN CAST(regexp_extract(url, '/c(\d+)', 1) AS BIGINT) END AS category_id,

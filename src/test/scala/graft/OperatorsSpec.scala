@@ -56,12 +56,16 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("FxRates.carryForward: gaps fill forward, leading gap stays null") {
-    val fx = Seq((3, 100.0), (4, 110.0), (7, 120.0))
+    // day 9 is observed but NOT a calendar day: it must still feed the
+    // window (day 10 carries 130), while the output stays calendar-shaped
+    val fx = Seq((3, 100.0), (4, 110.0), (7, 120.0), (9, 130.0))
       .toDF("d", "rate").withColumn("rate", col("rate").cast("decimal(18,2)"))
-    val cal = Seq(1, 2, 3, 4, 5, 6, 7, 8).toDF("d")
-    val out = FxRates.carryForward(fx, cal, "d").collect()
+    val cal = Seq(1, 2, 3, 4, 5, 6, 7, 8, 10).toDF("d")
+    val rows = FxRates.carryForward(fx, cal, "d").collect()
+    val out = rows
       .map(r => r.getInt(0) -> (Option(r.getDecimal(2)).map(_.doubleValue),
         Option(r.getString(3)))).toMap
+    assert(!out.contains(9), "observation-only days don't appear in the output")
     assert(out(1) == (None, None), "no prior observation => null fill, null source")
     assert(out(2) == (None, None))
     assert(out(3) == (Some(100.0), Some("observed")))
@@ -69,6 +73,8 @@ class OperatorsSpec extends SparkSpec {
     assert(out(6) == (Some(110.0), Some("carried")))
     assert(out(7) == (Some(120.0), Some("observed")))
     assert(out(8) == (Some(120.0), Some("carried")))
+    assert(out(10) == (Some(130.0), Some("carried")),
+      "the day-9 observation carries into day 10 even though 9 is off-calendar")
   }
 
   test("QualityChecks min-count polarity: shortfall fails, evidence passes, empty input fails") {
