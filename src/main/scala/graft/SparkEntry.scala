@@ -58,6 +58,7 @@ object SparkEntry {
     "q41_trends_complete" -> (EtlQueries.q41TrendsComplete _),
     "q42_bucketed_revenue" -> (MartQueries.q42BucketedRevenue _),
     "q43_star_dim" -> (EtlQueries.q43StarDim _),
+    "q44_salted_priority_revenue" -> (MartQueries.q44SaltedPriorityRevenue _),
     "q33_ivf_ann" -> (IvfQueries.q33IvfAnn _),
     "q31_embedding_dedup" -> (ExtraQueries.q31EmbeddingDedup _),
     "q32_winnow_fingerprint" -> (ExtraQueries.q32WinnowFingerprint _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q41_trends_complete" -> EtlQueries.q41Oracle,
     "q42_bucketed_revenue" -> MartQueries.q42Oracle,
     "q43_star_dim" -> EtlQueries.q43Oracle,
+    "q44_salted_priority_revenue" -> MartQueries.q44Oracle,
     "q33_ivf_ann" -> IvfQueries.q33Oracle,
     "q31_embedding_dedup" -> ExtraQueries.q31Oracle,
     "q32_winnow_fingerprint" -> ExtraQueries.q32Oracle,

@@ -236,6 +236,30 @@ object MartQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment""".stripMargin
 
+  /** q44: priority revenue rollup through [[graft.operators.Skew]]'s salted
+    * join — the hot-key mitigation path, oracle-checked against the plain
+    * join it must be value-equivalent to (salting redistributes rows,
+    * never changes the join result).
+    */
+  def q44SaltedPriorityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(l, o, "l_orderkey", buckets = 4,
+        saltSource = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  def q44Oracle: String =
+    """SELECT o.o_orderpriority,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority""".stripMargin
+
   def q35Oracle: String =
     """SELECT n.n_name AS nation_name,
       |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
