@@ -73,7 +73,7 @@ object NGramJaccard {
     // hl is tiny relative to the corpus (one row + hash array per doc) but
     // feeds three plan branches (both join sides + sizes); caching it stops
     // the scan+shingle+md5 pipeline from running three times.
-    val hl = df.repartition(col(idCol))
+    val hl = df.filter(col(textCol).isNotNull).repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
         TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
     val sizes = hl.select(col("doc_id"), size(col("hashes")).as("n"))
@@ -121,7 +121,7 @@ object MinHashLSH {
   }
 
   private def hashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.repartition(col(idCol))
+    df.filter(col(textCol).isNotNull).repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
         TextShingles.shingleHashes(col(textCol)).as("hashes"))
 
@@ -172,10 +172,12 @@ object SimHash {
 
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Array-level bit counting: zero shuffle (vs explode + groupBy), one
-    // row per doc throughout. Materialize (cache) the hash arrays first —
+    // row per doc throughout. Null-text docs are dropped: there is nothing
+    // to fingerprint, and carrying them produces a nonsense (0, -1)
+    // signature row. Materialize (cache) the hash arrays first —
     // the 32 bit-count folds would otherwise each inline the md5-shingle
     // pipeline (no codegen CSE for higher-order functions).
-    val hl = df.repartition(col(idCol))
+    val hl = df.filter(col(textCol).isNotNull).repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
         TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
     val bitCounts = (0 until Bits).map { b =>

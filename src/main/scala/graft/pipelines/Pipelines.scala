@@ -41,7 +41,8 @@ object TrendsPipeline {
 
   private[pipelines] def mergeParquet(spark: SparkSession, path: String,
                                       delta: DataFrame, keys: Seq[String],
-                                      keepCols: Seq[String] = Nil): Long = {
+                                      keepCols: Seq[String] = Nil,
+                                      preserveCols: Seq[String] = Nil): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
@@ -53,7 +54,8 @@ object TrendsPipeline {
     if (!fs.exists(target) && fs.exists(backupPre))
       require(fs.rename(backupPre, target), s"restore $backupPre -> $target failed")
     val merged =
-      if (fs.exists(target)) Upsert.merge(spark.read.parquet(path), delta, keys, keepCols)
+      if (fs.exists(target))
+        Upsert.merge(spark.read.parquet(path), delta, keys, keepCols, preserveCols)
       else delta
     val staging = new org.apache.hadoop.fs.Path(s"$path-staging")
     merged.write.mode("overwrite").parquet(staging.toString)

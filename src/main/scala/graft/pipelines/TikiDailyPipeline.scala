@@ -22,11 +22,31 @@ object TikiDailyPipeline {
   final case class Result(factRows: Long, dimProductRows: Long,
                           dimCategoryRows: Long, quality: DataFrame)
 
+  /** Raw columns clean() consumes, with the pad type for days whose
+    * inferred JSON schema lacks them (schema drift / optional fields):
+    * withColumnRenamed no-ops on a missing column and the downstream cast
+    * would then fail UNRESOLVED_COLUMN — the reference instead treats a
+    * missing column as all-NULL, so pad before transforming.
+    */
+  private val RawColumns: Seq[(String, String)] = Seq(
+    "product_id" -> "string", "sku" -> "string", "name" -> "string",
+    "price" -> "string", "original_price" -> "string",
+    "discount_rate" -> "string", "quantity_sold" -> "string",
+    "rating" -> "string", "review_count" -> "string", "brand" -> "string",
+    "seller" -> "string", "seller_id" -> "string",
+    "thumbnail_url" -> "string", "product_url" -> "string",
+    "category_path" -> "string", "_category_url" -> "string",
+    "badges" -> "array<string>", "_extracted_at" -> "string")
+
   /** Cleans one day of raw crawler JSON into the star schema
     * (transform_tiki.py:411 transform_data).
     */
   def clean(raw: DataFrame): DataFrame = {
-    val renamed = raw
+    val present = raw.columns.toSet
+    val padded = RawColumns.foldLeft(raw) { case (df, (c, t)) =>
+      if (present(c)) df else df.withColumn(c, lit(null).cast(t))
+    }
+    val renamed = padded
       .withColumnRenamed("_extracted_at", "extracted_at")
       .withColumnRenamed("thumbnail_url", "image_url")
       .withColumnRenamed("seller", "seller_name")
@@ -67,11 +87,19 @@ object TikiDailyPipeline {
     val cleaned = clean(raw)
 
     // dedup keep-most-recent per product (transform_tiki.py:582), then
-    // critical-field gate (:595)
+    // critical-field gate (:595). The ordering carries value tiebreaks
+    // beyond (extracted_at, sku) — crawler re-deliveries can share both —
+    // so the winner is deterministic, and the result is CACHED: the fact
+    // write, both dim merges, the count and the quality report all consume
+    // it, and an uncached plan could pick different duplicate winners per
+    // action (an internally inconsistent star schema in one run).
     val deduped = QualityChecks.dropNullKeys(
       Dedup.latestByKey(cleaned, Seq("product_id"),
-        Seq(col("extracted_at").desc, col("sku").desc)),
-      Seq("product_id", "current_price"))
+        Seq(col("extracted_at").desc, col("sku").desc,
+          col("current_price").desc_nulls_last,
+          col("review_count").desc_nulls_last,
+          col("sales_volume_acc").desc_nulls_last)),
+      Seq("product_id", "current_price")).cache()
 
     val split = StarSchema.split(deduped,
       factCols = Seq("snapshot_date", "product_id", "current_price",
@@ -106,23 +134,13 @@ object TikiDailyPipeline {
     Result(split.fact.count(), mergedDims, mergedCats, quality)
   }
 
-  /** MERGE `delta` into the parquet table at `path` (create if absent). */
+  /** MERGE `delta` into the parquet table at `path` (create if absent).
+    * Delegates to the shared swap implementation — it carries the
+    * backup-restore recovery and checked renames a crashed swap needs;
+    * re-implementing the protocol here once silently lost history.
+    */
   private def mergeInto(spark: SparkSession, path: String, delta: DataFrame,
                         keys: Seq[String], keepCols: Seq[String] = Nil,
-                        preserveCols: Seq[String] = Nil): Long = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        Upsert.merge(spark.read.parquet(path), delta, keys, keepCols, preserveCols)
-      else delta
-    val staging = s"$path-staging"
-    merged.write.mode("overwrite").parquet(staging)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val backup = new org.apache.hadoop.fs.Path(s"$path-backup")
-    if (fs.exists(target)) { fs.delete(backup, true); fs.rename(target, backup) }
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
-    fs.delete(backup, true)
-    spark.read.parquet(path).count()
-  }
+                        preserveCols: Seq[String] = Nil): Long =
+    TrendsPipeline.mergeParquet(spark, path, delta, keys, keepCols, preserveCols)
 }

@@ -16,12 +16,17 @@ object DedupQueries {
   // before the trim can remove them at the edges
   private val NormSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
-  /** Common shingle-hash CTEs (DuckDB). Mirrors TextShingles.shingleHashes. */
+  /** Common shingle-hash CTEs (DuckDB). Mirrors TextShingles.shingleHashes.
+    * Null-text docs are excluded up front on BOTH sides (the near-dup
+    * operators filter them): a null document has no shingles, and keeping
+    * it would diverge — Spark carries a null array through while DuckDB's
+    * list functions silently drop the doc.
+    */
   private val ShingleCtes =
     s"""WITH docs AS (
-       |  SELECT doc_id, text, $NormSql AS norm FROM documents
+       |  SELECT doc_id, text, $NormSql AS norm FROM documents WHERE text IS NOT NULL
        |), toks AS (
-       |  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM toks_src
+       |  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs
        |), sh AS (
        |  SELECT doc_id, CASE WHEN len(t) >= 3
        |    THEN list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))
@@ -31,7 +36,7 @@ object DedupQueries {
        |  SELECT doc_id, list_distinct(list_transform(shingles,
        |    s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS hashes
        |  FROM sh
-       |)""".stripMargin.replace("FROM toks_src", "FROM docs")
+       |)""".stripMargin
 
   def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.documents(spark, dir), "doc_id", "text")

@@ -27,6 +27,7 @@ object StreamingQueries {
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
+      |WHERE ts IS NOT NULL -- Spark's window() drops null event times
       |GROUP BY 1, 2, 3""".stripMargin
 
   /** q18: gap-based sessionization (30-minute inactivity gap). */
@@ -41,6 +42,7 @@ object StreamingQueries {
       |              OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800.0
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events
+      |  WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), numbered AS (
       |  SELECT user_id, ts, value,

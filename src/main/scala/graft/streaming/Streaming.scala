@@ -52,7 +52,10 @@ object Sessionize {
   def batch(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val marked = events
+    // an event without a time cannot be placed in any session, and engines
+    // disagree on where nulls sort — exclude them as a defined contract
+    // (the streaming path's watermark drops them the same way)
+    val marked = events.filter(col("ts").isNotNull)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
