@@ -62,6 +62,9 @@ object SparkEntry {
     "q33_ivf_ann" -> (IvfQueries.q33IvfAnn _),
     "q31_embedding_dedup" -> (ExtraQueries.q31EmbeddingDedup _),
     "q32_winnow_fingerprint" -> (ExtraQueries.q32WinnowFingerprint _),
+    "q45_unit_vectors" -> (ExtraQueries.q45UnitVectors _),
+    "q46_redacted_docs" -> (ExtraQueries.q46RedactedDocs _),
+    "q47_train_split" -> (ExtraQueries.q47TrainSplit _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -109,6 +112,9 @@ object SparkEntry {
     "q33_ivf_ann" -> IvfQueries.q33Oracle,
     "q31_embedding_dedup" -> ExtraQueries.q31Oracle,
     "q32_winnow_fingerprint" -> ExtraQueries.q32Oracle,
+    "q45_unit_vectors" -> ExtraQueries.q45Oracle,
+    "q46_redacted_docs" -> ExtraQueries.q46Oracle,
+    "q47_train_split" -> ExtraQueries.q47Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

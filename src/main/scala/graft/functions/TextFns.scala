@@ -93,4 +93,25 @@ object TextFns {
 
   /** Content fingerprint: md5 of normalized text. */
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+
+  private val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val UrlPattern = """https?://[^\s]+"""
+
+  /** Training-data scrubbing: replace email addresses and URLs with
+    * placeholder tokens (the standard pre-training PII/link hygiene pass).
+    * Patterns stay in the regex subset both Spark and the DuckDB oracle
+    * implement identically.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      UrlPattern, "<URL>")
+
+  /** Count of email-shaped / URL-shaped spans (pre-redaction audit). */
+  def emailCount(text: Column): Column = countRaw(text, EmailPattern)
+  def urlCount(text: Column): Column = countRaw(text, UrlPattern)
+
+  private def countRaw(text: Column, pattern: String): Column =
+    when(text.isNull, 0)
+      .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0))))
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting/sampling for training-data pipelines.
+  *
+  * The bucket is derived from md5 of the row's id — NOT from rand() or an
+  * engine-private hash — so the assignment is reproducible across runs,
+  * engines (the DuckDB oracle recomputes it), cluster layouts, and
+  * re-shuffles: a document keeps its split forever, which is what makes
+  * train/eval contamination auditable. Pure per-row projection — no
+  * shuffle at any scale.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the id's md5 (first 8 hex digits —
+    * same engine-reproducible trick as the shingle hashes).
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Adds `split_name`: 'train' for trainPct% of rows, else 'eval'. */
+  def deterministicSplit(df: DataFrame, idCol: String, trainPct: Int,
+                         splitCol: String = "split_name"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct out of range: $trainPct")
+    df.withColumn(splitCol,
+      when(hashBucket(col(idCol), 100) < trainPct, "train").otherwise("eval"))
+  }
+
+  /** Deterministic ~1/`rate` sample: rows whose id-bucket is 0. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Int): DataFrame = {
+    require(rate >= 1, s"rate must be >= 1: $rate")
+    df.filter(hashBucket(col(idCol), rate) === 0)
+  }
+}

@@ -36,6 +36,14 @@ object VectorFns {
   /** cos(a,b) given precomputed norms — one fixed-shape expression. */
   def cosine(dotAb: Column, normA: Column, normB: Column): Column =
     dotAb / (normA * normB)
+
+  /** Element-wise vec/divisor as double — unit-normalization when divisor
+    * is the precomputed norm COLUMN. Compute the norm in a prior
+    * projection: an inline norm(vec) here would re-fold the whole dot
+    * product once per element under projection collapse.
+    */
+  def scale(vec: Column, divisor: Column): Column =
+    transform(vec, x => x.cast("double") / divisor)
 }
 
 /** Brute-force exact cosine top-k: the correctness baseline. O(|Q|·N·D) —

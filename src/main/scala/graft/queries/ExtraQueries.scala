@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.similarity.CosinePairs
+import graft.operators.Sampling
+import graft.operators.similarity.{CosinePairs, VectorFns}
 
 /** Round-1 widening: embedding near-dup (SURVEY §2 item 34 as a standalone
   * query) and winnowing fingerprints (item 40's rolling-hash variant).
@@ -100,4 +101,83 @@ object ExtraQueries {
        |  FROM hseq
        |)
        |SELECT doc_id, unnest(fps) AS fingerprint FROM minima""".stripMargin
+
+  /** q45: unit-normalized embeddings — the standard ANN preprocessing pass
+    * (pre-normalized vectors make cosine = plain dot product). The norm is
+    * computed once per row and the element scaling is in-order, so every
+    * output double is bitwise reproducible in the oracle.
+    */
+  def q45UnitVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        VectorFns.scale(col("embedding"), col("nrm")).as("unit"),
+        col("nrm"))
+
+  def q45Oracle: String = {
+    val sumsq = (1 to SimilarityQueries.Dims)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, sqrt($sumsq) AS nrm FROM embeddings
+       |)
+       |SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit,
+       |  nrm
+       |FROM n""".stripMargin
+  }
+
+  /** q46: PII/link scrubbing (pre-training text hygiene): emails and URLs
+    * redact to placeholder tokens, with pre-redaction audit counts. The
+    * contact spans are synthesized deterministically so the oracle can
+    * rebuild the identical input.
+    */
+  def q46RedactedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val contact = concat(coalesce(col("text"), lit("")),
+      lit(" Contact: user"), col("doc_id").cast("string"),
+      lit("@example.com or http://link.example/"), col("doc_id").cast("string"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFns.redact(contact).as("clean_text"),
+      TextFns.emailCount(contact).as("n_emails"),
+      TextFns.urlCount(contact).as("n_urls"))
+  }
+
+  def q46Oracle: String = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val url = """https?://[^\s]+"""
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    COALESCE(text, '') || ' Contact: user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or http://link.example/' || CAST(doc_id AS VARCHAR) AS contact
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(contact, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g') AS clean_text,
+       |  CAST(len(regexp_extract_all(contact, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(contact, '$url')) AS INTEGER) AS n_urls
+       |FROM src""".stripMargin
+  }
+
+  /** q47: deterministic train/eval split — assignment comes from md5 of
+    * the id (reproducible across engines/runs/shuffles; never rand()), so
+    * a document keeps its split forever and contamination is auditable.
+    */
+  def q47TrainSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSplit(Tables.documents(spark, dir), "doc_id", trainPct = 90)
+      .groupBy(col("split_name"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  def q47Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split_name,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM b
+      |GROUP BY 1""".stripMargin
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.Sampling
+
+/** Training-data curation operators (SURVEY §2: split/sample, redaction,
+  * unit vectors).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSplit: stable across runs, roughly the asked proportion, no stragglers") {
+    val docs = Tables.documents(spark, sf("0.001"))
+    val a = Sampling.deterministicSplit(docs, "doc_id", 90)
+      .select("doc_id", "split_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.deterministicSplit(docs, "doc_id", 90)
+      .select("doc_id", "split_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must be identical run to run")
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction off: $trainFrac")
+    // a sample is a subset with roughly 1/rate the rows
+    val sampled = Sampling.deterministicSample(docs, "doc_id", rate = 10).count()
+    assert(sampled > 0 && sampled < docs.count() / 4)
+  }
+
+  test("redact replaces emails and urls with tokens; counts audit the spans") {
+    val df = Seq(
+      (1L, "write to a.b+c@mail.example.org or see https://x.example/path?q=1 now"),
+      (2L, "no contacts here"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextFns.redact(col("t")).as("r"),
+        TextFns.emailCount(col("t")).as("e"), TextFns.urlCount(col("t")).as("u"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1) == (Some("write to <EMAIL> or see <URL> now"), 1, 1))
+    assert(out(2) == (Some("no contacts here"), 0, 0))
+    assert(out(3) == (None, 0, 0), "null text stays null; counts read 0")
+  }
+
+  test("unit vectors have norm 1") {
+    import graft.operators.similarity.VectorFns
+    val unit = queries.ExtraQueries.q45UnitVectors(spark, sf("0.001"))
+    val offenders = unit
+      .select(abs(VectorFns.norm(col("unit")) - 1.0d).as("err"))
+      .filter(col("err") > 1e-12).count()
+    assert(offenders == 0)
+  }
+}
