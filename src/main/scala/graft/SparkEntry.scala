@@ -65,6 +65,9 @@ object SparkEntry {
     "q45_unit_vectors" -> (ExtraQueries.q45UnitVectors _),
     "q46_redacted_docs" -> (ExtraQueries.q46RedactedDocs _),
     "q47_train_split" -> (ExtraQueries.q47TrainSplit _),
+    "q48_token_packs" -> (CurationQueries.q48TokenPacks _),
+    "q49_top_terms" -> (CurationQueries.q49TopTerms _),
+    "q50_contamination" -> (CurationQueries.q50Contamination _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -115,6 +118,9 @@ object SparkEntry {
     "q45_unit_vectors" -> ExtraQueries.q45Oracle,
     "q46_redacted_docs" -> ExtraQueries.q46Oracle,
     "q47_train_split" -> ExtraQueries.q47Oracle,
+    "q48_token_packs" -> CurationQueries.q48Oracle,
+    "q49_top_terms" -> CurationQueries.q49Oracle,
+    "q50_contamination" -> CurationQueries.q50Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Packing, Sampling}
+
+/** Training-data curation queries beyond the per-row ops in ExtraQueries:
+  * sequence packing, corpus vocabulary, split-contamination audit.
+  */
+object CurationQueries {
+
+  val PackBudget = 500L
+  val PackBuckets = 8
+
+  /** q48: token-budget sequence packing — each doc assigned to the pack
+    * its first token falls into, within deterministic hash-buckets (see
+    * [[Packing]] for the scale rationale).
+    */
+  def q48TokenPacks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenCountWs(col("text")).as("n_tokens"))
+    Packing.byTokenBudget(d, "doc_id", "n_tokens", PackBudget, PackBuckets)
+  }
+
+  def q48Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN 0
+       |         ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) END AS n_tokens,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % $PackBuckets AS pack_bucket
+       |  FROM documents
+       |), cum AS (
+       |  SELECT doc_id, n_tokens, pack_bucket,
+       |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM toks
+       |)
+       |SELECT doc_id, n_tokens, pack_bucket,
+       |  CAST((c - n_tokens) // $PackBudget AS BIGINT) AS pack_id
+       |FROM cum""".stripMargin
+
+  /** q49: corpus vocabulary head — top 20 normalized terms by frequency
+    * (ties break lexicographically). The explode-then-aggregate shape is
+    * the canonical distributed term count: partial aggregation collapses
+    * each partition's counts before the vocabulary-keyed shuffle.
+    */
+  def q49TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(TextFns.normalizeText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    terms.orderBy(col("freq").desc, col("term").asc).limit(20)
+  }
+
+  def q49Oracle: String =
+    """WITH terms AS (
+      |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT term, COUNT(*) AS freq
+      |FROM terms
+      |WHERE len(term) > 0
+      |GROUP BY term
+      |ORDER BY freq DESC, term ASC
+      |LIMIT 20""".stripMargin
+
+  /** q50: split-contamination audit — content fingerprints present in BOTH
+    * the train and eval splits (the check that motivates dedup-before-
+    * split). Composes [[TextFns.fingerprint]] with [[Sampling]]'s
+    * deterministic assignment.
+    */
+  def q50Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Sampling.deterministicSplit(
+        Tables.documents(spark, dir), "doc_id", trainPct = 90)
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"), col("split_name"))
+    fp.groupBy(col("fingerprint"))
+      .agg(sum(when(col("split_name") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split_name") === "eval", 1L).otherwise(0L)).as("n_eval"))
+      .filter(col("n_train") > 0 && col("n_eval") > 0)
+  }
+
+  def q50Oracle: String =
+    """WITH fp AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+      |         THEN 'train' ELSE 'eval' END AS split_name
+      |  FROM documents
+      |)
+      |SELECT fingerprint,
+      |  CAST(SUM(CASE WHEN split_name = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(SUM(CASE WHEN split_name = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+      |FROM fp
+      |GROUP BY fingerprint
+      |HAVING SUM(CASE WHEN split_name = 'train' THEN 1 ELSE 0 END) > 0
+      |   AND SUM(CASE WHEN split_name = 'eval' THEN 1 ELSE 0 END) > 0""".stripMargin
+}

@@ -42,6 +42,18 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == (None, 0, 0), "null text stays null; counts read 0")
   }
 
+  test("packing: budget boundaries respected, oversized docs get their own pack") {
+    import graft.operators.Packing
+    val docs = Seq((1L, 200), (2L, 200), (3L, 900), (4L, 50), (5L, 450))
+      .toDF("doc_id", "n_tokens")
+    // single bucket so the fill order is just doc_id order
+    val packed = Packing.byTokenBudget(docs, "doc_id", "n_tokens",
+        budget = 500L, buckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // cum starts: 0, 200, 400, 1300, 1350 -> packs 0,0,0,2,2
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
+  }
+
   test("unit vectors have norm 1") {
     import graft.operators.similarity.VectorFns
     val unit = queries.ExtraQueries.q45UnitVectors(spark, sf("0.001"))
