@@ -14,17 +14,25 @@ import org.apache.spark.sql.functions._
   * Each bucket's packs fill independently — the standard distributed
   * packing layout (pack identity = (bucket, pack_id)).
   *
-  * A document longer than the budget gets a pack of its own (the running
-  * sum still advances past it); packs are start-offset based, so a doc is
-  * assigned to the pack its first token falls into.
+  * Assignment is START-OFFSET based: a doc joins the pack its first token
+  * falls into, so a pack containing a doc that crosses the budget boundary
+  * EXCEEDS the budget (and the next boundary-aligned pack may be empty).
+  * This is the cheap deterministic variant — sizing buffers from packs
+  * must tolerate overflow by up to one document; capacity-strict first-fit
+  * packing needs per-bucket sequential state (a mapPartitions pass), not a
+  * window. `idCol` must be unique per row or the running sum's tie order —
+  * and therefore pack assignment — is nondeterministic.
   */
 object Packing {
   def byTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long, buckets: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(buckets > 0, s"buckets must be positive: $buckets")
+    Seq("pack_bucket", "pack_id", "__cum").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — byTokenBudget emits it"))
     val bucketed = df.withColumn("pack_bucket",
-      Sampling.hashBucket(col(idCol), buckets))
+      Sampling.hashBucket(col(idCol), buckets, ":pack"))
     val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed

@@ -14,24 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the id's md5 (first 8 hex digits —
-    * same engine-reproducible trick as the shingle hashes).
+  /** Stable bucket in [0, buckets) from md5 of the id plus a per-purpose
+    * salt (first 8 hex digits — same engine-reproducible trick as the
+    * shingle hashes). The salt matters: if sampling and splitting shared
+    * one unsalted hash, a 1/50 sample would keep only buckets {0,50} of
+    * the split's 100 — and the eval split of the sampled corpus would be
+    * EMPTY. Distinct salts make the two assignments independent.
     */
-  def hashBucket(id: Column, buckets: Int): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % buckets
+  def hashBucket(id: Column, buckets: Int, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt)).cast("binary")), 1, 8),
+      16, 10).cast("long") % buckets
 
   /** Adds `split_name`: 'train' for trainPct% of rows, else 'eval'. */
   def deterministicSplit(df: DataFrame, idCol: String, trainPct: Int,
                          splitCol: String = "split_name"): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct out of range: $trainPct")
     df.withColumn(splitCol,
-      when(hashBucket(col(idCol), 100) < trainPct, "train").otherwise("eval"))
+      when(hashBucket(col(idCol), 100, ":split") < trainPct, "train")
+        .otherwise("eval"))
   }
 
   /** Deterministic ~1/`rate` sample: rows whose id-bucket is 0. */
   def deterministicSample(df: DataFrame, idCol: String, rate: Int): DataFrame = {
     require(rate >= 1, s"rate must be >= 1: $rate")
-    df.filter(hashBucket(col(idCol), rate) === 0)
+    df.filter(hashBucket(col(idCol), rate, ":sample") === 0)
   }
 }

@@ -30,7 +30,7 @@ object CurationQueries {
        |  SELECT doc_id,
        |    CASE WHEN text IS NULL THEN 0
        |         ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) END AS n_tokens,
-       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % $PackBuckets AS pack_bucket
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8) AS BIGINT) % $PackBuckets AS pack_bucket
        |  FROM documents
        |), cum AS (
        |  SELECT doc_id, n_tokens, pack_bucket,
@@ -85,7 +85,7 @@ object CurationQueries {
   def q50Oracle: String =
     """WITH fp AS (
       |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) % 100 < 90
       |         THEN 'train' ELSE 'eval' END AS split_name
       |  FROM documents
       |)

@@ -112,7 +112,11 @@ object ExtraQueries {
       .select(col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
       .select(col("vec_id"),
-        VectorFns.scale(col("embedding"), col("nrm")).as("unit"),
+        // zero-norm guard: engines disagree on x/0.0 (Spark non-ANSI nulls
+        // the element, DuckDB yields inf/nan) — a zero vector has no unit
+        // direction, so emit null by contract
+        when(col("nrm") === 0.0d, lit(null))
+          .otherwise(VectorFns.scale(col("embedding"), col("nrm"))).as("unit"),
         col("nrm"))
 
   def q45Oracle: String = {
@@ -123,7 +127,8 @@ object ExtraQueries {
        |  SELECT vec_id, embedding, sqrt($sumsq) AS nrm FROM embeddings
        |)
        |SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit,
+       |  CASE WHEN nrm = 0 THEN NULL
+       |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit,
        |  nrm
        |FROM n""".stripMargin
   }
@@ -173,7 +178,7 @@ object ExtraQueries {
   def q47Oracle: String =
     """WITH b AS (
       |  SELECT doc_id,
-      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) % 100 AS bucket
       |  FROM documents
       |)
       |SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split_name,

@@ -210,11 +210,26 @@ object MartQueries {
     * (asserted plan-level in BucketedSpec). The oracle computes the same
     * join from the raw tables: bucketing must never change semantics.
     */
+  /** Per-process scratch dir for the bucketed tables, deleted at JVM exit
+    * (per-pid paths never collide across concurrent JVMs, but without the
+    * hook every bench/verify run would strand a copy in /tmp until the
+    * disk fills).
+    */
+  private lazy val bucketedScratch: String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }))
+    base
+  }
+
   def q42BucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketed
-    // per-process path: a concurrently running second JVM (e.g. a driver
-    // harness next to a local bench) must not overwrite these files mid-read
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed-${ProcessHandle.current().pid()}"
+    val base = bucketedScratch
     Bucketed.write(Tables.orders(spark, dir)
         .select(col("o_custkey"), col("o_totalprice")),
       "graft_q42_orders", s"$base/q42_orders", "o_custkey", buckets = 8)

@@ -42,15 +42,18 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == (None, 0, 0), "null text stays null; counts read 0")
   }
 
-  test("packing: budget boundaries respected, oversized docs get their own pack") {
+  test("packing: start-offset assignment — boundary-crossing docs overflow their pack") {
     import graft.operators.Packing
     val docs = Seq((1L, 200), (2L, 200), (3L, 900), (4L, 50), (5L, 450))
       .toDF("doc_id", "n_tokens")
-    // single bucket so the fill order is just doc_id order
+    // single bucket so the fill order is just doc_id order.
+    // Start offsets: 0, 200, 400, 1300, 1350. The 900-token doc STARTS in
+    // pack 0, so pack 0 overflows to 1300 tokens and pack 1 stays empty —
+    // the documented overflow-tolerant contract (capacity-strict packing
+    // would need sequential per-bucket state).
     val packed = Packing.byTokenBudget(docs, "doc_id", "n_tokens",
         budget = 500L, buckets = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-    // cum starts: 0, 200, 400, 1300, 1350 -> packs 0,0,0,2,2
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
   }
 
