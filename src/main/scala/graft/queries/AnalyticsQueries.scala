@@ -68,6 +68,10 @@ object AnalyticsQueries {
       .distinct()
     FxRates.carryForward(fx, cal, "fx_day", "rate",
       partitionCols = Seq("from_currency", "to_currency"))
+      // gap-fill runs on the exact decimal; outputs are canonical double
+      // (the driver's hasher diverges on decimal bytes — VERDICT r2 #3)
+      .withColumn("rate", col("rate").cast(DoubleType))
+      .withColumn("rate_filled", col("rate_filled").cast(DoubleType))
   }
 
   def q37Oracle: String =
@@ -92,7 +96,8 @@ object AnalyticsQueries {
       |    ON s.fx_day = g.fx_day AND s.from_currency = g.from_currency
       |   AND s.to_currency = g.to_currency
       |)
-      |SELECT fx_day, from_currency, to_currency, rate, rate_filled,
+      |SELECT fx_day, from_currency, to_currency,
+      |  CAST(rate AS DOUBLE) AS rate, CAST(rate_filled AS DOUBLE) AS rate_filled,
       |  CASE WHEN rate IS NOT NULL THEN 'observed'
       |       WHEN rate_filled IS NOT NULL THEN 'carried' END AS rate_source
       |FROM j""".stripMargin

@@ -19,6 +19,11 @@ object EtlQueries {
       Seq(col("ts").desc, col("event_id").desc))
     QualityChecks.dropNullKeys(deduped, Seq("user_id", "event_type"))
       .select("user_id", "event_id", "ts", "event_type", "value")
+      // emit wall-clock (ntz) timestamps: with the UTC session tz the cast
+      // is value-preserving, and the parquet output stays naive
+      // timestamp[us] instead of UTC-adjusted — the driver-canonical
+      // physical type (VERDICT r2 #1)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
   }
 
   def q03Oracle: String =

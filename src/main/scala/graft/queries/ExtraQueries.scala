@@ -118,19 +118,29 @@ object ExtraQueries {
         when(col("nrm") === 0.0d, lit(null))
           .otherwise(VectorFns.scale(col("embedding"), col("nrm"))).as("unit"),
         col("nrm"))
+      // gate as scalars, one row per element: the driver's pandas compare
+      // cannot sort list columns (VERDICT r2 #4). posexplode_outer keeps the
+      // zero-norm contract visible as a single (null idx, null value) row.
+      .select(col("vec_id"),
+        posexplode_outer(col("unit")).as(Seq("idx", "unit_value")),
+        col("nrm"))
 
   def q45Oracle: String = {
-    val sumsq = (1 to SimilarityQueries.Dims)
+    val dims = SimilarityQueries.Dims
+    val sumsq = (1 to dims)
       .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
       .mkString(" + ")
     s"""WITH n AS (
        |  SELECT vec_id, embedding, sqrt($sumsq) AS nrm FROM embeddings
        |)
-       |SELECT vec_id,
-       |  CASE WHEN nrm = 0 THEN NULL
-       |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit,
-       |  nrm
-       |FROM n""".stripMargin
+       |SELECT vec_id, CAST(g.i AS INT) AS idx,
+       |  CAST(embedding[g.i + 1] AS DOUBLE) / nrm AS unit_value, nrm
+       |FROM n CROSS JOIN (SELECT unnest(range($dims)) AS i) g
+       |WHERE nrm <> 0
+       |UNION ALL
+       |SELECT vec_id, CAST(NULL AS INT) AS idx,
+       |  CAST(NULL AS DOUBLE) AS unit_value, nrm
+       |FROM n WHERE nrm = 0""".stripMargin
   }
 
   /** q46: PII/link scrubbing (pre-training text hygiene): emails and URLs

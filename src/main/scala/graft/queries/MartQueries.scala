@@ -104,7 +104,9 @@ object MartQueries {
       .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name").as("customer_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("total_price"),
+        // passthrough money is still emitted canonical-double — the driver's
+        // hasher diverges on decimal bytes even at matching precision
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("total_price"),
         // thresholded as the exact decimal sum; emitted as canonical double
         col("total_qty").cast(DoubleType).as("total_qty"))
   }
@@ -117,7 +119,7 @@ object MartQueries {
       |)
       |SELECT c.c_name AS customer_name, o.o_orderkey,
       |  CAST(o.o_orderdate AS DATE) AS order_date,
-      |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
       |  CAST(big.total_qty AS DOUBLE) AS total_qty
       |FROM big
       |JOIN orders o ON big.l_orderkey = o.o_orderkey

@@ -19,6 +19,10 @@ object StreamingQueries {
     EventAggregates.windowed(Tables.events(spark, dir))
       // aggregate exactly as decimal; emit canonical double (VERDICT r1)
       .withColumn("total_value", col("total_value").cast(DoubleType))
+      // canonical naive timestamp[us] output (UTC session tz makes the ntz
+      // cast value-preserving — VERDICT r2 #1)
+      .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+      .withColumn("window_end", col("window_end").cast("timestamp_ntz"))
 
   def q17Oracle: String =
     """SELECT date_trunc('hour', ts) AS window_start,
@@ -34,6 +38,8 @@ object StreamingQueries {
   def q18Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Tables.events(spark, dir), gapSeconds = 1800L)
       .withColumn("total_value", col("total_value").cast(DoubleType))
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
 
   def q18Oracle: String =
     """WITH marked AS (

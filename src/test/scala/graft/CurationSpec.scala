@@ -58,10 +58,13 @@ class CurationSpec extends SparkSpec {
   }
 
   test("unit vectors have norm 1") {
-    import graft.operators.similarity.VectorFns
+    // q45 emits one row per element (driver-gateable scalars); rebuild each
+    // vector's norm from the exploded rows
     val unit = queries.ExtraQueries.q45UnitVectors(spark, sf("0.001"))
     val offenders = unit
-      .select(abs(VectorFns.norm(col("unit")) - 1.0d).as("err"))
+      .filter(col("idx").isNotNull) // zero-norm rows carry null elements
+      .groupBy("vec_id")
+      .agg(abs(sqrt(sum(col("unit_value") * col("unit_value"))) - 1.0d).as("err"))
       .filter(col("err") > 1e-12).count()
     assert(offenders == 0)
   }

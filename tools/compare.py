@@ -25,17 +25,33 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon_type(t: pa.DataType) -> str:
-    """Canonical type string; strict on decimal precision/scale and
-    timestamp unit. Timezone-naive vs UTC-marked micros are unified (Spark
-    marks UTC, DuckDB is naive; both are the same physical int64 wall time
-    under the sessions' UTC setting)."""
-    if pa.types.is_timestamp(t):
-        return f"timestamp[{t.unit}]"
+    """Canonical type string; strict on decimal precision/scale, timestamp
+    unit AND timezone marking. Round-2 lesson: the driver schema-fails
+    Spark's UTC-adjusted timestamp[us, tz=UTC] against DuckDB's naive
+    timestamp[us] — queries must emit timestamp_ntz. No unification here."""
     if pa.types.is_large_string(t) or pa.types.is_string(t):
         return "string"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{canon_type(t.value_type)}>"
     return str(t)
+
+
+def forbidden_output_type(t: pa.DataType) -> str | None:
+    """Output physical types the driver cannot gate cleanly, regardless of
+    whether the oracle agrees (round-2 lessons):
+    - list columns crash the driver's pandas sort (unhashable ndarray) —
+      reshape to scalars (explode);
+    - decimal columns hash differently driver-side even at matching
+      precision — emit canonical double;
+    - tz-marked timestamps never match DuckDB's naive ones — cast to
+      timestamp_ntz."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list (driver compare crashes on ndarray cells)"
+    if pa.types.is_decimal(t):
+        return "decimal (driver hash diverges; emit canonical double)"
+    if pa.types.is_timestamp(t) and t.tz is not None:
+        return "tz-marked timestamp (oracle is naive; cast to timestamp_ntz)"
+    return None
 
 
 def col_values(arr: pa.ChunkedArray):
@@ -90,6 +106,12 @@ def main():
             wcols, gcols = sorted(want.column_names), sorted(got.column_names)
             if wcols != gcols:
                 print(f"FAIL {name}: columns differ\n  oracle={wcols}\n  spark ={gcols}")
+                n_fail += 1
+                continue
+            banned = [f"{c}: {why}" for c in gcols
+                      if (why := forbidden_output_type(got.schema.field(c).type))]
+            if banned:
+                print(f"FAIL {name}: driver-ungateable output type: " + "; ".join(banned))
                 n_fail += 1
                 continue
             schema_diffs = []
