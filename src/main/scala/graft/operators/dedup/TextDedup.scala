@@ -68,17 +68,35 @@ object ExactDedup {
   * verifier on its candidates.
   */
 object NGramJaccard {
+  /** A shingle shared by k documents contributes k·(k−1)/2 rows to the
+    * candidate join: one boilerplate 3-gram in a million docs is ~5·10¹¹
+    * pairs. Shingles above this document frequency carry no dedup signal
+    * (they are the corpus's stop-phrases), so they are removed from the
+    * feature universe — intersections AND sizes — keeping the output an
+    * exact Jaccard over the filtered sets and bounding any bucket's join
+    * fan-out at DefaultMaxShingleDocFreq².
+    */
+  val DefaultMaxShingleDocFreq = 100000L
+
   def pairs(df: DataFrame, idCol: String, textCol: String,
-            threshold: Double): DataFrame = {
-    // hl is tiny relative to the corpus (one row + hash array per doc) but
-    // feeds three plan branches (both join sides + sizes); caching it stops
-    // the scan+shingle+md5 pipeline from running three times.
-    val hl = df.filter(col(textCol).isNotNull).repartition(col(idCol))
+            threshold: Double,
+            maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = df.filter(col(textCol).isNotNull).repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
-        TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
-    val sizes = hl.select(col("doc_id"), size(col("hashes")).as("n"))
-    val hs = hl.select(col("doc_id"), explode(col("hashes")).as("h"))
-    val shared = hs.alias("a").join(hs.alias("b"),
+        explode(TextShingles.shingleHashes(col(textCol))).as("h"))
+    // document-frequency cap: the window's count shuffles on h — the same
+    // partitioning the self-join needs, so the cap adds no extra exchange
+    // on the cached frame. kept feeds three plan branches (both join sides
+    // + sizes); caching it also keeps the md5-shingle pipeline single-run.
+    val kept = hs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxShingleDocFreq)
+      .drop("df")
+      .cache()
+    // |A| over the capped universe (hashes are distinct per doc)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = kept.alias("a").join(kept.alias("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -129,6 +147,13 @@ object MinHashLSH {
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     signaturesFromHashes(hashFrame(df, idCol, textCol).cache())
 
+  /** A band bucket holding k documents yields k·(k−1)/2 candidate pairs;
+    * buckets beyond this size are degenerate (corpus boilerplate hashing to
+    * one band key) and are dropped from candidate generation — their
+    * members remain pair-able through their other, more selective bands.
+    */
+  val DefaultMaxBucketSize = 10000L
+
   /** Candidate near-dup pairs: docs sharing at least one band bucket, with
     * the MinHash-estimated Jaccard (agreeing rows / 16).
     *
@@ -136,18 +161,26 @@ object MinHashLSH {
     * work lives); the signature projection over it is cheap enough to
     * recompute per join branch. No nested orphan caches.
     */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sig = signaturesFromHashes(hashFrame(df, idCol, textCol).cache())
     val bandIds = array((0 until Bands).map(lit): _*)
     // Keep the bucket self-join NARROW (ids + band key only): common
     // shingles make minhash slots collide across many docs, so bucket
     // blowup is real — wide rows (two 16-slot sigs) through that join
     // dominate runtime. Re-attach sigs only to the deduped pairs.
+    // The bucket-size guard's window count shuffles on the same
+    // (band_id, band_key) the self-join keys on — no extra exchange shape.
     val bands = sig.select(col("doc_id"), col("sig"), explode(bandIds).as("band_id"))
       .select(col("doc_id"), col("band_id"),
         array_join(transform(
           slice(col("sig"), col("band_id") * RowsPerBand + 1, lit(RowsPerBand)),
           _.cast("string")), "-").as("band_key"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_key"))))
+      .filter(col("bucket_size") <= maxBucketSize)
+      .drop("bucket_size")
     val pairs = bands.alias("a").join(bands.alias("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&

@@ -57,10 +57,15 @@ object DedupQueries {
   def q21Oracle: String =
     s"""$ShingleCtes,
        |hs AS (SELECT doc_id, unnest(hashes) AS h FROM hl),
-       |sizes AS (SELECT doc_id, len(hashes) AS n FROM hl),
+       |kept AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs
+       |  ) WHERE df <= ${NGramJaccard.DefaultMaxShingleDocFreq}
+       |),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
        |shared AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b, n_shared,
@@ -83,9 +88,13 @@ object DedupQueries {
        |sig AS (
        |  SELECT doc_id, [$sigTerms] AS sig FROM hl
        |), bands AS (
-       |  SELECT doc_id, sig, u.i AS band_id,
-       |    array_to_string(list_transform(sig[$r*u.i+1:$r*u.i+$r], x -> CAST(x AS VARCHAR)), '-') AS band_key
-       |  FROM sig CROSS JOIN (VALUES $bandValues) AS u(i)
+       |  SELECT doc_id, band_id, band_key FROM (
+       |    SELECT doc_id, u.i AS band_id,
+       |      array_to_string(list_transform(sig[$r*u.i+1:$r*u.i+$r], x -> CAST(x AS VARCHAR)), '-') AS band_key,
+       |      COUNT(*) OVER (PARTITION BY u.i,
+       |        array_to_string(list_transform(sig[$r*u.i+1:$r*u.i+$r], x -> CAST(x AS VARCHAR)), '-')) AS bucket_size
+       |    FROM sig CROSS JOIN (VALUES $bandValues) AS u(i)
+       |  ) WHERE bucket_size <= ${MinHashLSH.DefaultMaxBucketSize}
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b

@@ -16,6 +16,48 @@ class DedupSpec extends SparkSpec {
       s"LSH recall too low: ${recalled.size}/${exact.size}")
   }
 
+  test("NGramJaccard: document-frequency cap suppresses stop-shingle bucket blowup") {
+    import spark.implicits._
+    // pathological corpus: every doc shares ONE boilerplate 3-gram ("all
+    // docs share"); the rest of each doc is unique. Uncapped, that single
+    // shingle's inverted-index bucket joins all-pairs (n²); capped, the
+    // stop-shingle leaves the feature universe and no pairs remain.
+    val n = 12
+    val docs = (1 to n)
+      .map(i => (i.toLong, s"all docs share this but tail$i is unique$i"))
+      .toDF("doc_id", "text")
+    val uncapped = NGramJaccard.pairs(docs, "doc_id", "text",
+      threshold = 0.01, maxShingleDocFreq = Long.MaxValue)
+    assert(uncapped.count() == n * (n - 1) / 2,
+      "every pair shares the boilerplate shingles without a cap")
+    val capped = NGramJaccard.pairs(docs, "doc_id", "text",
+      threshold = 0.01, maxShingleDocFreq = n - 1L)
+    assert(capped.count() == 0, "capped stop-shingles generate no candidates")
+    // a sub-cap shared shingle still pairs: exact Jaccard over the filtered
+    // universe, sizes counted post-cap
+    val twoShared = docs.unionByName(
+      Seq((100L, "rare shared tail only here x"),
+          (101L, "rare shared tail only here y")).toDF("doc_id", "text"))
+    val kept = NGramJaccard.pairs(twoShared, "doc_id", "text",
+        threshold = 0.01, maxShingleDocFreq = n - 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((100L, 101L)), s"sub-cap shingles must survive: $kept")
+  }
+
+  test("MinHashLSH: oversized band buckets are dropped from candidate generation") {
+    import spark.implicits._
+    // identical texts collide in EVERY band → one bucket of size n per band
+    val n = 10
+    val clones = (1 to n).map(i => (i.toLong, "same exact boilerplate text every time"))
+      .toDF("doc_id", "text")
+    val uncapped = MinHashLSH.candidatePairs(clones, "doc_id", "text",
+      maxBucketSize = Long.MaxValue)
+    assert(uncapped.count() == n * (n - 1) / 2)
+    val capped = MinHashLSH.candidatePairs(clones, "doc_id", "text",
+      maxBucketSize = n - 1L)
+    assert(capped.count() == 0, "degenerate buckets must not fan out")
+  }
+
   test("SimHash: near-identical docs get near-identical signatures") {
     val docs = Tables.documents(spark, sf("0.001"))
     val sig = SimHash.signatures(docs, "doc_id", "text")
