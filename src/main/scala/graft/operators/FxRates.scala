@@ -77,7 +77,15 @@ object FxRates {
       if (partitionCols.isEmpty) days
       else days.join(fx.select(partitionCols.map(col): _*).distinct(), lit(true))
     val joined = series.join(fx, Seq(dayCol) ++ partitionCols, "left")
-    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(dayCol))
+    // Pin the partition columns: currency pairs are routinely built with
+    // lit(...) upstream, and Catalyst folds provably-constant partition
+    // expressions OUT of the window spec — WindowExec then warns "No
+    // Partition Defined" and single-partitions silently. The non-foldable
+    // identity keeps the declared keys in the plan (graft.plans.Pin).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val pinned = partitionCols.map(c =>
+      ColumnBridge.column(graft.plans.Pin(ColumnBridge.expression(col(c)))))
+    val w = Window.partitionBy(pinned: _*).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined
       .withColumn("rate_filled", last(col(rateCol), ignoreNulls = true).over(w))

@@ -77,6 +77,27 @@ class OperatorsSpec extends SparkSpec {
       "the day-9 observation carries into day 10 even though 9 is off-calendar")
   }
 
+  test("FxRates.carryForward: constant partition columns stay in the window spec") {
+    // from/to are literal-backed, exactly like q37's currency pair: without
+    // the Pin guard Catalyst folds them out of the PARTITION BY and
+    // WindowExec degrades to "No Partition Defined" (single partition).
+    val fx = Seq((3, 100.0), (7, 120.0)).toDF("d", "rate")
+      .withColumn("rate", col("rate").cast("decimal(18,2)"))
+      .withColumn("fc", lit("USD")).withColumn("tc", lit("VND"))
+    val cal = Seq(1, 3, 5, 7, 9).toDF("d")
+    val out = FxRates.carryForward(fx, cal, "d", partitionCols = Seq("fc", "tc"))
+    out.collect() // force the final (AQE) physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window "), s"expected a window node in:\n$plan")
+    assert(plan.contains("pin("),
+      s"partition columns were folded out of the window spec:\n$plan")
+    // and the guard is a pure identity on the results
+    val byDay = out.collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[java.math.BigDecimal]("rate_filled"))
+        .map(_.doubleValue)).toMap
+    assert(byDay(1).isEmpty && byDay(5).contains(100.0) && byDay(9).contains(120.0))
+  }
+
   test("QualityChecks min-count polarity: shortfall fails, evidence passes, empty input fails") {
     val df = Seq((1, "ok"), (2, "ok"), (3, "bad")).toDF("id", "status")
     val rep = QualityChecks.report(df, Seq(
