@@ -80,8 +80,10 @@ object FxRates {
     // Pin the partition columns: currency pairs are routinely built with
     // lit(...) upstream, and Catalyst folds provably-constant partition
     // expressions OUT of the window spec — WindowExec then warns "No
-    // Partition Defined" and single-partitions silently. The non-foldable
-    // identity keeps the declared keys in the plan (graft.plans.Pin).
+    // Partition Defined". The non-foldable identity keeps the DECLARED keys
+    // in the plan (graft.plans.Pin), so multi-pair callers hash-partition
+    // correctly; a dim that truly holds one pair is still physically one
+    // partition (tiny here by contract — see the Scale note above).
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val pinned = partitionCols.map(c =>
       ColumnBridge.column(graft.plans.Pin(ColumnBridge.expression(col(c)))))

@@ -1,0 +1,60 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+
+/** Scoped lifecycle for caches created INSIDE operators.
+  *
+  * The dedup/similarity family caches heavy intermediates (shingle-hash
+  * frames, LSH-keyed vectors) because several plan branches consume them and
+  * recomputing the md5/dot-product pipelines per branch multiplies the scan
+  * cost. Those caches outlive the operator call: a DataFrame is lazy, so the
+  * operator cannot unpersist before the caller's terminal action without
+  * un-caching its own result.
+  *
+  * Contract:
+  *   - Called OUTSIDE any scope, [[cache]] is a plain `.cache()` — the frame
+  *     persists for the session until LRU eviction (fine for one-shot jobs
+  *     like Verify/Bench runs, which wrap each query in a scope anyway).
+  *   - A long-lived session wraps the operator call AND its terminal action
+  *     in `OpCache.scoped { ... }`: every frame cached inside the body is
+  *     unpersisted (blocking) on exit, success or failure.
+  *   - A result DataFrame evaluated AFTER its scope exits is still correct —
+  *     it silently recomputes the uncached lineage.
+  *
+  * Scopes are per-thread (thread-local stack), so concurrent queries in one
+  * SparkSession release only their own caches. Nested scopes release
+  * innermost-first.
+  */
+object OpCache {
+  private val scopes = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
+    override def initialValue(): List[ArrayBuffer[DataFrame]] = Nil
+  }
+
+  /** Cache `df` and, when a [[scoped]] body is active on this thread,
+    * register it for release when that scope exits.
+    */
+  def cache(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    scopes.get() match {
+      case head :: _ => head += cached
+      case Nil       =>
+    }
+    cached
+  }
+
+  /** Run `body`; unpersist (blocking) every frame cached via [[cache]]
+    * during it, even on exception. The body must include the terminal
+    * action — frames evaluated after exit recompute without the cache.
+    */
+  def scoped[T](body: => T): T = {
+    val buf = ArrayBuffer[DataFrame]()
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach(_.unpersist(blocking = true))
+    }
+  }
+}

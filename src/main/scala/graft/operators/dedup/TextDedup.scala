@@ -81,19 +81,25 @@ object NGramJaccard {
   def pairs(df: DataFrame, idCol: String, textCol: String,
             threshold: Double,
             maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hs = df.filter(col(textCol).isNotNull).repartition(col(idCol))
-      .select(col(idCol).as("doc_id"),
-        explode(TextShingles.shingleHashes(col(textCol))).as("h"))
-    // document-frequency cap: the window's count shuffles on h — the same
-    // partitioning the self-join needs, so the cap adds no extra exchange
-    // on the cached frame. kept feeds three plan branches (both join sides
-    // + sizes); caching it also keeps the md5-shingle pipeline single-run.
-    val kept = hs
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxShingleDocFreq)
-      .drop("df")
-      .cache()
+    import graft.operators.OpCache
+    // hs feeds the frequency aggregate AND the anti-join probe; caching it
+    // keeps the md5-shingle pipeline single-run.
+    val hs = OpCache.cache(
+      df.filter(col(textCol).isNotNull).repartition(col(idCol))
+        .select(col(idCol).as("doc_id"),
+          explode(TextShingles.shingleHashes(col(textCol))).as("h")))
+    // Document-frequency cap via groupBy+count: the hash aggregate gets
+    // map-side PARTIAL aggregation, so a boilerplate shingle shared by
+    // millions of docs reduces inside each task before the shuffle. (A
+    // count(...).over(partitionBy(h)) window would instead route every row
+    // of the hot key to one reducer with no partial agg — the guard itself
+    // becoming the skewed single-task spill it exists to prevent.) The
+    // over-cap key set is tiny by construction, so the anti-join broadcasts.
+    val hot = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDocFreq)
+      .select(col("h"))
+    // kept feeds three plan branches (both join sides + sizes).
+    val kept = OpCache.cache(hs.join(hot, Seq("h"), "left_anti"))
     // |A| over the capped universe (hashes are distinct per doc)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = kept.alias("a").join(kept.alias("b"),
@@ -145,7 +151,7 @@ object MinHashLSH {
 
   /** doc_id, sig: array<long>[16]. */
   def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    signaturesFromHashes(hashFrame(df, idCol, textCol).cache())
+    signaturesFromHashes(graft.operators.OpCache.cache(hashFrame(df, idCol, textCol)))
 
   /** A band bucket holding k documents yields k·(k−1)/2 candidate pairs;
     * buckets beyond this size are degenerate (corpus boilerplate hashing to
@@ -157,30 +163,36 @@ object MinHashLSH {
   /** Candidate near-dup pairs: docs sharing at least one band bucket, with
     * the MinHash-estimated Jaccard (agreeing rows / 16).
     *
-    * Caching: exactly one cache (the hash frame — where the expensive md5
-    * work lives); the signature projection over it is cheap enough to
-    * recompute per join branch. No nested orphan caches.
+    * Caching: the hash frame (where the expensive md5 work lives) plus the
+    * tiny over-cap bucket set; the signature projection over the cached
+    * hashes is cheap enough to recompute per join branch. Both caches are
+    * released by an enclosing [[graft.operators.OpCache.scoped]] block.
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sig = signaturesFromHashes(hashFrame(df, idCol, textCol).cache())
+    import graft.operators.OpCache
+    val sig = signaturesFromHashes(OpCache.cache(hashFrame(df, idCol, textCol)))
     val bandIds = array((0 until Bands).map(lit): _*)
     // Keep the bucket self-join NARROW (ids + band key only): common
     // shingles make minhash slots collide across many docs, so bucket
     // blowup is real — wide rows (two 16-slot sigs) through that join
     // dominate runtime. Re-attach sigs only to the deduped pairs.
-    // The bucket-size guard's window count shuffles on the same
-    // (band_id, band_key) the self-join keys on — no extra exchange shape.
-    val bands = sig.select(col("doc_id"), col("sig"), explode(bandIds).as("band_id"))
+    val entries = sig.select(col("doc_id"), col("sig"), explode(bandIds).as("band_id"))
       .select(col("doc_id"), col("band_id"),
         array_join(transform(
           slice(col("sig"), col("band_id") * RowsPerBand + 1, lit(RowsPerBand)),
           _.cast("string")), "-").as("band_key"))
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_key"))))
-      .filter(col("bucket_size") <= maxBucketSize)
-      .drop("bucket_size")
+    // Bucket-size guard via groupBy+count, same reasoning as NGramJaccard's
+    // doc-frequency cap: partial aggregation reduces a degenerate bucket
+    // map-side, where a windowed count would single-reduce it. The over-cap
+    // bucket set is tiny (cached — it feeds both self-join branches) and
+    // broadcast anti-joins against the narrow band entries.
+    val big = OpCache.cache(
+      entries.groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucketSize)
+        .select(col("band_id"), col("band_key")))
+    val bands = entries.join(big, Seq("band_id", "band_key"), "left_anti")
     val pairs = bands.alias("a").join(bands.alias("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
@@ -210,9 +222,10 @@ object SimHash {
     // signature row. Materialize (cache) the hash arrays first —
     // the 32 bit-count folds would otherwise each inline the md5-shingle
     // pipeline (no codegen CSE for higher-order functions).
-    val hl = df.filter(col(textCol).isNotNull).repartition(col(idCol))
-      .select(col(idCol).as("doc_id"),
-        TextShingles.shingleHashes(col(textCol)).as("hashes")).cache()
+    val hl = graft.operators.OpCache.cache(
+      df.filter(col(textCol).isNotNull).repartition(col(idCol))
+        .select(col(idCol).as("doc_id"),
+          TextShingles.shingleHashes(col(textCol)).as("hashes")))
     val bitCounts = (0 until Bits).map { b =>
       aggregate(col("hashes"), lit(0L),
         (acc, h) => acc + shiftright(h, b).bitwiseAND(1L)).as(s"bit_$b")

@@ -150,12 +150,12 @@ object LshAnn {
 object CosinePairs {
   def banded(vectors: DataFrame, idCol: String, vecCol: String,
              threshold: Double, dims: Int): DataFrame = {
-    val keyed = vectors.select(
+    val keyed = graft.operators.OpCache.cache(vectors.select(
       col(idCol).as("vid") +: col(vecCol).as("vec") +:
         VectorFns.norm(col(vecCol)).as("nrm") +:
         (0 until LshAnn.NumTables).map(t =>
           LshAnn.bucketKey(col(vecCol), t, dims).as(s"bk_$t")): _*)
-      .cache() // consumed three times: bucket entries + both pair sides
+    ) // consumed three times: bucket entries + both pair sides
     val entries = keyed.select(col("vid"),
       explode(array((0 until LshAnn.NumTables).map(t =>
         struct(lit(t).as("t"), col(s"bk_$t").as("k"))): _*)).as("bucket"))

@@ -10,13 +10,15 @@ import org.apache.spark.sql.types.DataType
   * Catalyst folds window PARTITION BY expressions it can prove constant
   * (e.g. a currency-pair column built upstream with `lit("USD")`) down to
   * literals and then drops them from the partition spec entirely — WindowExec
-  * falls back to "No Partition Defined" and moves ALL rows to a single
-  * partition. For a calendar-sized FX dim that is merely noisy; for any
-  * bigger caller it is a silent scale cliff. Pinning the partition columns
-  * keeps them in the spec: the plan stays hash-partitioned on the declared
-  * keys whether or not the optimizer can prove them constant, and for
-  * genuinely non-constant columns the wrapper is a zero-cost identity (the
-  * generated code is the child's own).
+  * falls back to "No Partition Defined" and warns it is moving all rows to a
+  * single partition. Pinning the partition columns preserves the DECLARED
+  * keys in the spec: callers whose key columns are genuinely non-constant
+  * get correct hash-partitioning (and a stable plan shape) instead of a
+  * folded-away spec, and the wrapper is a zero-cost identity (the generated
+  * code is the child's own). Note what Pin does NOT do: a key that really is
+  * one constant value still hashes every row to the same partition — Pin
+  * fixes the plan shape, not physical skew; single-valued keys are a data
+  * problem no partition spec can shard.
   */
 case class Pin(child: Expression) extends UnaryExpression {
 

@@ -109,6 +109,11 @@ object ExtraQueries {
     */
   def q45UnitVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      // null-embedding contract made explicit on BOTH engines: without the
+      // filter, a null vec yields null nrm, which the oracle's nrm <> 0 /
+      // nrm = 0 branches BOTH drop while Spark would emit dims null rows —
+      // a latent row-count divergence the moment the data grows nulls
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         VectorFns.norm(col("embedding")).as("nrm"))
       .select(col("vec_id"),
@@ -132,6 +137,7 @@ object ExtraQueries {
       .mkString(" + ")
     s"""WITH n AS (
        |  SELECT vec_id, embedding, sqrt($sumsq) AS nrm FROM embeddings
+       |  WHERE embedding IS NOT NULL
        |)
        |SELECT vec_id, CAST(g.i AS INT) AS idx,
        |  CAST(embedding[g.i + 1] AS DOUBLE) / nrm AS unit_value, nrm
