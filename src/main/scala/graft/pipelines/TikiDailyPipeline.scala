@@ -76,6 +76,11 @@ object TikiDailyPipeline {
 
   def run(spark: SparkSession, rawZonePath: String, warehousePath: String,
           date: String): Result = {
+    // Pre-load guard (load_to_bq.py:102, called before every load): an
+    // empty or missing raw day must raise HERE, before the fact-partition
+    // overwrite below could replace yesterday's good partition with nothing.
+    graft.sources.SourceGuard.requireNonEmpty(
+      spark, s"$rawZonePath/snapshot_date=$date", suffix = ".json")
     val rawAll = RawZone.read(spark, rawZonePath, date = Some(date))
     // the corrupt column only exists in the inferred schema if bad rows
     // were actually present

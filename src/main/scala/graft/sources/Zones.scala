@@ -8,6 +8,43 @@ import org.apache.spark.sql.types.StructType
   * `snapshot_date=YYYY-MM-DD/` Hive layout; transform_tiki.py:383,
   * load_to_bq.py:143).
   */
+/** A source directory that must feed a load is empty or missing — the
+  * upstream stage produced nothing for this date (reference
+  * load_to_bq.py:129's ValueError).
+  */
+final class EmptySourceException(msg: String) extends IllegalStateException(msg)
+
+object SourceGuard {
+  /** Refuse to proceed unless `path` holds at least one non-empty data file
+    * with the given suffix (reference load_to_bq.py:102
+    * `validate_gcs_path_has_files`, called before EVERY load at
+    * :182/:253/:360/:484). The point is overwrite safety: a partition
+    * overwrite fed from an empty source would silently erase yesterday's
+    * good data, so an empty/missing source must raise BEFORE any write.
+    * Returns the file count found.
+    */
+  def requireNonEmpty(spark: SparkSession, path: String,
+                      suffix: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new EmptySourceException(
+        s"no source directory at $path — upstream produced nothing for this " +
+          "date; check the upstream logs before re-running")
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(suffix) && f.getLen > 0) n += 1
+    }
+    if (n == 0)
+      throw new EmptySourceException(
+        s"no non-empty *$suffix files under $path — refusing to overwrite " +
+          "from an empty source; check the upstream logs before re-running")
+    n
+  }
+}
+
 object RawZone {
   /** Raw-zone JSON reader: date-partitioned directory of JSON files,
     * permissive (corrupt records quarantined to _corrupt_record instead of
