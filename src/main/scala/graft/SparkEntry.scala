@@ -68,6 +68,7 @@ object SparkEntry {
     "q48_token_packs" -> (CurationQueries.q48TokenPacks _),
     "q49_top_terms" -> (CurationQueries.q49TopTerms _),
     "q50_contamination" -> (CurationQueries.q50Contamination _),
+    "q51_strict_packs" -> (CurationQueries.q51StrictPacks _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q48_token_packs" -> CurationQueries.q48Oracle,
     "q49_top_terms" -> CurationQueries.q49Oracle,
     "q50_contamination" -> CurationQueries.q50Oracle,
+    "q51_strict_packs" -> CurationQueries.q51Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

@@ -42,6 +42,44 @@ object CurationQueries {
        |  CAST((c - n_tokens) // $PackBudget AS BIGINT) AS pack_id
        |FROM cum""".stripMargin
 
+  /** q51: capacity-strict greedy packing — same bucketing and ordering as
+    * q48, but a pack closes when the next doc would cross the budget, so no
+    * multi-doc pack exceeds it (see [[Packing.byTokenBudgetStrict]]). The
+    * oracle replays the sequential close-and-open state with a recursive
+    * CTE stepping through each bucket's row_number order.
+    */
+  def q51StrictPacks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenCountWs(col("text")).as("n_tokens"))
+    Packing.byTokenBudgetStrict(d, "doc_id", "n_tokens", PackBudget, PackBuckets)
+  }
+
+  def q51Oracle: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN 0
+       |         ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) END AS n_tokens,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8) AS BIGINT) % $PackBuckets AS pack_bucket
+       |  FROM documents
+       |), ord AS (
+       |  SELECT doc_id, n_tokens, pack_bucket,
+       |    row_number() OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS rn
+       |  FROM toks
+       |), rec AS (
+       |  SELECT pack_bucket, rn, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT) AS pack_id, CAST(n_tokens AS BIGINT) AS used
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.pack_bucket, o.rn, o.doc_id, o.n_tokens,
+       |    CASE WHEN r.used > 0 AND r.used + o.n_tokens > $PackBudget
+       |         THEN r.pack_id + 1 ELSE r.pack_id END,
+       |    CASE WHEN r.used > 0 AND r.used + o.n_tokens > $PackBudget
+       |         THEN CAST(o.n_tokens AS BIGINT) ELSE r.used + o.n_tokens END
+       |  FROM ord o JOIN rec r
+       |    ON o.pack_bucket = r.pack_bucket AND o.rn = r.rn + 1
+       |)
+       |SELECT doc_id, n_tokens, pack_bucket, pack_id FROM rec""".stripMargin
+
   /** q49: corpus vocabulary head — top 20 normalized terms by frequency
     * (ties break lexicographically). The explode-then-aggregate shape is
     * the canonical distributed term count: partial aggregation collapses

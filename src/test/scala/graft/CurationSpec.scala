@@ -57,6 +57,48 @@ class CurationSpec extends SparkSpec {
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
   }
 
+  test("strict packing: packs close at the budget; oversize docs isolate") {
+    import graft.operators.Packing
+    val docs = Seq((1L, 200), (2L, 200), (3L, 900), (4L, 50), (5L, 450))
+      .toDF("doc_id", "n_tokens")
+    // same fixture as the start-offset test: 200+200 fill pack 0 (adding
+    // 900 would cross 500), the 900-token doc isolates as oversize pack 1,
+    // 50+450 exactly fill pack 2
+    val packed = Packing.byTokenBudgetStrict(docs, "doc_id", "n_tokens",
+        budget = 500L, buckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("strict packing properties on real documents: no multi-doc pack over budget, all docs packed, deterministic") {
+    import graft.operators.Packing
+    val d = Tables.documents(spark, sf("0.001"))
+      .select(col("doc_id"), TextFns.tokenCountWs(col("text")).as("n_tokens"))
+    val budget = 500L
+    val packed = Packing.byTokenBudgetStrict(d, "doc_id", "n_tokens",
+      budget, buckets = 8).cache()
+    try {
+      // all docs packed, exactly once, pack_id always assigned
+      assert(packed.count() === d.count())
+      assert(packed.select("doc_id").distinct().count() === d.count())
+      assert(packed.filter(col("pack_id").isNull).count() === 0)
+      // every pack with >= 2 docs fits the budget; singletons may only
+      // exceed it when the lone doc itself does
+      val packs = packed.groupBy("pack_bucket", "pack_id")
+        .agg(sum(col("n_tokens").cast("long")).as("tok"), count(lit(1)).as("n"))
+      assert(packs.filter(col("n") >= 2 && col("tok") > budget).count() === 0)
+      assert(packs.filter(col("n") === 1 && col("tok") > budget)
+        .join(packed.filter(col("n_tokens") > budget)
+            .select(col("pack_bucket"), col("pack_id")),
+          Seq("pack_bucket", "pack_id"), "left_anti").count() === 0)
+      // deterministic: a second run assigns identical packs
+      val again = Packing.byTokenBudgetStrict(d, "doc_id", "n_tokens",
+        budget, buckets = 8)
+      assert(packed.select("doc_id", "pack_bucket", "pack_id")
+        .except(again.select("doc_id", "pack_bucket", "pack_id")).count() === 0)
+    } finally packed.unpersist()
+  }
+
   test("unit vectors have norm 1") {
     // q45 emits one row per element (driver-gateable scalars); rebuild each
     // vector's norm from the exploded rows
