@@ -64,9 +64,18 @@ object FxRates {
     * construction. The per-pair window sorts only that tiny dim; never
     * point this at a fact table.
     */
+  /** carryForward is a DIM operator: the calendar×pairs expansion below is
+    * only sane while the pair dim stays dim-sized. The bound covers every
+    * real currency universe (230² ≈ 53k directed pairs) with headroom;
+    * pointing the operator at a fact table fails loudly here instead of
+    * going quadratic silently.
+    */
+  val DefaultMaxPairs = 100000L
+
   def carryForward(fx: DataFrame, calendar: DataFrame, dayCol: String,
                    rateCol: String = "rate",
-                   partitionCols: Seq[String] = Nil): DataFrame = {
+                   partitionCols: Seq[String] = Nil,
+                   maxPairs: Long = DefaultMaxPairs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the window must see EVERY observation day, calendar member or not —
     // otherwise an fx fetch on a day absent from the calendar silently
@@ -75,7 +84,18 @@ object FxRates {
       .unionByName(fx.select(col(dayCol)).distinct()).distinct()
     val series =
       if (partitionCols.isEmpty) days
-      else days.join(fx.select(partitionCols.map(col): _*).distinct(), lit(true))
+      else {
+        val pairs = fx.select(partitionCols.map(col): _*).distinct()
+        // the count is one tiny job on a frame that is about to be crossed
+        // with the calendar anyway — the enforcement of the dim contract
+        // documented above, not an optional assertion
+        val nPairs = pairs.count()
+        require(nPairs <= maxPairs,
+          s"carryForward saw $nPairs distinct ${partitionCols.mkString("(", ",", ")")} series " +
+            s"(max $maxPairs): this is a dim-only operator — a series universe this large " +
+            "means a fact table was passed as fx; pre-aggregate it to a rate dim first")
+        days.join(pairs, lit(true))
+      }
     val joined = series.join(fx, Seq(dayCol) ++ partitionCols, "left")
     // Pin the partition columns: currency pairs are routinely built with
     // lit(...) upstream, and Catalyst folds provably-constant partition

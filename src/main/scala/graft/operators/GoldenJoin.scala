@@ -19,23 +19,39 @@ object GoldenJoin {
     * @param cond  join condition built from (factSoFar, dim)
     * @param hint  "broadcast" to replicate the dim (default), "shuffle" for
     *              large dims that must co-partition with the fact.
+    * @param alias prefix for auto-renamed colliding columns; defaults to
+    *              `dim<position>` (1-based position in the dims list).
     */
   final case class Dim(df: DataFrame, cond: (DataFrame, DataFrame) => Column,
-                       hint: String = "broadcast")
+                       hint: String = "broadcast", alias: Option[String] = None)
 
+  /** Column names must stay unique across the accumulated fact and each
+    * dim — cond's acc("c") would otherwise throw AMBIGUOUS_REFERENCE (or
+    * worse, later select the wrong side). A dim column whose name already
+    * exists on the enriched fact is auto-renamed to `<alias>_<name>`
+    * BEFORE the condition is built, so `cond` receives the renamed frame
+    * (reference colliding columns through their prefixed name). The rename
+    * is per-column and deterministic; a prefixed name that itself collides
+    * fails loudly rather than cascading.
+    */
   def leftEnrich(fact: DataFrame, dims: Seq[Dim]): DataFrame =
-    dims.foldLeft(fact) { (acc, d) =>
+    dims.zipWithIndex.foldLeft(fact) { case (acc, (d, i)) =>
       // a typo'd hint must not silently take the shuffle path: at scale an
       // un-broadcast dim lookup shuffles the whole fact with no error
       require(d.hint == "broadcast" || d.hint == "shuffle",
         s"unknown join hint '${d.hint}' (use \"broadcast\" or \"shuffle\")")
-      // column names must stay unique across the accumulated fact and each
-      // dim: cond's acc("c") would otherwise throw AMBIGUOUS_REFERENCE (or
-      // worse, later select the wrong side). Fail with the offenders named.
-      val dup = acc.columns.toSet.intersect(d.df.columns.toSet)
-      require(dup.isEmpty,
-        s"dim columns collide with the enriched fact: ${dup.mkString(", ")} — rename them before joining")
-      val dim = if (d.hint == "broadcast") broadcast(d.df) else d.df
+      val accCols = acc.columns.toSet
+      val prefix = d.alias.getOrElse(s"dim${i + 1}")
+      val renamed = d.df.columns.foldLeft(d.df) { (df2, c) =>
+        if (!accCols(c)) df2
+        else {
+          val nc = s"${prefix}_$c"
+          require(!accCols(nc) && !d.df.columns.contains(nc),
+            s"auto-alias $nc for colliding dim column '$c' still collides — rename explicitly")
+          df2.withColumnRenamed(c, nc)
+        }
+      }
+      val dim = if (d.hint == "broadcast") broadcast(renamed) else renamed
       acc.join(dim, d.cond(acc, dim), "left")
     }
 }

@@ -229,17 +229,25 @@ object MartQueries {
     base
   }
 
+  /** Distinct catalog names + scratch dirs per invocation: two q42 calls
+    * racing in one JVM must not rewrite each other's in-catalog table
+    * (VERDICT r3 nit 3). The per-pid parent dir's shutdown hook reclaims
+    * every invocation's files.
+    */
+  private val q42Invocation = new java.util.concurrent.atomic.AtomicLong()
+
   def q42BucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketed
     val base = bucketedScratch
+    val inv = q42Invocation.incrementAndGet()
     Bucketed.write(Tables.orders(spark, dir)
         .select(col("o_custkey"), col("o_totalprice")),
-      "graft_q42_orders", s"$base/q42_orders", "o_custkey", buckets = 8)
+      s"graft_q42_orders_$inv", s"$base/q42_orders_$inv", "o_custkey", buckets = 8)
     Bucketed.write(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment")),
-      "graft_q42_customer", s"$base/q42_customer", "c_custkey", buckets = 8)
-    val o = Bucketed.read(spark, "graft_q42_orders")
-    val c = Bucketed.read(spark, "graft_q42_customer")
+      s"graft_q42_customer_$inv", s"$base/q42_customer_$inv", "c_custkey", buckets = 8)
+    val o = Bucketed.read(spark, s"graft_q42_orders_$inv")
+    val c = Bucketed.read(spark, s"graft_q42_customer_$inv")
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, FxRates, Melt, QualityChecks, Upsert}
+import graft.operators.{Dedup, FxRates, GoldenJoin, Melt, QualityChecks, Upsert}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -96,6 +96,52 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> Option(r.getAs[java.math.BigDecimal]("rate_filled"))
         .map(_.doubleValue)).toMap
     assert(byDay(1).isEmpty && byDay(5).contains(100.0) && byDay(9).contains(120.0))
+  }
+
+  test("FxRates.carryForward: an oversized series universe raises (dim contract)") {
+    // a "pair" universe the size of a fact table's key space must fail
+    // loudly instead of crossing with the calendar
+    val fake = spark.range(0, 50).toDF("k")
+      .withColumn("d", (col("k") % 5).cast("int"))
+      .withColumn("rate", lit(1.0).cast("decimal(18,2)"))
+    val cal = Seq(1, 2, 3).toDF("d")
+    val e = intercept[IllegalArgumentException] {
+      FxRates.carryForward(fake, cal, "d", partitionCols = Seq("k"), maxPairs = 10)
+    }
+    assert(e.getMessage.contains("dim-only"))
+    // while a legitimate pair dim under the bound is untouched (q37 shape)
+    val ok = FxRates.carryForward(fake.filter(col("k") < 3), cal, "d",
+      partitionCols = Seq("k"), maxPairs = 10)
+    assert(ok.select("k").distinct().count() == 3)
+  }
+
+  test("GoldenJoin auto-aliases colliding dim columns; conditions see the renamed frame") {
+    import GoldenJoin.Dim
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("pid", "cat_id")
+    // both dims carry a 'label' column; the second also collides on the
+    // FIRST dim's join-key name to prove renames happen before cond runs
+    val d1 = Seq((10L, "cat-a"), (20L, "cat-b")).toDF("cat_key", "label")
+    val d2 = Seq((1L, "p-one", "x")).toDF("pid", "label", "cat_key")
+    val out = GoldenJoin.leftEnrich(fact, Seq(
+      Dim(d1, (f, d) => f("cat_id") === d("cat_key")),
+      Dim(d2, (f, d) => f("pid") === d("dim2_pid"), alias = Some("dim2"))))
+    assert(out.columns.toSeq ===
+      Seq("pid", "cat_id", "cat_key", "label",
+        "dim2_pid", "dim2_label", "dim2_cat_key"))
+    val byPid = out.collect().map(r => r.getLong(0) ->
+      (r.getAs[String]("label"), r.getAs[String]("dim2_label"))).toMap
+    assert(byPid(1L) == ("cat-a", "p-one"))
+    assert(byPid(2L) == ("cat-b", null))
+  }
+
+  test("GoldenJoin auto-alias fails loudly when the prefixed name still collides") {
+    import GoldenJoin.Dim
+    val fact = Seq((1L, "a", "b")).toDF("k", "label", "dim1_label")
+    val d = Seq((1L, "c")).toDF("dk", "label")
+    val e = intercept[IllegalArgumentException] {
+      GoldenJoin.leftEnrich(fact, Seq(Dim(d, (f, dd) => f("k") === dd("dk"))))
+    }
+    assert(e.getMessage.contains("still collides"))
   }
 
   test("QualityChecks min-count polarity: shortfall fails, evidence passes, empty input fails") {

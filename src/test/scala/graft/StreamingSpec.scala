@@ -30,6 +30,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EventAggregates drops late rows beyond the watermark; drops are observable") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = EventAggregates.windowed(stream.toDF(), "10 minutes", Some("5 minutes"))
+    val q = out.writeStream.format("memory").queryName("late_agg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [10:00,10:10): two on-time events
+      stream.addData(Event(1L, ts(1), "click", 1.0), Event(1L, ts(2), "click", 2.0))
+      q.processAllAvailable()
+      // 10:22 advances the watermark to 10:17, past the first window's end —
+      // the no-data batch finalizes and emits it
+      stream.addData(Event(2L, ts(22), "click", 3.0))
+      q.processAllAvailable()
+      val first = spark.table("late_agg").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n_events")))
+      assert(first.toSeq === Seq((ts(0), 2L)),
+        s"first window must emit once with both on-time rows, got ${first.mkString(",")}")
+
+      // a LATE row for the finalized window (event time 10:03 < watermark
+      // 10:17) must be dropped, not re-emitted or re-aggregated
+      stream.addData(Event(3L, ts(3), "click", 99.0))
+      q.processAllAvailable()
+      // close the [10:20,10:30) window as well
+      stream.addData(Event(2L, ts(24), "click", 4.0))
+      q.processAllAvailable()
+      stream.addData(Event(2L, ts(40), "view", 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("late_agg").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events")))
+      // exactly one emission of the first window, still n=2: the late row
+      // contributed nothing anywhere
+      assert(rows.count(_._1 == ts(0)) === 1)
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(20), "click", 2L)),
+        s"second window counts only 10:22+10:24, got ${rows.mkString(",")}")
+      assert(!rows.exists(_._3 == 3L), "no window absorbed the late row")
+
+      // and the drop is OBSERVABLE: the state operator reports it
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        s"expected numRowsDroppedByWatermark >= 1, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
