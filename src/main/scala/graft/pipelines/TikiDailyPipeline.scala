@@ -136,7 +136,16 @@ object TikiDailyPipeline {
       QualityChecks.Check("null_product_id", col("product_id").isNull),
       QualityChecks.Check("null_snapshot_date", col("snapshot_date").isNull)))
 
-    Result(split.fact.count(), mergedDims, mergedCats, quality)
+    val factRows = split.fact.count()
+    // Snapshot the (tiny, aggregated) report before releasing the dedup
+    // cache: a lazy report evaluated after unpersist would recompute the
+    // dedup lineage and could gate DIFFERENT duplicate winners than the
+    // ones actually written above.
+    val qualityRows = quality.collect()
+    val qualitySnap = spark.createDataFrame(
+      java.util.Arrays.asList(qualityRows: _*), quality.schema)
+    deduped.unpersist()
+    Result(factRows, mergedDims, mergedCats, qualitySnap)
   }
 
   /** MERGE `delta` into the parquet table at `path` (create if absent).
