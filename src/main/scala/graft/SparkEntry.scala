@@ -69,6 +69,7 @@ object SparkEntry {
     "q49_top_terms" -> (CurationQueries.q49TopTerms _),
     "q50_contamination" -> (CurationQueries.q50Contamination _),
     "q51_strict_packs" -> (CurationQueries.q51StrictPacks _),
+    "q52_dup_clusters" -> (DedupQueries.q52DupClusters _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q49_top_terms" -> CurationQueries.q49Oracle,
     "q50_contamination" -> CurationQueries.q50Oracle,
     "q51_strict_packs" -> CurationQueries.q51Oracle,
+    "q52_dup_clusters" -> DedupQueries.q52Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

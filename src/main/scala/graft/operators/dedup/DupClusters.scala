@@ -1,0 +1,71 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-CLUSTER resolution: connected components over a near-dup pair
+  * list — the step a real dedup pipeline ends with. Pair generators
+  * ([[NGramJaccard]], [[MinHashLSH]], CosinePairs) emit edges; transitive
+  * closure groups them ("A≈B, B≈C ⇒ one cluster"), and the canonical
+  * survivor per cluster is its minimum id (deterministic: the fixpoint is
+  * unique regardless of iteration order, so any engine agrees).
+  *
+  * Algorithm: iterative min-label propagation — each node starts as its own
+  * representative; every round each node takes the min of its own and its
+  * neighbors' labels; fixpoint in `diameter` rounds. Per round the work is
+  * ONE edge⋈label shuffle join + a partial-agg min — the classic map-reduce
+  * CC formulation (cf. Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14 — whose large-star/small-star variant is the upgrade
+  * path if corpus components ever have large diameters; near-dup clusters
+  * are dense blobs with tiny diameters, so plain propagation converges in a
+  * handful of rounds).
+  *
+  * Iteration mechanics on Spark: each round's labels are
+  * `localCheckpoint`ed — without truncation the lineage (and Catalyst
+  * analysis time) grows per round and a failure would recompute the whole
+  * chain. Label/edge frames are id-pairs only — tiny relative to the corpus
+  * the pairs came from.
+  *
+  * Output: (node, cluster_rep, cluster_size) for every node that appears in
+  * at least one pair; unpaired documents are implicitly their own
+  * singleton clusters and are not materialized.
+  */
+object DupClusters {
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIter: Int = 50): DataFrame = {
+    require(aCol != bCol, s"pair columns must differ, got '$aCol' twice")
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // re-read every round; never recompute the pair gen
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
+      val next = labels.alias("l")
+        .join(nbrMin, col("l.node") === nbrMin("src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label decreased" is the fixpoint
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.rep") < col("o.rep"))
+        .isEmpty
+      labels = next
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — a " +
+        "component with diameter beyond maxIter; raise maxIter or switch " +
+        "to the large-star/small-star variant")
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("node"), col("rep").as("cluster_rep"), col("cluster_size"))
+  }
+}

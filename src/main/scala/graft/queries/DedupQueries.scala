@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.dedup.{ExactDedup, MinHashLSH, NGramJaccard, SimHash}
+import graft.operators.dedup.{DupClusters, ExactDedup, MinHashLSH, NGramJaccard, SimHash}
 
 /** Deduplication queries over the documents table (SURVEY §2 items 30-33).
   * Oracle SQL shares one set of CTEs so the DuckDB shingle/hash pipeline is
@@ -107,6 +107,57 @@ object DedupQueries {
        |JOIN sig sa ON p.doc_a = sa.doc_id
        |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
   }
+
+  /** q52: duplicate clusters — connected components over q21's exact
+    * near-dup pairs; survivor = min doc_id per component. The oracle
+    * computes the same transitive closure with a recursive CTE; both sides
+    * reach the identical unique fixpoint.
+    */
+  def q52DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = NGramJaccard.pairs(Tables.documents(spark, dir),
+      "doc_id", "text", threshold = 0.1)
+    DupClusters.components(pairs, "doc_a", "doc_b")
+      .select(org.apache.spark.sql.functions.col("node").as("doc_id"),
+        org.apache.spark.sql.functions.col("cluster_rep"),
+        org.apache.spark.sql.functions.col("cluster_size"))
+  }
+
+  def q52Oracle: String =
+    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |hs AS (SELECT doc_id, unnest(hashes) AS h FROM hl),
+       |kept AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs
+       |  ) WHERE df <= ${NGramJaccard.DefaultMaxShingleDocFreq}
+       |),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b FROM shared
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.1
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION SELECT doc_b, doc_a FROM jpairs
+       |),
+       |reach AS (
+       |  SELECT src AS node, dst AS r FROM edges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM reach rc JOIN edges e ON rc.r = e.src
+       |),
+       |comp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+       |)
+       |SELECT c.doc_id, c.cluster_rep, cnt.cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+       |      FROM comp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
 
   def q23Simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.signatures(Tables.documents(spark, dir), "doc_id", "text")

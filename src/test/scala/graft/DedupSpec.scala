@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.dedup.{MinHashLSH, NGramJaccard, SimHash}
+import graft.operators.dedup.{DupClusters, MinHashLSH, NGramJaccard, SimHash}
 
 class DedupSpec extends SparkSpec {
 
@@ -56,6 +56,38 @@ class DedupSpec extends SparkSpec {
     val capped = MinHashLSH.candidatePairs(clones, "doc_id", "text",
       maxBucketSize = n - 1L)
     assert(capped.count() == 0, "degenerate buckets must not fan out")
+  }
+
+  test("DupClusters: transitive pairs merge into one cluster with min-id survivor") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; 20-21-22 star
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (22L, 20L)).toDF("doc_a", "doc_b")
+    val out = DupClusters.components(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      10L -> (10L, 2L), 11L -> (10L, 2L),
+      20L -> (20L, 3L), 21L -> (20L, 3L), 22L -> (20L, 3L)))
+  }
+
+  test("DupClusters: long path converges (diameter rounds) and maxIter guards") {
+    import spark.implicits._
+    val n = 12
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val out = DupClusters.components(path, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 1L))
+    intercept[IllegalArgumentException] {
+      DupClusters.components(path, "doc_a", "doc_b", maxIter = 2)
+    }
+  }
+
+  test("DupClusters: empty pair list yields no clusters") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DupClusters.components(empty, "doc_a", "doc_b").count() == 0)
   }
 
   test("SimHash: near-identical docs get near-identical signatures") {
