@@ -70,6 +70,8 @@ object SparkEntry {
     "q50_contamination" -> (CurationQueries.q50Contamination _),
     "q51_strict_packs" -> (CurationQueries.q51StrictPacks _),
     "q52_dup_clusters" -> (DedupQueries.q52DupClusters _),
+    "q53_repetition" -> (TextQueries.q53Repetition _),
+    "q54_tfidf" -> (TextQueries.q54TfIdf _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -125,6 +127,8 @@ object SparkEntry {
     "q50_contamination" -> CurationQueries.q50Oracle,
     "q51_strict_packs" -> CurationQueries.q51Oracle,
     "q52_dup_clusters" -> DedupQueries.q52Oracle,
+    "q53_repetition" -> TextQueries.q53Oracle,
+    "q54_tfidf" -> TextQueries.q54Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

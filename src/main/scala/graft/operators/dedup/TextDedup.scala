@@ -29,6 +29,17 @@ object TextShingles {
       distinct = true))
   }
 
+  /** Ordered NON-distinct variant: every 3-gram occurrence hashes, in
+    * document order — the input for within-document repetition measures
+    * (duplicate-shingle ratio), where collapsing repeats would erase the
+    * signal being measured.
+    */
+  def shingleHashesAll(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ShingleHash(ColumnBridge.expression(text),
+      distinct = false))
+  }
+
   /** Reference composed-builtins formulation (kept for cross-checking the
     * native expression; identical output INCLUDING null text → null, which
     * the naive composition would instead turn into [null]).

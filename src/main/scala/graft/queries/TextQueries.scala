@@ -110,4 +110,97 @@ object TextQueries {
       |SELECT doc_id, fingerprint, n_norm_chars,
       |  COUNT(*) OVER (PARTITION BY fingerprint) AS dup_group_size
       |FROM fp""".stripMargin
+
+  /** q53: within-document repetition — duplicate 3-gram ratio, the
+    * Gopher/RefinedWeb-style quality signal that catches boilerplate loops
+    * and degenerate generations. Ordered NON-distinct shingle hashes
+    * (every occurrence counts) vs their distinct set; ratio 0 = no repeats.
+    * Zero-shuffle narrow per-row work after the parallelizing repartition.
+    */
+  def q53Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.dedup.TextShingles
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextShingles.shingleHashesAll(col("text")).as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).as("n_ngrams"),
+        size(array_distinct(col("hs"))).as("n_distinct_ngrams"))
+      .withColumn("dup_ngram_ratio",
+        lit(1.0d) - col("n_distinct_ngrams").cast("double") / col("n_ngrams"))
+  }
+
+  def q53Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents WHERE text IS NOT NULL
+      |), toks AS (
+      |  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))
+      |    ELSE [norm] END AS shingles
+      |  FROM toks
+      |), hl AS (
+      |  SELECT doc_id, list_transform(shingles,
+      |    s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647) AS hashes
+      |  FROM sh
+      |)
+      |SELECT doc_id,
+      |  CAST(len(hashes) AS INTEGER) AS n_ngrams,
+      |  CAST(len(list_distinct(hashes)) AS INTEGER) AS n_distinct_ngrams,
+      |  1.0 - CAST(len(list_distinct(hashes)) AS DOUBLE) / len(hashes) AS dup_ngram_ratio
+      |FROM hl""".stripMargin
+
+  /** q54: TF-IDF head terms — top 3 per document by a RATIONAL idf
+    * (tf·N/df): ln() is libm-dependent and would break bitwise cross-engine
+    * agreement, while int-valued doubles multiply/divide exactly. Partial-
+    * agg term counts, broadcast scalar corpus size, per-doc window (bounded
+    * by the doc's vocabulary — never a global sort).
+    */
+  def q54TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val terms = d.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(TextFns.normalizeText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").join(broadcast(n), lit(true))
+      .withColumn("score",
+        (col("tf").cast("double") * col("n_docs").cast("double"))
+          / col("df_docs").cast("double"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+        col("score"), col("rank"))
+  }
+
+  def q54Oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |    FROM documents WHERE text IS NOT NULL
+      |  ) WHERE len(term) > 0
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+      |), scored AS (
+      |  SELECT doc_id, term, tf, df_docs,
+      |    (CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)) / CAST(df_docs AS DOUBLE) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tf, df_docs, score, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3""".stripMargin
 }

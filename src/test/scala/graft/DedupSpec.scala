@@ -90,6 +90,37 @@ class DedupSpec extends SparkSpec {
     assert(DupClusters.components(empty, "doc_a", "doc_b").count() == 0)
   }
 
+  test("q53 repetition: duplicated spans raise the dup-ngram ratio; unique text scores 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // all 3-grams unique
+      (2L, "spam spam spam spam spam spam spam"),  // one repeated 3-gram
+      (3L, "hi"))                                   // <3 tokens: whole-text shingle
+      .toDF("doc_id", "text")
+    val hs = docs.select(col("doc_id"),
+      graft.operators.dedup.TextShingles.shingleHashesAll(col("text")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        size(array_distinct(col("hs"))).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(hs(1L) == (4, 4), "6 tokens -> 4 ordered 3-grams, all distinct")
+    assert(hs(2L) == (5, 1), "7 identical tokens -> 5 copies of one 3-gram")
+    assert(hs(3L) == (1, 1))
+  }
+
+  test("q54 tf-idf: corpus-unique terms outrank ubiquitous ones") {
+    // on the real corpus: for every doc, the top-ranked term's score must be
+    // >= any other term's score in that doc (window ordering is correct)
+    val out = graft.queries.TextQueries.q54TfIdf(spark, sf("0.001"))
+    import org.apache.spark.sql.functions._
+    val bad = out.groupBy("doc_id")
+      .agg(max(when(col("rank") === 1, col("score"))).as("top"),
+        max(col("score")).as("mx"))
+      .filter(col("top") < col("mx")).count()
+    assert(bad == 0)
+    assert(out.filter(col("rank") > 3).count() == 0)
+  }
+
   test("SimHash: near-identical docs get near-identical signatures") {
     val docs = Tables.documents(spark, sf("0.001"))
     val sig = SimHash.signatures(docs, "doc_id", "text")
