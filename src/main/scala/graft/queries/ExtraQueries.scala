@@ -201,4 +201,53 @@ object ExtraQueries {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM b
       |GROUP BY 1""".stripMargin
+
+  /** q55: deterministic HyperLogLog over lineitem.l_orderkey — all 256
+    * (bucket, register) rows plus the raw estimate and the exact distinct,
+    * every value bitwise engine-independent (see
+    * [[graft.operators.HllSketch]]). The estimate column rides on each
+    * register row so one hash-gated result covers sketch AND readout.
+    */
+  def q55HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HllSketch
+    val li = Tables.lineitem(spark, dir)
+    val regs = HllSketch.registers(li, col("l_orderkey"))
+    val est = HllSketch.estimate(regs)
+      .join(li.agg(countDistinct(col("l_orderkey")).as("n_distinct_exact")), lit(true))
+    regs.join(broadcast(est), lit(true))
+      .select(col("bucket"), col("register"), col("hll_estimate"),
+        col("n_zero_registers"), col("n_distinct_exact"))
+  }
+
+  def q55Oracle: String = {
+    import graft.operators.HllSketch.{HashBits, M, MaxRho, Pow2Scale}
+    s"""WITH h AS (
+       |  SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx
+       |  FROM lineitem WHERE l_orderkey IS NOT NULL
+       |), br AS (
+       |  SELECT CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INTEGER) AS bucket,
+       |         CAST('0x' || substr(hx, 3, ${HashBits / 4}) AS BIGINT) AS v
+       |  FROM h
+       |), present AS (
+       |  SELECT bucket,
+       |    MAX(CASE WHEN v = 0 THEN $MaxRho ELSE $MaxRho - length(bin(v)) END) AS register
+       |  FROM br GROUP BY bucket
+       |), regs AS (
+       |  SELECT CAST(g.range AS INTEGER) AS bucket,
+       |    CAST(COALESCE(p.register, 0) AS INTEGER) AS register
+       |  FROM range($M) g LEFT JOIN present p ON g.range = p.bucket
+       |), est AS (
+       |  -- every literal CAST to DOUBLE: DuckDB types bare decimal literals
+       |  -- as DECIMAL and would do exact-decimal arithmetic where Spark's
+       |  -- lit(0.7213d) chain is IEEE double ops
+       |  SELECT ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * ${Pow2Scale.toDouble})
+       |      / CAST(SUM(1::BIGINT << ($MaxRho - register)) AS DOUBLE) AS hll_estimate,
+       |    COUNT(CASE WHEN register = 0 THEN 1 END) AS n_zero_registers
+       |  FROM regs
+       |), exact AS (
+       |  SELECT COUNT(DISTINCT l_orderkey) AS n_distinct_exact FROM lineitem
+       |)
+       |SELECT bucket, register, hll_estimate, n_zero_registers, n_distinct_exact
+       |FROM regs CROSS JOIN est CROSS JOIN exact""".stripMargin
+  }
 }
