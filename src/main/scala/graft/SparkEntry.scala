@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_repetition" -> (TextQueries.q53Repetition _),
     "q54_tfidf" -> (TextQueries.q54TfIdf _),
     "q55_hll_distinct" -> (ExtraQueries.q55HllDistinct _),
+    "q56_asof_clicks" -> (ExtraQueries.q56AsOfClicks _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q53_repetition" -> TextQueries.q53Oracle,
     "q54_tfidf" -> TextQueries.q54Oracle,
     "q55_hll_distinct" -> ExtraQueries.q55Oracle,
+    "q56_asof_clicks" -> ExtraQueries.q56Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

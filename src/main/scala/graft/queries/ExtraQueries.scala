@@ -219,6 +219,51 @@ object ExtraQueries {
         col("n_zero_registers"), col("n_distinct_exact"))
   }
 
+  /** q56: as-of join — each purchase event enriched with the user's most
+    * recent click at or before it ([[graft.operators.AsOfJoin]]'s
+    * union-window formulation; the oracle uses DuckDB's NATIVE `ASOF LEFT
+    * JOIN`, so two independent as-of implementations must agree row-for-row).
+    * Clicks pre-aggregate to one row per (user, ts) — the determinism
+    * contract both engines' as-of semantics need.
+    */
+  def q56AsOfClicks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      // unique per (user, ts): keep the max event_id's row (struct max
+      // compares fields in order; event_id is globally unique)
+      .agg(max(struct(col("event_id"), col("value"))).as("s"))
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("s.event_id").as("click_event_id"), col("s.value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    AsOfJoin.leftAsOf(purchases, clicks, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "click_ts")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+        col("asof_click_ts").cast("timestamp_ntz").as("asof_click_ts"),
+        col("asof_click_event_id"), col("asof_click_value"))
+  }
+
+  def q56Oracle: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS click_ts, event_id AS click_event_id, value AS click_value
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+      |  ) WHERE rn = 1
+      |), purch AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  c.click_ts AS asof_click_ts,
+      |  c.click_event_id AS asof_click_event_id,
+      |  c.click_value AS asof_click_value
+      |FROM purch p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+
   def q55Oracle: String = {
     import graft.operators.HllSketch.{HashBits, M, MaxRho, Pow2Scale}
     s"""WITH h AS (
