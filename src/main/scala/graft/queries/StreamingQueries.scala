@@ -41,6 +41,52 @@ object StreamingQueries {
       .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
       .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
 
+  /** q57: point-in-interval range join — error events attributed to the
+    * session (q18's gap sessions) containing them, per user. Catalyst
+    * extracts the user_id equi-conjunct into the shuffle join and runs the
+    * BETWEEN as residual filter (asserted in RangeJoinSpec) — the
+    * composition [[graft.operators.RangeJoin]] pins down.
+    */
+  def q57ErrorsInSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sessions = Sessionize.batch(ev, gapSeconds = 1800L)
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.RangeJoin.pointInInterval(errors, sessions,
+        keys = Seq("user_id"), pointCol = "ts",
+        startCol = "session_start", endCol = "session_end")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("session_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"))
+  }
+
+  def q57Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |), sessions AS (
+      |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM numbered GROUP BY user_id, session_id
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, s.session_id, s.session_start, s.session_end
+      |FROM events e JOIN sessions s
+      |  ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
+      |WHERE e.event_type = 'error'""".stripMargin
+
   def q18Oracle: String =
     """WITH marked AS (
       |  SELECT user_id, event_id, ts, value,
