@@ -105,6 +105,52 @@ object CurationQueries {
       |ORDER BY freq DESC, term ASC
       |LIMIT 20""".stripMargin
 
+  /** q58: count-min sketch term frequencies — q49's top-20 terms point-
+    * queried against a deterministic CMS built over ALL term occurrences
+    * ([[graft.operators.CountMinSketch]]). est_count ≥ exact_count always
+    * (CMS never undercounts); the oracle replays the full d×w matrix and
+    * the min-over-rows readout.
+    */
+  def q58CmsTerms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMinSketch
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(TextFns.normalizeText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val cms = CountMinSketch.sketch(terms, col("term"))
+    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("term").asc).limit(20)
+    CountMinSketch.estimate(cms, top, col("term"))
+      .join(top, col("value") === col("term"))
+      .select(col("value").as("term"), col("est_count"), col("exact_count"))
+  }
+
+  def q58Oracle: String = {
+    import graft.operators.CountMinSketch.{Depth, Width}
+    val rowVals = (0 until Depth).map(r => s"($r)").mkString(", ")
+    s"""WITH terms AS (
+       |  SELECT term FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(term) > 0
+       |), top AS (
+       |  SELECT term, COUNT(*) AS exact_count FROM terms
+       |  GROUP BY term ORDER BY exact_count DESC, term ASC LIMIT 20
+       |), cells AS (
+       |  SELECT r.r AS row,
+       |    CAST('0x' || substr(md5(r.r || ':' || term), 1, 8) AS BIGINT) % $Width AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM terms CROSS JOIN (VALUES $rowVals) r(r)
+       |  GROUP BY 1, 2
+       |), q AS (
+       |  SELECT t.term, t.exact_count, r.r AS row,
+       |    CAST('0x' || substr(md5(r.r || ':' || t.term), 1, 8) AS BIGINT) % $Width AS bucket
+       |  FROM top t CROSS JOIN (VALUES $rowVals) r(r)
+       |)
+       |SELECT q.term, MIN(COALESCE(c.cnt, 0)) AS est_count, q.exact_count
+       |FROM q LEFT JOIN cells c ON q.row = c.row AND q.bucket = c.bucket
+       |GROUP BY q.term, q.exact_count""".stripMargin
+  }
+
   /** q50: split-contamination audit — content fingerprints present in BOTH
     * the train and eval splits (the check that motivates dedup-before-
     * split). Composes [[TextFns.fingerprint]] with [[Sampling]]'s
