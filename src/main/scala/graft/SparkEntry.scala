@@ -76,6 +76,7 @@ object SparkEntry {
     "q56_asof_clicks" -> (ExtraQueries.q56AsOfClicks _),
     "q57_errors_in_sessions" -> (StreamingQueries.q57ErrorsInSessions _),
     "q58_cms_terms" -> (CurationQueries.q58CmsTerms _),
+    "q59_snapshot_diff" -> (StreamingQueries.q59SnapshotDiff _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q56_asof_clicks" -> ExtraQueries.q56Oracle,
     "q57_errors_in_sessions" -> StreamingQueries.q57Oracle,
     "q58_cms_terms" -> CurationQueries.q58Oracle,
+    "q59_snapshot_diff" -> StreamingQueries.q59Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff: the change set between two keyed snapshots of the same
+  * entity table (the daily-snapshot warehouse's CDC primitive — "what
+  * appeared / disappeared / changed between day A and day B" without any
+  * change log, which is exactly the position the reference's
+  * fact_daily_snapshot design is in).
+  *
+  * One full-outer shuffle join on the keys; change classification is a
+  * null-safe comparison of every non-key column (`<=>`, so null→value and
+  * value→null count as changes, null→null does not). Unchanged rows are
+  * dropped — at 100 TB the change set is the small output, the point of
+  * diffing snapshots instead of scanning them.
+  *
+  * Output: keys, `change_type` ('added' | 'removed' | 'changed'), and each
+  * value column twice as `before_<c>` / `after_<c>`.
+  */
+object SnapshotDiff {
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(before.columns.sameElements(after.columns),
+      s"snapshots must share a schema: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val valueCols = before.columns.filterNot(keys.contains).toSeq
+    val b = before.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"before_$c")) :+ lit(1).as("__b"): _*)
+    val a = after.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"after_$c")) :+ lit(1).as("__a"): _*)
+    val joined = b.join(a, keys, "full_outer")
+    val anyValueChanged = valueCols
+      .map(c => !(col(s"before_$c") <=> col(s"after_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(col("__b").isNull, "added")
+          .when(col("__a").isNull, "removed")
+          .when(anyValueChanged, "changed"))
+      .filter(col("change_type").isNotNull)
+      .select((keys.map(col) :+ col("change_type")) ++
+        valueCols.map(c => col(s"before_$c")) ++
+        valueCols.map(c => col(s"after_$c")): _*)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
@@ -86,6 +86,55 @@ object StreamingQueries {
       |FROM events e JOIN sessions s
       |  ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
       |WHERE e.event_type = 'error'""".stripMargin
+
+  /** q59: snapshot diff — per-user activity snapshots of the corpus's first
+    * two days, classified added/removed/changed
+    * ([[graft.operators.SnapshotDiff]]: one full-outer join, null-safe
+    * value comparison, unchanged rows dropped). The two days are derived
+    * in-plan (min day, +1) so no date literal is baked in.
+    */
+  def q59SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+    val days = ev.agg(min(col("day")).as("d1"))
+      .select(col("d1"), date_add(col("d1"), 1).as("d2"))
+    def snapshot(dcol: String) = ev.join(broadcast(days), lit(true))
+      .filter(col("day") === col(dcol))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+    graft.operators.SnapshotDiff.diff(snapshot("d1"), snapshot("d2"),
+        keys = Seq("user_id"))
+      .select(col("user_id"), col("change_type"),
+        col("before_n_events"),
+        col("before_total_value").cast(DoubleType).as("before_total_value"),
+        col("after_n_events"),
+        col("after_total_value").cast(DoubleType).as("after_total_value"))
+  }
+
+  def q59Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE ts IS NOT NULL
+      |), dd AS (
+      |  SELECT MIN(day) AS d1, MIN(day) + 1 AS d2 FROM ev
+      |), b AS (
+      |  SELECT user_id, COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS tv
+      |  FROM ev, dd WHERE day = d1 GROUP BY 1
+      |), a AS (
+      |  SELECT user_id, COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS tv
+      |  FROM ev, dd WHERE day = d2 GROUP BY 1
+      |)
+      |SELECT * FROM (
+      |  SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+      |    CASE WHEN b.user_id IS NULL THEN 'added'
+      |         WHEN a.user_id IS NULL THEN 'removed'
+      |         WHEN b.n_events IS DISTINCT FROM a.n_events
+      |              OR b.tv IS DISTINCT FROM a.tv THEN 'changed' END AS change_type,
+      |    b.n_events AS before_n_events, CAST(b.tv AS DOUBLE) AS before_total_value,
+      |    a.n_events AS after_n_events, CAST(a.tv AS DOUBLE) AS after_total_value
+      |  FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+      |) WHERE change_type IS NOT NULL""".stripMargin
 
   def q18Oracle: String =
     """WITH marked AS (
