@@ -77,6 +77,7 @@ object SparkEntry {
     "q57_errors_in_sessions" -> (StreamingQueries.q57ErrorsInSessions _),
     "q58_cms_terms" -> (CurationQueries.q58CmsTerms _),
     "q59_snapshot_diff" -> (StreamingQueries.q59SnapshotDiff _),
+    "q60_stratified_sample" -> (CurationQueries.q60StratifiedSample _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q57_errors_in_sessions" -> StreamingQueries.q57Oracle,
     "q58_cms_terms" -> CurationQueries.q58Oracle,
     "q59_snapshot_diff" -> StreamingQueries.q59Oracle,
+    "q60_stratified_sample" -> CurationQueries.q60Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

@@ -39,4 +39,25 @@ object Sampling {
     require(rate >= 1, s"rate must be >= 1: $rate")
     df.filter(hashBucket(col(idCol), rate, ":sample") === 0)
   }
+
+  /** STRATIFIED deterministic sample: a per-stratum keep-percentage (the
+    * data-mixing primitive — "keep 100% of lang=de, 10% of lang=en").
+    * Strata absent from `pctByStratum` fall back to `defaultPct`. The
+    * bucket hash salts in the stratum, so the same id is kept or dropped
+    * INDEPENDENTLY per stratum rather than whole ids vanishing from every
+    * stratum at once. Still a pure per-row projection — no shuffle; the
+    * pct map rides into the plan as a literal map lookup, no join.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       pctByStratum: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    (pctByStratum.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"percentage out of range: $p"))
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, p).otherwise(acc)
+    }
+    df.filter(
+      hashBucket(concat(col(idCol).cast("string"), lit(":"), col(stratumCol)),
+        100, ":stratum") < pct)
+  }
 }

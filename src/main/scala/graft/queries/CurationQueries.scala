@@ -151,6 +151,21 @@ object CurationQueries {
        |GROUP BY q.term, q.exact_count""".stripMargin
   }
 
+  /** q60: stratified deterministic sampling — the data-mixing primitive
+    * ("keep 25% of en, all of zh, half of everything else"), reproducible
+    * across engines because membership is a salted md5 of (id, stratum)
+    * ([[Sampling.stratifiedSample]]). Gated on the exact kept row set.
+    */
+  def q60StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 25, "zh" -> 100), defaultPct = 50)
+
+  def q60Oracle: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':stratum'), 1, 8) AS BIGINT) % 100
+      |  < CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 100 ELSE 50 END""".stripMargin
+
   /** q50: split-contamination audit — content fingerprints present in BOTH
     * the train and eval splits (the check that motivates dedup-before-
     * split). Composes [[TextFns.fingerprint]] with [[Sampling]]'s

@@ -54,6 +54,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[String]("asof_b") == "late")
   }
 
+  test("leftAsOf agrees with the naive range-join + argmax formulation on random data") {
+    // the O(n·m) reference implementation: for every left row, max right ts <= left ts
+    val rnd = new scala.util.Random(42)
+    val right = (1 to 300).map(_ =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(50)), rnd.nextInt(1000).toDouble))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (k, ts)
+      .toDF("k", "rts", "v")
+    val left = (1 to 200).map(i =>
+      (rnd.nextInt(6).toLong, ts(rnd.nextInt(55)), i.toLong))
+      .toDF("k", "lts", "lid")
+    val fast = AsOfJoin.leftAsOf(left, right, Seq("k"), "lts", "rts")
+      .select(col("lid"), col("asof_rts"), col("asof_v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getAs[java.lang.Double](2)))).toMap
+    val naive = left.alias("l")
+      .join(right.alias("r"), col("l.k") === col("r.k") && col("rts") <= col("lts"), "left")
+      .groupBy(col("lid"))
+      .agg(max(struct(col("rts"), col("v"))).as("m"))
+      .select(col("lid"), col("m.rts"), col("m.v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getAs[java.lang.Double](2)))).toMap
+    assert(fast === naive)
+  }
+
   test("leftAsOf: one shuffle on the keys, no range fan-out join") {
     val right = Seq((1L, ts(1), 1.0)).toDF("k", "rts", "v")
     val left = Seq((1L, ts(2))).toDF("k", "lts")

@@ -99,6 +99,29 @@ class CurationSpec extends SparkSpec {
     } finally packed.unpersist()
   }
 
+  test("stratified sampling: per-stratum rates land near target, independent across strata") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf("0.001")).select(col("doc_id"), col("lang"))
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 25, "zh" -> 100), defaultPct = 50)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBy("zh") == totals("zh"), "pct=100 keeps every row of the stratum")
+    val enRate = keptBy("en").toDouble / totals("en")
+    assert(enRate > 0.10 && enRate < 0.40, s"en rate $enRate should be near 0.25")
+    // determinism: rerun keeps the identical id set
+    val again = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 25, "zh" -> 100), defaultPct = 50)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").except(kept.select("doc_id")).count() == 0)
+    // pct=0 strata vanish entirely
+    val none = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0), defaultPct = 100)
+    assert(none.filter(col("lang") === "en").count() == 0)
+  }
+
   test("unit vectors have norm 1") {
     // q45 emits one row per element (driver-gateable scalars); rebuild each
     // vector's norm from the exploded rows
