@@ -78,6 +78,7 @@ object SparkEntry {
     "q58_cms_terms" -> (CurationQueries.q58CmsTerms _),
     "q59_snapshot_diff" -> (StreamingQueries.q59SnapshotDiff _),
     "q60_stratified_sample" -> (CurationQueries.q60StratifiedSample _),
+    "q61_price_bands" -> (MartQueries.q61PriceBands _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q58_cms_terms" -> CurationQueries.q58Oracle,
     "q59_snapshot_diff" -> StreamingQueries.q59Oracle,
     "q60_stratified_sample" -> CurationQueries.q60Oracle,
+    "q61_price_bands" -> MartQueries.q61Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

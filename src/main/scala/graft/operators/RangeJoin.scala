@@ -46,4 +46,47 @@ object RangeJoin {
     // equi-condition; null-extended rows of a left join have no right key)
     keys.foldLeft(joined)((df, k) => df.drop(intervals(k)))
   }
+
+  /** The deliberate KEYLESS rewrite [[pointInInterval]] points to: quantize
+    * the numeric domain into `bucketWidth`-sized buckets, explode each
+    * interval into the buckets it spans, compute each point's single
+    * bucket, and equi-join on the bucket id — a hash-partitionable shuffle
+    * join with an exact BETWEEN residual, instead of the cartesian product
+    * Spark plans for a bare range condition. A point meets an interval in
+    * exactly one bucket (its own), so no post-join dedup is needed.
+    *
+    * Cost model: intervals replicate span/width (+1) times; points never
+    * replicate. Pick `bucketWidth` near the median interval span. An
+    * interval spanning more than `maxBucketsPerInterval` buckets raises AT
+    * RUNTIME (codegen'd raise_error, no extra pass): one domain-wide
+    * interval would otherwise replicate into the entire bucket space and
+    * recreate the cartesian blowup this rewrite exists to avoid.
+    *
+    * Numeric domains only (prices, epochs, ids); inclusive on both bounds.
+    */
+  def bucketedKeyless(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Long = 1000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(dup.isEmpty,
+      s"columns collide across sides: ${dup.mkString(", ")} — rename them")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "'__bucket' is reserved by bucketedKeyless")
+    val lo = floor(col(startCol) / bucketWidth).cast("long")
+    val hi = floor(col(endCol) / bucketWidth).cast("long")
+    val guardedHi = when(hi - lo >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"interval spans >= $maxBucketsPerInterval buckets of width $bucketWidth: ["),
+        col(startCol), lit(", "), col(endCol),
+        lit("] — widen bucketWidth or split the interval"))))
+      .otherwise(hi)
+    val ib = intervals.withColumn("__bucket", explode(sequence(lo, guardedHi)))
+    val pb = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
 }

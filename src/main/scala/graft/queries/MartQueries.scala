@@ -254,6 +254,39 @@ object MartQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** q61: KEYLESS range join via interval bucketing — order totals
+    * histogrammed into overlapping price bands (600 bands, 1500 wide,
+    * step 1000; a point can fall in two). No equi-key exists, so the naive
+    * join is a cartesian product; [[graft.operators.RangeJoin.bucketedKeyless]]
+    * quantizes to width-1000 buckets and equi-joins on bucket id instead.
+    */
+  def q61PriceBands(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 600).select(
+      col("id").as("band_id"),
+      (col("id") * 1000.0d).as("band_lo"),
+      (col("id") * 1000.0d + 1500.0d).as("band_hi"))
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    graft.operators.RangeJoin.bucketedKeyless(orders, bands,
+        "o_totalprice", "band_lo", "band_hi", bucketWidth = 1000.0)
+      .groupBy(col("band_id"), col("band_lo"), col("band_hi"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_price"))
+  }
+
+  def q61Oracle: String =
+    """WITH bands AS (
+      |  SELECT CAST(g.range AS BIGINT) AS band_id,
+      |    CAST(g.range AS DOUBLE) * CAST(1000.0 AS DOUBLE) AS band_lo,
+      |    CAST(g.range AS DOUBLE) * CAST(1000.0 AS DOUBLE) + CAST(1500.0 AS DOUBLE) AS band_hi
+      |  FROM range(600) g
+      |)
+      |SELECT band_id, band_lo, band_hi, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders o JOIN bands b
+      |  ON o.o_totalprice BETWEEN b.band_lo AND b.band_hi
+      |GROUP BY 1, 2, 3""".stripMargin
+
   def q42Oracle: String =
     """SELECT c.c_mktsegment,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

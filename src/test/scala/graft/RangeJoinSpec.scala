@@ -55,6 +55,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("k#"), s"expected join keyed on k:\n$plan")
   }
 
+  test("bucketedKeyless agrees with the naive cross-join formulation on random data") {
+    val rnd = new scala.util.Random(7)
+    val intervals = (1 to 80).map { i =>
+      val lo = rnd.nextInt(1000).toDouble
+      (i.toLong, lo, lo + rnd.nextInt(50) + 1)
+    }.toDF("iv_id", "lo", "hi")
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextInt(1100).toDouble))
+      .toDF("pid", "x")
+    val fast = graft.operators.RangeJoin.bucketedKeyless(points, intervals,
+        "x", "lo", "hi", bucketWidth = 40.0)
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("bucketedKeyless: a domain-spanning interval raises at runtime instead of replicating") {
+    val intervals = Seq((1L, 0.0, 1e9)).toDF("iv_id", "lo", "hi")
+    val points = Seq((1L, 5.0)).toDF("pid", "x")
+    val e = intercept[Exception] {
+      graft.operators.RangeJoin.bucketedKeyless(points, intervals,
+        "x", "lo", "hi", bucketWidth = 10.0, maxBucketsPerInterval = 100).collect()
+    }
+    assert(e.getMessage.contains("buckets"), s"got: ${e.getMessage}")
+  }
+
   test("pointInInterval refuses the keyless (cartesian) case and column collisions") {
     val intervals = Seq((1L, ts(0), ts(20))).toDF("k", "lo", "hi")
     val points = Seq((1L, ts(5))).toDF("k", "ts")
