@@ -36,16 +36,25 @@ object HllSketch {
   /** 2^MaxRho — the exact-integer scale of the register sum. */
   val Pow2Scale: Long = 1L << MaxRho
 
-  /** All M (bucket, register) rows; buckets no value hashed into hold 0. */
-  def registers(df: DataFrame, valueCol: Column): DataFrame = {
-    val spark = df.sparkSession
+  /** Per-row (bucket, rho) projection — the shared front half of the batch
+    * sketch and the streaming maintenance path
+    * ([[graft.streaming.StreamOps.streamingHllRegisters]]). Null values
+    * are dropped (nothing to count).
+    */
+  def bucketRho(df: DataFrame, valueCol: Column): DataFrame = {
     val h = md5(valueCol.cast("string").cast("binary"))
     val bucket = conv(substring(h, 1, 2), 16, 10).cast("int")
     val v = conv(substring(h, 3, HashBits / 4), 16, 10).cast("long")
     // bin() renders without leading zeros, so its length IS the bit length
     val rho = when(v === 0L, lit(MaxRho)).otherwise(lit(MaxRho) - length(bin(v)))
-    val present = df.filter(valueCol.isNotNull)
+    df.filter(valueCol.isNotNull)
       .select(bucket.as("bucket"), rho.as("rho"))
+  }
+
+  /** All M (bucket, register) rows; buckets no value hashed into hold 0. */
+  def registers(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val present = bucketRho(df, valueCol)
       .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
     spark.range(0, M).select(col("id").cast("int").as("bucket"))
       .join(present, Seq("bucket"), "left")

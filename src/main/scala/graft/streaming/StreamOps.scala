@@ -20,6 +20,30 @@ object StreamOps {
     else wm.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
   }
 
+  /** CONTINUOUS sketch maintenance: the streaming twin of the batch
+    * sketches — each micro-batch folds into the same fixed-size state the
+    * batch operators produce, so a stream consumer holds an always-current
+    * distinct-count / frequency summary without ever re-reading history
+    * (state is ≤ m registers / d·w counters, regardless of stream length).
+    *
+    * Determinism carries over: the hash pipelines are the SAME columns the
+    * batch sketches use, so after processing identical rows the streaming
+    * state equals the batch sketch exactly (spec-asserted) — and a batch
+    * sketch of yesterday MERGES with a streaming sketch of today
+    * (HllSketch.merge / CountMinSketch.merge) because both are the same
+    * registers.
+    *
+    * Run with OutputMode.Complete into a memory/table sink: max/sum are
+    * order-insensitive aggregates, so no watermark is needed and state
+    * cannot grow past the sketch size. Absent buckets simply haven't been
+    * touched yet — union with the batch operator's zero rows if a dense
+    * frame is needed.
+    */
+  def streamingHllRegisters(stream: DataFrame,
+                            valueCol: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.HllSketch.bucketRho(stream, valueCol)
+      .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+
   private val IntervalPattern =
     """(?i)\s*\d+\s+(MICROSECOND|MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK)S?\s*""".r
 

@@ -76,6 +76,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(joined.columns.count(_ == "ts") == 2) // analysis succeeded
   }
 
+  test("streaming HLL registers equal the batch sketch after the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.HllSketch
+    val stream = MemoryStream[String]
+    val regs = StreamOps.streamingHllRegisters(stream.toDF(), col("value"))
+    val q = regs.writeStream.format("memory").queryName("hll_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      stream.addData((1 to 3000).map(i => s"user-$i"): _*)
+      q.processAllAvailable()
+      stream.addData((2000 to 5000).map(i => s"user-$i"): _*) // overlap
+      q.processAllAvailable()
+      val streaming = spark.table("hll_stream").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val batch = HllSketch.registers(
+          (1 to 5000).map(i => s"user-$i").toDF("v"), col("v"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      // streaming state is sparse (untouched buckets absent); everywhere
+      // it exists it must equal the batch register exactly
+      assert(streaming.nonEmpty)
+      streaming.foreach { case (b, r) => assert(batch(b) == r, s"bucket $b") }
+      assert(batch.filter(_._2 > 0).keySet == streaming.keySet,
+        "every touched bucket must be present in the streaming state")
+    } finally q.stop()
+  }
+
   test("stream-static dim join: the streaming golden-join pattern is stateless") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Tables.nation(spark, sf("0.001")) // static dimension
