@@ -24,7 +24,9 @@ object Bench {
     // have swung >5× round-over-round on identical code. The minimum of N
     // back-to-back runs is the least-loaded estimate of the code's cost;
     // load spikes inflate means, not minima.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+        .getOrElse(3))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -33,14 +33,18 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
-    val reserved = Seq("__ts", "__side", "__r")
+    val reserved = Seq("__ts", "__side", "__r", "__match")
     reserved.foreach(c => require(!left.columns.contains(c),
       s"left already has a '$c' column; rename it — leftAsOf uses it internally"))
     val payload = right.columns.filterNot(c => keys.contains(c))
     payload.foreach(c => require(!left.columns.contains(prefix + c),
       s"output column '$prefix$c' collides with a left column; pick another prefix"))
 
-    val rTagged = right.filter(col(rightTs).isNotNull)
+    // null-key right rows can match nothing under SQL join semantics, but
+    // Window.partitionBy groups null keys into ONE partition — drop them
+    // here or a null-key left row would be "enriched" from them
+    val rTagged = right
+      .filter(col(rightTs).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
       .select(keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
         struct(payload.map(col): _*).as("__r"): _*)
       .withColumn("__side", lit(0))

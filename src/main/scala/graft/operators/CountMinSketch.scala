@@ -62,6 +62,9 @@ object CountMinSketch {
       .select(col("value"), col("cell.row").as("row"), col("cell.bucket").as("bucket"))
     keyed.join(cms, Seq("row", "bucket"), "left")
       .groupBy(col("value"))
-      .agg(min(col("cnt")).as("est_count"))
+      // coalesce BEFORE min: against a sparse sketch (e.g. streaming state)
+      // a missing cell means count 0 — min over only the present cells
+      // would inflate or even null the estimate
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 }

@@ -72,8 +72,11 @@ object HllSketch {
     * textually in the oracle SQL) so both engines round identically.
     */
   def estimate(regs: DataFrame): DataFrame = {
-    val numerator = (lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(256.0d))) *
-      lit(65536.0d) * lit(Pow2Scale.toDouble)
+    // alpha_m · m² · 2^MaxRho, every factor derived from M so a Precision
+    // change cannot leave the readout on stale constants (the oracle SQL
+    // interpolates the same values)
+    val numerator = (lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(M.toDouble))) *
+      lit(M.toDouble * M.toDouble) * lit(Pow2Scale.toDouble)
     regs.agg(
         sum(expr(s"shiftleft(1L, $MaxRho - register)")
           .cast("decimal(38,0)")).as("s"),

@@ -76,11 +76,17 @@ object RangeJoin {
       "'__bucket' is reserved by bucketedKeyless")
     val lo = floor(col(startCol) / bucketWidth).cast("long")
     val hi = floor(col(endCol) / bucketWidth).cast("long")
-    val guardedHi = when(hi - lo >= maxBucketsPerInterval,
-      raise_error(concat(
-        lit(s"interval spans >= $maxBucketsPerInterval buckets of width $bucketWidth: ["),
-        col(startCol), lit(", "), col(endCol),
-        lit("] — widen bucketWidth or split the interval"))))
+    val guardedHi = when(hi < lo,
+      // inverted bounds must not reach sequence(): it would infer step -1
+      // and replicate the corrupt row DOWNWARD through the bucket space —
+      // the same blowup the span guard exists for, from the other side
+      raise_error(concat(lit("inverted interval (end < start): ["),
+        col(startCol), lit(", "), col(endCol), lit("]"))))
+      .when(hi - lo >= maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"interval spans >= $maxBucketsPerInterval buckets of width $bucketWidth: ["),
+          col(startCol), lit(", "), col(endCol),
+          lit("] — widen bucketWidth or split the interval"))))
       .otherwise(hi)
     val ib = intervals.withColumn("__bucket", explode(sequence(lo, guardedHi)))
     val pb = points.withColumn("__bucket",

@@ -24,6 +24,12 @@ object SnapshotDiff {
     require(before.columns.sameElements(after.columns),
       s"snapshots must share a schema: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
     val valueCols = before.columns.filterNot(keys.contains).toSeq
+    // loud-failure guards like the sibling operators: emitted/internal
+    // names must not collide with inputs or the output silently corrupts
+    val emitted = Seq("change_type", "__b", "__a") ++
+      valueCols.flatMap(c => Seq(s"before_$c", s"after_$c"))
+    emitted.foreach(c => require(!before.columns.contains(c),
+      s"input column '$c' collides with a name diff() emits; rename it"))
     val b = before.select(keys.map(col) ++
       valueCols.map(c => col(c).as(s"before_$c")) :+ lit(1).as("__b"): _*)
     val a = after.select(keys.map(col) ++

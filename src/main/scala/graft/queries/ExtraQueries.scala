@@ -211,7 +211,10 @@ object ExtraQueries {
   def q55HllDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.HllSketch
     val li = Tables.lineitem(spark, dir)
-    val regs = HllSketch.registers(li, col("l_orderkey"))
+    // the register frame feeds BOTH the estimate aggregate and the final
+    // join — cache it or the full lineitem md5/bucket/rho scan runs twice
+    val regs = graft.operators.OpCache.cache(
+      HllSketch.registers(li, col("l_orderkey")))
     val est = HllSketch.estimate(regs)
       .join(li.agg(countDistinct(col("l_orderkey")).as("n_distinct_exact")), lit(true))
     regs.join(broadcast(est), lit(true))
@@ -285,7 +288,7 @@ object ExtraQueries {
        |  -- every literal CAST to DOUBLE: DuckDB types bare decimal literals
        |  -- as DECIMAL and would do exact-decimal arithmetic where Spark's
        |  -- lit(0.7213d) chain is IEEE double ops
-       |  SELECT ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * CAST(65536.0 AS DOUBLE) * ${Pow2Scale.toDouble})
+       |  SELECT ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(${M.toDouble} AS DOUBLE))) * CAST(${M.toDouble * M.toDouble} AS DOUBLE) * ${Pow2Scale.toDouble})
        |      / CAST(SUM(1::BIGINT << ($MaxRho - register)) AS DOUBLE) AS hll_estimate,
        |    COUNT(CASE WHEN register = 0 THEN 1 END) AS n_zero_registers
        |  FROM regs

@@ -31,6 +31,18 @@ class AsOfJoinSpec extends SparkSpec {
       "after-all" -> Some(120.0), "too-early" -> None, "no-quotes" -> None))
   }
 
+  test("leftAsOf: null keys never match (SQL join semantics, not window-partition semantics)") {
+    val right = Seq((Option(1L), ts(1), 10.0), (Option.empty[Long], ts(2), 99.0))
+      .toDF("k", "rts", "v")
+    val left = Seq((Option(1L), ts(5), "keyed"), (Option.empty[Long], ts(5), "nullkey"))
+      .toDF("k", "lts", "tag")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "lts", "rts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue)).toMap
+    assert(out == Map("keyed" -> Some(10.0), "nullkey" -> None),
+      "a null-key left row must not be enriched from null-key right rows")
+  }
+
   test("leftAsOf: null left ts passes through unenriched; null right ts is dropped") {
     val right = Seq((1L, Option(ts(5)), 1.0), (1L, Option.empty[Timestamp], 99.0))
       .toDF("k", "rts", "v")

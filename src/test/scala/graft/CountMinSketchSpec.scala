@@ -22,6 +22,17 @@ class CountMinSketchSpec extends SparkSpec {
     assert(est("whale") >= 500L && est("minnow-7") >= 1L)
   }
 
+  test("estimate treats missing cells of a SPARSE sketch as zero, not absent") {
+    // a sparse state (e.g. streaming maintenance) omits untouched cells;
+    // an absent key must read 0, never null or an inflated partial min
+    val sparse = CountMinSketch.sketch(Seq("x").toDF("v"), col("v"))
+      .filter(col("cnt") > 0)
+    val est = CountMinSketch.estimate(sparse, Seq("x", "never-seen").toDF("q"), col("q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("x") == 1L)
+    assert(est("never-seen") == 0L, "absent keys read 0 against sparse sketches")
+  }
+
   test("sketches merge by cell-wise sum: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
     val a = (1 to 1000).map(i => s"k${i % 50}").toDF("v")
     val b = (1 to 800).map(i => s"k${i % 30}").toDF("v")

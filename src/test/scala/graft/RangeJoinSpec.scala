@@ -83,6 +83,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("buckets"), s"got: ${e.getMessage}")
   }
 
+  test("bucketedKeyless: an inverted interval raises instead of exploding downward") {
+    // sequence(lo, hi) with hi < lo would infer step -1 and replicate the
+    // corrupt row through the whole lower bucket space
+    val intervals = Seq((1L, 1e9, 0.0)).toDF("iv_id", "lo", "hi")
+    val points = Seq((1L, 5.0)).toDF("pid", "x")
+    val e = intercept[Exception] {
+      graft.operators.RangeJoin.bucketedKeyless(points, intervals,
+        "x", "lo", "hi", bucketWidth = 10.0).collect()
+    }
+    assert(e.getMessage.contains("inverted"), s"got: ${e.getMessage}")
+  }
+
   test("pointInInterval refuses the keyless (cartesian) case and column collisions") {
     val intervals = Seq((1L, ts(0), ts(20))).toDF("k", "lo", "hi")
     val points = Seq((1L, ts(5))).toDF("k", "ts")

@@ -39,10 +39,18 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(added.getAs[Any]("before_n") == null && added.getAs[Int]("after_n") == 11)
   }
 
-  test("schema mismatch and keyless calls are refused") {
+  test("schema mismatch, keyless calls, and emitted-name collisions are refused") {
     val a = Seq((1L, 1)).toDF("k", "n")
     val b = Seq((1L, 1)).toDF("k", "m")
     intercept[IllegalArgumentException] { SnapshotDiff.diff(a, b, Seq("k")) }
     intercept[IllegalArgumentException] { SnapshotDiff.diff(a, a, Nil) }
+    val clash = Seq((1L, "x")).toDF("change_type", "n")
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(clash, clash, Seq("change_type"))
+    }
+    val prefixClash = Seq((1L, 1, 2)).toDF("k", "n", "before_n")
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(prefixClash, prefixClash, Seq("k"))
+    }
   }
 }
