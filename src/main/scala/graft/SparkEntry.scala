@@ -79,6 +79,7 @@ object SparkEntry {
     "q59_snapshot_diff" -> (StreamingQueries.q59SnapshotDiff _),
     "q60_stratified_sample" -> (CurationQueries.q60StratifiedSample _),
     "q61_price_bands" -> (MartQueries.q61PriceBands _),
+    "q62_price_quantiles" -> (MartQueries.q62PriceQuantiles _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q59_snapshot_diff" -> StreamingQueries.q59Oracle,
     "q60_stratified_sample" -> CurationQueries.q60Oracle,
     "q61_price_bands" -> MartQueries.q61Oracle,
+    "q62_price_quantiles" -> MartQueries.q62Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

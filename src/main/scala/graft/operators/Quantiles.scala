@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed quantiles over an integer domain (prices in cents,
+  * token counts, epochs) — the deterministic alternative to
+  * `approx_percentile` (t-digest, approximation AND engine-private) when
+  * the domain is discrete and exactness is the contract.
+  *
+  * Definition: the type-1 (discrete) quantile — the smallest value v whose
+  * cumulative count reaches ceil(q·N). Integer arithmetic end-to-end, so
+  * any engine agrees exactly.
+  *
+  * Scale shape — the textbook two-phase distributed prefix sum, NOT a
+  * global window: (1) partial-agg value counts (the only row-volume
+  * shuffle, and it collapses to |distinct values|); (2) range-partition
+  * the count table by value and cumsum each partition independently in one
+  * sorted pass (mapPartitions, zero further exchange); (3) per-partition
+  * totals — P numbers — come to the driver for the prefix offsets and
+  * broadcast back. A `Window.orderBy(v)` with no partition would instead
+  * drag every distinct value into ONE task; that is the trap this operator
+  * exists to avoid.
+  */
+object Quantiles {
+
+  /** @param df        input rows
+    * @param valueCol  numeric column; must be integral-valued (cast cents
+    *                  before calling, don't pass raw doubles)
+    * @param qs        quantiles in (0, 1]
+    * @param partitions range partitions for the cumsum (P totals hit the
+    *                  driver — keep it modest)
+    * @return one row per q: (q, value) with value = smallest v whose
+    *         cumulative count >= ceil(q·N)
+    */
+  def exactDiscrete(df: DataFrame, valueCol: Column, qs: Seq[Double],
+                    partitions: Int = 64): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: ${qs.mkString(", ")}")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+    val counts = df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ranged = counts.repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions(col("v"))
+
+    // one sorted pass per partition: local cumulative counts, no exchange
+    val cumSchema = StructType(Seq(StructField("pid", LongType, nullable = false),
+      StructField("v", LongType), StructField("local_cum", LongType, nullable = false)))
+    val localCum = ranged.mapPartitions { rows =>
+      var cum = 0L
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      rows.map { r =>
+        cum += r.getLong(1)
+        org.apache.spark.sql.Row(pid, r.getLong(0), cum)
+      }
+    }(org.apache.spark.sql.Encoders.row(cumSchema))
+
+    // cache: the frame feeds the totals collect AND the final probe; the
+    // cumsum pass must also run ONCE or the two consumers could range-
+    // partition rows differently and tear the prefix offsets
+    val cached = OpCache.cache(localCum)
+
+    // P partition totals -> driver -> exclusive prefix offsets (tiny by
+    // construction: `partitions` rows, the deliberate driver step of the
+    // two-phase prefix sum)
+    val totals = cached.groupBy(col("pid"))
+      .agg(max(col("local_cum")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = totals.values.sum
+    val offsets = (0L until partitions.toLong)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until partitions.toLong).map(p =>
+          org.apache.spark.sql.Row(p, offsets(p.toInt))), 1),
+      StructType(Seq(StructField("pid", LongType, nullable = false),
+        StructField("offset", LongType, nullable = false))))
+
+    val cum = cached.join(broadcast(offsetDf), Seq("pid"))
+      .select(col("v"), (col("local_cum") + col("offset")).as("cum"))
+    val qDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          qs.map(org.apache.spark.sql.Row(_)), 1),
+        StructType(Seq(StructField("q",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+      .withColumn("target", ceil(col("q") * lit(n.toDouble)).cast("long"))
+    cum.join(broadcast(qDf), col("cum") >= col("target"))
+      .groupBy(col("q")).agg(min(col("v")).as("value"))
+  }
+}

@@ -287,6 +287,35 @@ object MartQueries {
       |  ON o.o_totalprice BETWEEN b.band_lo AND b.band_hi
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q62: exact discrete quantiles of order totals (in cents) via the
+    * two-phase distributed prefix sum ([[graft.operators.Quantiles]]) —
+    * integer arithmetic end-to-end, so the DuckDB cumulative replay agrees
+    * exactly; no approx_percentile, no single-partition window.
+    */
+  def q62PriceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactDiscrete(
+      Tables.orders(spark, dir),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+      qs = Seq(0.5, 0.9, 0.99))
+
+  def q62Oracle: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |), n AS (
+      |  SELECT COUNT(*) AS n FROM v
+      |), counts AS (
+      |  SELECT cents, COUNT(*) AS c FROM v GROUP BY 1
+      |), cum AS (
+      |  SELECT cents, SUM(c) OVER (ORDER BY cents) AS cumc FROM counts
+      |), qs AS (
+      |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+      |)
+      |SELECT q, MIN(cents) AS value
+      |FROM cum CROSS JOIN qs CROSS JOIN n
+      |WHERE cumc >= CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT)
+      |GROUP BY q""".stripMargin
+
   def q42Oracle: String =
     """SELECT c.c_mktsegment,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
