@@ -80,6 +80,8 @@ object SparkEntry {
     "q60_stratified_sample" -> (CurationQueries.q60StratifiedSample _),
     "q61_price_bands" -> (MartQueries.q61PriceBands _),
     "q62_price_quantiles" -> (MartQueries.q62PriceQuantiles _),
+    "q63_segment_quantiles" -> (MartQueries.q63SegmentQuantiles _),
+    "q64_orders_profile" -> (MartQueries.q64OrdersProfile _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -145,6 +147,8 @@ object SparkEntry {
     "q60_stratified_sample" -> CurationQueries.q60Oracle,
     "q61_price_bands" -> MartQueries.q61Oracle,
     "q62_price_quantiles" -> MartQueries.q62Oracle,
+    "q63_segment_quantiles" -> MartQueries.q63Oracle,
+    "q64_orders_profile" -> MartQueries.q64Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

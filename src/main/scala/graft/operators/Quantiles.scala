@@ -90,4 +90,38 @@ object Quantiles {
     cum.join(broadcast(qDf), col("cum") >= col("target"))
       .groupBy(col("q")).agg(min(col("v")).as("value"))
   }
+
+  /** PER-GROUP exact discrete quantiles. Here a window IS the right tool —
+    * `Window.partitionBy(group)` hash-partitions on the group key and each
+    * group's cumsum is bounded by that group's distinct values, so there is
+    * no single-partition cliff (the global variant above is where the
+    * two-phase prefix sum is mandatory). One row per (group, q).
+    */
+  def exactDiscretePerGroup(df: DataFrame, groupCol: String, valueCol: Column,
+                            qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: ${qs.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    // index-based internal aliases: a literal q like 0.5 would put a dot in
+    // the column name and col() would parse it as a struct access
+    val qCols = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n").cast("double")).cast("long"),
+        col("v"))).as(s"q_$i")
+    }
+    val wide = cum.groupBy(col("g")).agg(qCols.head, qCols.tail: _*)
+    // long output shape (g, q, value) to match the global variant
+    val entries = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"), col(s"q_$i").as("value"))
+    }
+    wide.select(col("g").as(groupCol), explode(array(entries: _*)).as("e"))
+      .select(col(groupCol), col("e.q").as("q"), col("e.value").as("value"))
+  }
 }

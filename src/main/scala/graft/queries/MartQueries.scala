@@ -316,6 +316,73 @@ object MartQueries {
       |WHERE cumc >= CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT)
       |GROUP BY q""".stripMargin
 
+  /** q63: per-segment exact quantiles — order-total cents p50/p95 per
+    * market segment (orders ⋈ broadcast customer dim, then the group-
+    * partitioned cumulative window — bounded per group, no global sort).
+    */
+  def q63SegmentQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    graft.operators.Quantiles.exactDiscretePerGroup(joined, "c_mktsegment",
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+      qs = Seq(0.5, 0.95))
+  }
+
+  def q63Oracle: String =
+    """WITH v AS (
+      |  SELECT c.c_mktsegment,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_totalprice IS NOT NULL
+      |), counts AS (
+      |  SELECT c_mktsegment, cents, COUNT(*) AS c FROM v GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT c_mktsegment, cents,
+      |    SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY cents) AS cumc,
+      |    SUM(c) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM counts
+      |), qs AS (
+      |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q
+      |)
+      |SELECT c_mktsegment, q, MIN(cents) AS value
+      |FROM cum CROSS JOIN qs
+      |WHERE cumc >= CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q64: one-pass column profile of orders ([[graft.operators.Profiler]]):
+    * row/null/distinct counts + min/max per column, floating price
+    * pre-cast to exact cents so every rendered value is engine-stable.
+    */
+  def q64OrdersProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"), col("o_orderdate").cast("date").as("o_orderdate"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("total_cents"))
+    graft.operators.Profiler.profile(t, Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_orderpriority", "o_orderdate", "total_cents"))
+  }
+
+  def q64Oracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate", "total_cents")
+    val perCol = cols.map(c =>
+      s"""SELECT '$c' AS column, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM t""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       |    CAST(o_orderdate AS DATE) AS o_orderdate,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+       |  FROM orders
+       |)
+       |$perCol""".stripMargin
+  }
+
   def q42Oracle: String =
     """SELECT c.c_mktsegment,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

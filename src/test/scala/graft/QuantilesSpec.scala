@@ -38,6 +38,16 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("exactDiscretePerGroup: each group gets its own independent quantiles") {
+    val df = ((1 to 100).map(v => ("a", v)) ++ Seq(("b", 7), ("b", 9)))
+      .toDF("g", "v")
+    val out = Quantiles.exactDiscretePerGroup(df, "g", col("v"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("a", 0.5) -> 50L, ("a", 1.0) -> 100L,
+      ("b", 0.5) -> 7L, ("b", 1.0) -> 9L))
+  }
+
   test("nulls are excluded; invalid quantiles are refused") {
     val df = Seq(Some(1L), None, Some(3L)).toDF("v")
     val out = Quantiles.exactDiscrete(df, col("v"), Seq(1.0))
