@@ -355,7 +355,10 @@ object MartQueries {
     * pre-cast to exact cents so every rendered value is engine-stable.
     */
   def q64OrdersProfile(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.orders(spark, dir).select(
+    // single-file parquet arrives as ONE split, and the profiler's Expand
+    // rewrite multiplies rows x(cols+1) before the partial agg — spread
+    // first (same lesson as q09's parse; SURVEY §5)
+    val t = Tables.orders(spark, dir).repartition(col("o_orderkey")).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_orderpriority"), col("o_orderdate").cast("date").as("o_orderdate"),
       (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
