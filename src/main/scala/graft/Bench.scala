@@ -24,9 +24,13 @@ object Bench {
     // have swung >5× round-over-round on identical code. The minimum of N
     // back-to-back runs is the least-loaded estimate of the code's cost;
     // load spikes inflate means, not minima.
-    val runs = math.max(1,
-      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-        .getOrElse(3))
+    // fail LOUDLY on a malformed override: silently falling back would
+    // change the bench methodology (best-of-N) without signal
+    val runsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3")
+    val runs = scala.util.Try(runsRaw.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$runsRaw'"))
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

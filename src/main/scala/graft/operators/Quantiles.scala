@@ -101,8 +101,12 @@ object Quantiles {
                             qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must lie in (0, 1]: ${qs.mkString(", ")}")
+    require(groupCol != "q" && groupCol != "value",
+      s"group column '$groupCol' collides with an output column; rename it")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.filter(valueCol.isNotNull && col(groupCol).isNotNull)
+    // null VALUES are excluded (no rank position); null GROUPS are kept as
+    // their own segment, matching SQL GROUP BY semantics
+    val counts = df.filter(valueCol.isNotNull)
       .select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("g")).orderBy(col("v"))

@@ -76,10 +76,11 @@ object RangeJoin {
       "'__bucket' is reserved by bucketedKeyless")
     val lo = floor(col(startCol) / bucketWidth).cast("long")
     val hi = floor(col(endCol) / bucketWidth).cast("long")
-    val guardedHi = when(hi < lo,
-      // inverted bounds must not reach sequence(): it would infer step -1
-      // and replicate the corrupt row DOWNWARD through the bucket space —
-      // the same blowup the span guard exists for, from the other side
+    val guardedHi = when(col(endCol) < col(startCol),
+      // raw-bounds check, not bucket indices: a sub-bucket inversion would
+      // slip a hi==lo comparison, and bucket-crossing inversions must not
+      // reach sequence() — it would infer step -1 and replicate the corrupt
+      // row DOWNWARD through the bucket space
       raise_error(concat(lit("inverted interval (end < start): ["),
         col(startCol), lit(", "), col(endCol), lit("]"))))
       .when(hi - lo >= maxBucketsPerInterval,

@@ -287,6 +287,15 @@ object MartQueries {
       |  ON o.o_totalprice BETWEEN b.band_lo AND b.band_hi
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** o_totalprice as exact integer cents. The Spark expression and its
+    * DuckDB textual mirror below MUST stay in lockstep for the bitwise
+    * oracle gate (q62/q63/q64 all build on it) — change them HERE only.
+    */
+  private def totalPriceCents(prefix: String = "") =
+    (col(prefix + "o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+  private def totalPriceCentsSql(prefix: String = "") =
+    s"CAST(CAST(${prefix}o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
   /** q62: exact discrete quantiles of order totals (in cents) via the
     * two-phase distributed prefix sum ([[graft.operators.Quantiles]]) —
     * integer arithmetic end-to-end, so the DuckDB cumulative replay agrees
@@ -295,12 +304,12 @@ object MartQueries {
   def q62PriceQuantiles(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Quantiles.exactDiscrete(
       Tables.orders(spark, dir),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+      totalPriceCents(),
       qs = Seq(0.5, 0.9, 0.99))
 
   def q62Oracle: String =
-    """WITH v AS (
-      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    s"""WITH v AS (
+      |  SELECT ${totalPriceCentsSql()} AS cents
       |  FROM orders WHERE o_totalprice IS NOT NULL
       |), n AS (
       |  SELECT COUNT(*) AS n FROM v
@@ -325,14 +334,14 @@ object MartQueries {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
     val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
     graft.operators.Quantiles.exactDiscretePerGroup(joined, "c_mktsegment",
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+      totalPriceCents(),
       qs = Seq(0.5, 0.95))
   }
 
   def q63Oracle: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT c.c_mktsegment,
-      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |    ${totalPriceCentsSql("o.")} AS cents
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |  WHERE o.o_totalprice IS NOT NULL
       |), counts AS (
@@ -361,8 +370,7 @@ object MartQueries {
     val t = Tables.orders(spark, dir).repartition(col("o_orderkey")).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_orderpriority"), col("o_orderdate").cast("date").as("o_orderdate"),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
-        .as("total_cents"))
+      totalPriceCents().as("total_cents"))
     graft.operators.Profiler.profile(t, Seq("o_orderkey", "o_custkey",
       "o_orderstatus", "o_orderpriority", "o_orderdate", "total_cents"))
   }
@@ -380,7 +388,7 @@ object MartQueries {
     s"""WITH t AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
        |    CAST(o_orderdate AS DATE) AS o_orderdate,
-       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+       |    ${totalPriceCentsSql()} AS total_cents
        |  FROM orders
        |)
        |$perCol""".stripMargin
