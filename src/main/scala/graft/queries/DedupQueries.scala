@@ -159,6 +159,63 @@ object DedupQueries {
        |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
        |      FROM comp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
 
+  /** q65: the full dedup pipeline end-to-end — LSH candidates, exact
+    * Jaccard verify, connected components, survivor selection
+    * ([[graft.operators.dedup.DedupPipeline]]); one row per document with
+    * its surviving representative.
+    */
+  val DedupThreshold = 0.4
+
+  def q65DedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.DedupPipeline.dedupe(
+      Tables.documents(spark, dir), "doc_id", "text", DedupThreshold)
+
+  def q65Oracle: String = {
+    val sigTerms = MinHashLSH.As.zip(MinHashLSH.Bs).map { case (a, b) =>
+      s"list_min(list_transform(hashes, h -> ($a * h + $b) % 2147483647))"
+    }.mkString(",\n    ")
+    val r = MinHashLSH.RowsPerBand
+    val bandValues = (0 until MinHashLSH.Bands).map(b => s"($b)").mkString(", ")
+    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sig AS (
+       |  SELECT doc_id, [$sigTerms] AS sig FROM hl
+       |), bands AS (
+       |  SELECT doc_id, band_id, band_key FROM (
+       |    SELECT doc_id, u.i AS band_id,
+       |      array_to_string(list_transform(sig[$r*u.i+1:$r*u.i+$r], x -> CAST(x AS VARCHAR)), '-') AS band_key,
+       |      COUNT(*) OVER (PARTITION BY u.i,
+       |        array_to_string(list_transform(sig[$r*u.i+1:$r*u.i+$r], x -> CAST(x AS VARCHAR)), '-')) AS bucket_size
+       |    FROM sig CROSS JOIN (VALUES $bandValues) AS u(i)
+       |  ) WHERE bucket_size <= ${MinHashLSH.DefaultMaxBucketSize}
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+       |        (len(ha.hashes) + len(hb.hashes) - len(list_intersect(ha.hashes, hb.hashes))) AS jaccard
+       |    FROM cands c
+       |    JOIN hl ha ON c.doc_a = ha.doc_id
+       |    JOIN hl hb ON c.doc_b = hb.doc_id
+       |  ) WHERE jaccard >= $DedupThreshold
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION SELECT doc_b, doc_a FROM verified
+       |), reach AS (
+       |  SELECT src AS node, dst AS rr FROM edges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM reach rc JOIN edges e ON rc.rr = e.src
+       |), comp AS (
+       |  SELECT node AS doc_id, MIN(rr) AS cluster_rep FROM reach GROUP BY node
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(comp.cluster_rep, d.doc_id) AS survivor_doc_id,
+       |  d.doc_id = COALESCE(comp.cluster_rep, d.doc_id) AS is_survivor
+       |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""".stripMargin
+  }
+
   def q23Simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.signatures(Tables.documents(spark, dir), "doc_id", "text")
 

@@ -90,6 +90,24 @@ class DedupSpec extends SparkSpec {
     assert(DupClusters.components(empty, "doc_a", "doc_b").count() == 0)
   }
 
+  test("DedupPipeline: planted near-dups collapse; survivors are fixpoints; coverage is total") {
+    import graft.operators.dedup.DedupPipeline
+    val docs = Tables.documents(spark, sf("0.001"))
+    val out = DedupPipeline.dedupe(docs, "doc_id", "text", threshold = 0.4).cache()
+    try {
+      assert(out.count() === docs.count(), "every doc gets a row")
+      val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // survivor of a survivor is itself (representatives are fixpoints)
+      m.values.foreach(s => assert(m(s) == s, s"survivor $s maps to ${m(s)}"))
+      val nClusters = m.values.toSet.size
+      assert(nClusters < m.size, "the corpus has planted near-dups; some must collapse")
+      // deduplicated corpus = survivors only; each lost doc points at a survivor
+      out.collect().foreach { r =>
+        assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+      }
+    } finally out.unpersist()
+  }
+
   test("q53 repetition: duplicated spans raise the dup-ngram ratio; unique text scores 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
