@@ -83,6 +83,7 @@ object SparkEntry {
     "q63_segment_quantiles" -> (MartQueries.q63SegmentQuantiles _),
     "q64_orders_profile" -> (MartQueries.q64OrdersProfile _),
     "q65_dedup_pipeline" -> (DedupQueries.q65DedupPipeline _),
+    "q66_zorder_keys" -> (MartQueries.q66ZorderKeys _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q63_segment_quantiles" -> MartQueries.q63Oracle,
     "q64_orders_profile" -> MartQueries.q64Oracle,
     "q65_dedup_pipeline" -> DedupQueries.q65Oracle,
+    "q66_zorder_keys" -> MartQueries.q66Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

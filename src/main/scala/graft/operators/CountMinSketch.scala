@@ -27,17 +27,31 @@ object CountMinSketch {
     conv(substring(md5(concat(lit(s"$row:"), value.cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("long") % Width
 
-  /** All Depth·Width (row, bucket, cnt) cells; untouched cells hold 0.
-    * Null values are ignored (they have no frequency to count).
+  /** Per-row (row, bucket) cell explosion — the shared front half of the
+    * batch sketch and [[cells]]' streaming use. Null values are ignored
+    * (they have no frequency to count).
     */
-  def sketch(df: DataFrame, valueCol: Column): DataFrame = {
-    val spark = df.sparkSession
+  def cellsOf(df: DataFrame, valueCol: Column): DataFrame = {
     val rows = (0 until Depth).map(r =>
       struct(lit(r).as("row"), bucket(r, valueCol).as("bucket")))
-    val present = df.filter(valueCol.isNotNull)
+    df.filter(valueCol.isNotNull)
       .select(explode(array(rows: _*)).as("cell"))
-      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+  }
+
+  /** SPARSE counter cells — the continuous/streaming shape: groupBy-count
+    * in Complete mode maintains at most Depth·Width state rows forever,
+    * and [[estimate]] reads sparse frames correctly (missing cell = 0).
+    */
+  def cells(df: DataFrame, valueCol: Column): DataFrame =
+    cellsOf(df, valueCol)
+      .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** All Depth·Width (row, bucket, cnt) cells; untouched cells hold 0. */
+  def sketch(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val present = cells(df, valueCol)
     val all = spark.range(0, Depth.toLong * Width).select(
       (col("id") / Width).cast("int").as("row"),
       (col("id") % Width).cast("long").as("bucket"))

@@ -394,6 +394,27 @@ object MartQueries {
        |$perCol""".stripMargin
   }
 
+  /** q66: Z-order keys over (o_custkey, o_orderkey) — the layout key every
+    * engine must agree on bit-for-bit for z-clustered tables to be
+    * portable ([[graft.operators.ZOrder]]).
+    */
+  val ZBits = 22
+
+  def q66ZorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    o.withColumn("zkey",
+      graft.operators.ZOrder.key(col("o_custkey"), col("o_orderkey"), ZBits))
+  }
+
+  def q66Oracle: String = {
+    val terms = (0 until ZBits).map(i =>
+      s"(((o_custkey >> $i) & 1) << ${2 * i}) + (((o_orderkey >> $i) & 1) << ${2 * i + 1})")
+      .mkString("\n    + ")
+    s"""SELECT o_orderkey, o_custkey,
+       |  $terms AS zkey
+       |FROM orders""".stripMargin
+  }
+
   def q42Oracle: String =
     """SELECT c.c_mktsegment,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -103,6 +103,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS cells equal the batch sketch's non-zero cells after the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CountMinSketch
+    val stream = MemoryStream[String]
+    val cells = CountMinSketch.cells(stream.toDF(), col("value"))
+    val q = cells.writeStream.format("memory").queryName("cms_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      stream.addData((1 to 500).map(i => s"k${i % 40}"): _*)
+      q.processAllAvailable()
+      stream.addData((1 to 300).map(i => s"k${i % 25}"): _*)
+      q.processAllAvailable()
+      val streaming = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = CountMinSketch.sketch(
+          ((1 to 500).map(i => s"k${i % 40}") ++ (1 to 300).map(i => s"k${i % 25}"))
+            .toDF("v"), col("v"))
+        .filter(col("cnt") > 0).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streaming === batch)
+    } finally q.stop()
+  }
+
   test("stream-static dim join: the streaming golden-join pattern is stateless") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Tables.nation(spark, sf("0.001")) // static dimension
