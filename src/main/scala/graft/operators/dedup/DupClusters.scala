@@ -68,4 +68,66 @@ object DupClusters {
     labels.join(sizes, "rep")
       .select(col("node"), col("rep").as("cluster_rep"), col("cluster_size"))
   }
+
+  /** The O(log n)-round variant: alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the upgrade path [[components]]' scaladoc names for graphs
+    * whose components have LARGE DIAMETERS (chained near-dups), where
+    * plain min-label propagation needs diameter rounds.
+    *
+    *   - large-star(u): connect every neighbor v > u to m = min(N(u) ∪ u)
+    *   - small-star(u): connect every neighbor v < u, and u itself, to m
+    *
+    * Each half-round is one groupBy-min + join-back over the edge list;
+    * the edge set monotonically contracts toward stars centered on each
+    * component's minimum, reaching the same unique fixpoint as
+    * [[components]] (equivalence is spec-asserted on random graphs; a
+    * 64-node path converging within 12 rounds — far under its 63
+    * diameter — is the log-round evidence).
+    */
+  def componentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
+                            maxIter: Int = 25): DataFrame = {
+    require(aCol != bCol, s"pair columns must differ, got '$aCol' twice")
+    // canonical undirected edge set, self-loops dropped
+    def canonical(df: DataFrame): DataFrame = df
+      .select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    def bidirectional(df: DataFrame): DataFrame =
+      df.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(df.select(col("hi").as("u"), col("lo").as("v")))
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val nbr = bidirectional(edges)
+      val m = nbr.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u").as("mu"), least(col("u"), col("mv")).as("m"))
+      val withM = nbr.join(m, col("u") === col("mu"))
+      val rewired =
+        if (large) withM.filter(col("v") > col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+        else withM.filter(col("v") < col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+          .unionByName(m.select(col("mu").as("x"), col("m").as("y")))
+      canonical(rewired).localCheckpoint()
+    }
+    var edges = canonical(
+      pairs.select(col(aCol).as("x"), col(bCol).as("y"))).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val next = star(star(edges, large = true), large = false)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    require(converged,
+      s"alternating star did not converge in $maxIter rounds — raise maxIter")
+    // converged edges form stars around each component's min node
+    val nbr = bidirectional(edges)
+    val labels = nbr.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("rep"))
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("node"), col("rep").as("cluster_rep"), col("cluster_size"))
+  }
 }

@@ -84,6 +84,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("DupClusters.componentsAlternating: equivalent to plain propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 150).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val plain = DupClusters.components(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val alt = DupClusters.componentsAlternating(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(alt === plain)
+  }
+
+  test("DupClusters.componentsAlternating: a 64-node path converges in log rounds, not diameter") {
+    import spark.implicits._
+    val n = 64
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    // plain propagation would need 63 rounds; succeeding under maxIter=12
+    // IS the O(log n) evidence (the guard raises otherwise)
+    val out = DupClusters.componentsAlternating(path, "doc_a", "doc_b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 1L))
+  }
+
   test("DupClusters: empty pair list yields no clusters") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
