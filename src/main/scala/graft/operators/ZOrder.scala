@@ -23,10 +23,12 @@ object ZOrder {
   def key(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
     val bound = 1L << bits
+    // nulls raise too: they would otherwise null the whole key silently
+    // and collapse into one unclustered nulls-first range partition
     def checked(c: Column) =
-      when(c.cast("long") < 0 || c.cast("long") >= bound,
-        raise_error(concat(lit(s"zorder input out of [0, $bound): "),
-          c.cast("string"))))
+      when(c.isNull || c.cast("long") < 0 || c.cast("long") >= bound,
+        raise_error(concat(lit(s"zorder input null or out of [0, $bound): "),
+          coalesce(c.cast("string"), lit("null")))))
         .otherwise(c.cast("long"))
     val (ca, cb) = (checked(a), checked(b))
     (0 until bits).map { i =>
@@ -42,6 +44,8 @@ object ZOrder {
   def layoutBy(df: DataFrame, a: Column, b: Column, bits: Int,
                partitions: Int): DataFrame = {
     require(partitions >= 1, s"partitions must be >= 1: $partitions")
+    require(!df.columns.contains("__zkey"),
+      "'__zkey' is reserved by layoutBy; rename the input column")
     val keyed = df.withColumn("__zkey", key(a, b, bits))
     keyed.repartitionByRange(partitions, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))

@@ -32,11 +32,11 @@ object DedupPipeline {
              threshold: Double): DataFrame = {
     val cands = MinHashLSH.candidatePairs(docs, idCol, textCol)
       .select(col("doc_a"), col("doc_b"))
-    // plan-identical to MinHashLSH's internal hashFrame -> shares its cache
+    // the SAME hashFrame plan MinHashLSH caches internally — calling it
+    // (not copying it) keeps the plan-identity that makes CacheManager
+    // dedupe the two cache() calls, so the md5 pipeline runs once
     val hashes = graft.operators.OpCache.cache(
-      docs.filter(col(textCol).isNotNull).repartition(col(idCol))
-        .select(col(idCol).as("doc_id"),
-          TextShingles.shingleHashes(col(textCol)).as("hashes")))
+      MinHashLSH.hashFrame(docs, idCol, textCol))
     val verified = cands
       .join(hashes.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), "doc_a")
       .join(hashes.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), "doc_b")

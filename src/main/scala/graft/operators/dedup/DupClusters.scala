@@ -88,8 +88,16 @@ object DupClusters {
   def componentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
                             maxIter: Int = 25): DataFrame = {
     require(aCol != bCol, s"pair columns must differ, got '$aCol' twice")
+    // node universe BEFORE canonicalization: self-loop-only nodes must
+    // still come out as singleton clusters (matching [[components]]);
+    // null ids are dropped on both variants' paths (no identity to merge)
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node")))
+      .filter(col("node").isNotNull)
+      .distinct()
     // canonical undirected edge set, self-loops dropped
     def canonical(df: DataFrame): DataFrame = df
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .select(least(col("x"), col("y")).as("lo"), greatest(col("x"), col("y")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
@@ -121,11 +129,14 @@ object DupClusters {
     }
     require(converged,
       s"alternating star did not converge in $maxIter rounds — raise maxIter")
-    // converged edges form stars around each component's min node
+    // converged edges form stars around each component's min node;
+    // edge-less nodes (self-loop-only inputs) rejoin as their own reps
     val nbr = bidirectional(edges)
-    val labels = nbr.groupBy(col("u").as("node"))
+    val starred = nbr.groupBy(col("u").as("node"))
       .agg(min(col("v")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("rep"))
+    val labels = nodes.join(starred, Seq("node"), "left")
+      .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("node"), col("rep").as("cluster_rep"), col("cluster_size"))

@@ -155,7 +155,7 @@ object MinHashLSH {
     hl.select(col("doc_id"), array(sigCols: _*).as("sig"))
   }
 
-  private def hashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[dedup] def hashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.filter(col(textCol).isNotNull).repartition(col(idCol))
       .select(col(idCol).as("doc_id"),
         TextShingles.shingleHashes(col(textCol)).as("hashes"))

@@ -398,7 +398,9 @@ object MartQueries {
     * engine must agree on bit-for-bit for z-clustered tables to be
     * portable ([[graft.operators.ZOrder]]).
     */
-  val ZBits = 22
+  // 31 bits per dim (62-bit key): covers order keys to 2^31 — TPC-H keys
+  // reach 6M·SF, so 22 bits would start raising around SF 0.7
+  val ZBits = 31
 
   def q66ZorderKeys(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))

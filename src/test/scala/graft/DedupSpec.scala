@@ -87,9 +87,11 @@ class DedupSpec extends SparkSpec {
   test("DupClusters.componentsAlternating: equivalent to plain propagation on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
-    val pairs = (1 to 150).map(_ =>
+    // include a self-loop-only node (99): both variants must keep it as a
+    // singleton cluster rather than dropping it with the self-loop edge
+    val pairs = ((1 to 150).map(_ =>
       (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
-      .filter { case (a, b) => a != b }
+      .filter { case (a, b) => a != b } :+ (99L, 99L))
       .toDF("doc_a", "doc_b")
     val plain = DupClusters.components(pairs, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
