@@ -121,6 +121,20 @@ class BackfillSpec extends SparkSpec {
       assert(tableDump(wh, t) === tableDump(whClean, t), s"table $t diverged")
   }
 
+  test("re-running a fully complete range is a no-op: all markers hit, warehouse unchanged") {
+    val (_, rawZone, sources) = mkFixture()
+    val wh = Files.createTempDirectory("bf_idem").toString + "/wh"
+    val cfg = Backfill.Config(rawZone, wh, keywordMap, sources)
+    assert(Backfill.run(spark, cfg, dates).ok)
+    val before = tables.map(t => t -> tableDump(wh, t)).toMap
+    val rerun = Backfill.run(spark, cfg, dates)
+    assert(rerun.ok)
+    assert(rerun.runs.forall(_.status == AlreadyComplete),
+      s"every task must skip via marker, got ${rerun.runs.map(_.status).distinct}")
+    for (t <- tables)
+      assert(tableDump(wh, t) === before(t), s"table $t changed on no-op rerun")
+  }
+
   test("empty raw day refuses the overwrite and leaves prior partitions intact") {
     val (_, rawZone, sources) = mkFixture()
     val wh = Files.createTempDirectory("bf_guard").toString + "/wh"
