@@ -84,6 +84,7 @@ object SparkEntry {
     "q64_orders_profile" -> (MartQueries.q64OrdersProfile _),
     "q65_dedup_pipeline" -> (DedupQueries.q65DedupPipeline _),
     "q66_zorder_keys" -> (MartQueries.q66ZorderKeys _),
+    "q67_price_qty_corr" -> (MartQueries.q67PriceQtyCorrelation _),
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q64_orders_profile" -> MartQueries.q64Oracle,
     "q65_dedup_pipeline" -> DedupQueries.q65Oracle,
     "q66_zorder_keys" -> MartQueries.q66Oracle,
+    "q67_price_qty_corr" -> MartQueries.q67Oracle,
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,

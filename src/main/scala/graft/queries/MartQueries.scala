@@ -417,6 +417,35 @@ object MartQueries {
        |FROM orders""".stripMargin
   }
 
+  /** q67: exact-moment Pearson correlation between lineitem quantity and
+    * extended price (in cents) — decimal-exact Σx/Σy/Σx²/Σy²/Σxy, one
+    * fixed-order double readout ([[graft.operators.Stats.pearson]]);
+    * engine-reproducible where builtin corr() is not.
+    */
+  def q67PriceQtyCorrelation(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.pearson(
+      Tables.lineitem(spark, dir),
+      col("l_quantity").cast(DecimalType(18, 0)),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+
+  def q67Oracle: String =
+    """WITH d AS (
+      |  SELECT CAST(l_quantity AS DECIMAL(18,0)) AS x,
+      |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(18,0)) AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |), m AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM d
+      |)
+      |SELECT n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+      |FROM m""".stripMargin
+
   def q42Oracle: String =
     """SELECT c.c_mktsegment,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
