@@ -30,8 +30,12 @@ object Stats {
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"))
-    // the readout is the ONLY floating-point step; operation order below is
-    // mirrored textually in the oracle SQL so both engines round identically
+    // The readout is the ONLY floating-point step; operation order below is
+    // mirrored textually in the oracle SQL so both engines round
+    // identically. Cross-engine caveat (hit at sf0.1): each moment-to-
+    // double conversion must be CORRECTLY ROUNDED — Spark's Decimal
+    // .toDouble is; DuckDB's direct decimal cast double-rounds above 2^53,
+    // so the oracle routes moments through VARCHAR before casting.
     val nD = col("n").cast("double")
     def dbl(c: String) = col(c).cast("double")
     m.select(col("n"),
