@@ -11,11 +11,18 @@ object Bench {
     // Force FULL evaluation through the noop sink: count() would let
     // Catalyst prune every projection-only expression (the parsers, text
     // scores, SimHash folds...) and time a bare scan instead of the work.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    // Returns seconds, or -1 on failure. The timer brackets ONLY the noop
+    // write: OpCache.scoped's exit (a blocking unpersist of caches the query
+    // created) runs after the timer stops, so cache cleanup is never billed
+    // to the query it cleans up after.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try graft.operators.OpCache.scoped {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        val df = fn(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] query failed: ${e.getMessage}"); false
+        System.err.println(s"[bench] query failed: ${e.getMessage}"); -1.0
       }
     // Untimed warmup: JVM/codegen/first-scan costs would otherwise be
     // billed to whichever query happens to run first.
@@ -33,14 +40,11 @@ object Bench {
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = run(fn)
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt = run(fn)
         // leaked per-query caches must not skew later timings (Verify does
         // the same); clearing is outside the recorded interval
         spark.catalog.clearCache()
-        // a crashed query must read as a failure marker, not a fast success
-        if (ok) dt else -1.0
+        dt
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

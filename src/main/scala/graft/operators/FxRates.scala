@@ -86,15 +86,24 @@ object FxRates {
       if (partitionCols.isEmpty) days
       else {
         val pairs = fx.select(partitionCols.map(col): _*).distinct()
-        // the count is one tiny job on a frame that is about to be crossed
-        // with the calendar anyway — the enforcement of the dim contract
-        // documented above, not an optional assertion
-        val nPairs = pairs.count()
-        require(nPairs <= maxPairs,
-          s"carryForward saw $nPairs distinct ${partitionCols.mkString("(", ",", ")")} series " +
-            s"(max $maxPairs): this is a dim-only operator — a series universe this large " +
-            "means a fact table was passed as fx; pre-aggregate it to a rate dim first")
+        // Enforce the dim contract LAZILY, inside the plan: a 1-row count
+        // aggregate cross-joined in (BroadcastNestedLoopJoin with one row)
+        // whose filter raise_errors when the series universe exceeds the
+        // bound. Plan construction stays side-effect-free — callers that
+        // never execute the result pay nothing — and the guard cannot be
+        // pruned because it lives in a Filter condition.
+        val guard = pairs.agg(count(lit(1)).as("__graft_n_pairs"))
         days.join(pairs, lit(true))
+          .join(guard, lit(true))
+          .filter(
+            when(col("__graft_n_pairs") <= maxPairs, lit(true))
+              .otherwise(raise_error(concat(
+                lit("carryForward saw "), col("__graft_n_pairs").cast("string"),
+                lit(s" distinct ${partitionCols.mkString("(", ",", ")")} series " +
+                  s"(max $maxPairs): this is a dim-only operator — a series universe " +
+                  "this large means a fact table was passed as fx; pre-aggregate it " +
+                  "to a rate dim first")))))
+          .drop("__graft_n_pairs")
       }
     val joined = series.join(fx, Seq(dayCol) ++ partitionCols, "left")
     // Pin the partition columns: currency pairs are routinely built with

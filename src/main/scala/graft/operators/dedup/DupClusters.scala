@@ -34,12 +34,21 @@ object DupClusters {
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 50): DataFrame = {
     require(aCol != bCol, s"pair columns must differ, got '$aCol' twice")
+    // null ids carry no identity to merge: edges touching a null are dropped,
+    // but the NON-null side of such a pair still surfaces as its own
+    // singleton — the same contract componentsAlternating implements, so the
+    // two documented-equivalent variants agree on null-id input
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node")))
+      .filter(col("node").isNotNull)
+      .distinct()
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint() // re-read every round; never recompute the pair gen
-    var labels = edges.select(col("src").as("node")).distinct()
+    var labels = nodes
       .withColumn("rep", col("node"))
       .localCheckpoint()
     var converged = false

@@ -289,7 +289,12 @@ object ExtraQueries {
        |  -- as DECIMAL and would do exact-decimal arithmetic where Spark's
        |  -- lit(0.7213d) chain is IEEE double ops
        |  SELECT ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(${M.toDouble} AS DOUBLE))) * CAST(${M.toDouble * M.toDouble} AS DOUBLE) * ${Pow2Scale.toDouble})
-       |      / CAST(SUM(1::BIGINT << ($MaxRho - register)) AS DOUBLE) AS hll_estimate,
+       |      -- register sum routed through VARCHAR: SUM(BIGINT) is HUGEINT in
+       |      -- DuckDB and its direct DOUBLE cast is not correctly rounded
+       |      -- above 2^53 (1-ulp off), where Spark's Decimal.toDouble is;
+       |      -- strtod parses correctly rounded in both engines (same fix as
+       |      -- the q67 moment readout)
+       |      / CAST(CAST(SUM(1::BIGINT << ($MaxRho - register)) AS VARCHAR) AS DOUBLE) AS hll_estimate,
        |    COUNT(CASE WHEN register = 0 THEN 1 END) AS n_zero_registers
        |  FROM regs
        |), exact AS (
