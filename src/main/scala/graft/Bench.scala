@@ -11,14 +11,17 @@ object Bench {
     // Force FULL evaluation through the noop sink: count() would let
     // Catalyst prune every projection-only expression (the parsers, text
     // scores, SimHash folds...) and time a bare scan instead of the work.
-    // Returns seconds, or -1 on failure. The timer brackets ONLY the noop
-    // write: OpCache.scoped's exit (a blocking unpersist of caches the query
-    // created) runs after the timer stops, so cache cleanup is never billed
-    // to the query it cleans up after.
+    // Returns seconds, or -1 on failure. The timer starts BEFORE the builder
+    // runs: several builders do real eager work during construction
+    // (DupClusters' iterative CC loop, Quantiles' partition-totals collect),
+    // so timing only the noop write would under-report them. It still stops
+    // before OpCache.scoped's exit (a blocking unpersist of caches the query
+    // created), so cache cleanup is never billed to the query it cleans up
+    // after.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try graft.operators.OpCache.scoped {
-        val df = fn(spark, sfDir)
         val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>

@@ -100,6 +100,24 @@ class DedupSpec extends SparkSpec {
     assert(alt === plain)
   }
 
+  test("DupClusters: both variants agree on null-id pairs (non-null side survives as singleton)") {
+    import spark.implicits._
+    // edges touching a null carry no identity: (7,null) must leave 7 a
+    // singleton; (null,null) contributes nothing; real edges still merge
+    val pairs = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)),
+      (Some(7L), None), (None, Some(8L)), (None, None))
+      .toDF("doc_a", "doc_b")
+    val plain = DupClusters.components(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val alt = DupClusters.componentsAlternating(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(alt === plain)
+    assert(plain === Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      7L -> (7L, 1L), 8L -> (8L, 1L)))
+  }
+
   test("DupClusters.componentsAlternating: a 64-node path converges in log rounds, not diameter") {
     import spark.implicits._
     val n = 64

@@ -105,9 +105,13 @@ class OperatorsSpec extends SparkSpec {
       .withColumn("d", (col("k") % 5).cast("int"))
       .withColumn("rate", lit(1.0).cast("decimal(18,2)"))
     val cal = Seq(1, 2, 3).toDF("d")
-    val e = intercept[IllegalArgumentException] {
-      FxRates.carryForward(fake, cal, "d", partitionCols = Seq("k"), maxPairs = 10)
-    }
+    // the guard is lazy (in-plan raise_error): construction is free, the
+    // contract violation surfaces when the plan executes
+    val frame = FxRates.carryForward(fake, cal, "d", partitionCols = Seq("k"), maxPairs = 10)
+    // SparkRuntimeException is private[spark] in Spark 4.1 — intercept the
+    // public supertype and pin the concrete class by name
+    val e = intercept[RuntimeException] { frame.collect() }
+    assert(e.getClass.getSimpleName == "SparkRuntimeException", e.getClass.getName)
     assert(e.getMessage.contains("dim-only"))
     // while a legitimate pair dim under the bound is untouched (q37 shape)
     val ok = FxRates.carryForward(fake.filter(col("k") < 3), cal, "d",
