@@ -88,7 +88,8 @@ object SparkEntry {
     "q26_lang_id" -> (TextQueries.q26LangId _),
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
-    "q29_fingerprint" -> (TextQueries.q29Fingerprint _)
+    "q29_fingerprint" -> (TextQueries.q29Fingerprint _),
+    "q68_tiki_pipeline" -> (PipelineQueries.q68TikiPipeline _)
   )
 
   /** DuckDB-runnable oracle for each query (same column names/aliases). */
@@ -158,6 +159,7 @@ object SparkEntry {
     "q26_lang_id" -> TextQueries.q26Oracle,
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,
-    "q29_fingerprint" -> TextQueries.q29Oracle
+    "q29_fingerprint" -> TextQueries.q29Oracle,
+    "q68_tiki_pipeline" -> PipelineQueries.q68Oracle
   )
 }

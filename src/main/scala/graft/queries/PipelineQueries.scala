@@ -1,0 +1,141 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipelines.TikiDailyPipeline
+import graft.sources.CleanZone
+
+/** Oracle gate for the COMPOSED reference DAGs (SURVEY §2 items 52-55):
+  * the full tiki_dag day — raw crawler JSON → clean → dedup-latest → null
+  * gate → star split → idempotent partitioned fact write → dim MERGE →
+  * quality gate — driven end-to-end through [[TikiDailyPipeline.run]], with
+  * the WRITTEN fact partition read back as the gated result.
+  *
+  * The raw snapshots are derived deterministically from `part` (two
+  * snapshots per product, later one wins dedup; every ~97th product's
+  * final snapshot has an unparseable price so the null-key gate drops it),
+  * so the DuckDB oracle recomputes the expected fact partition from `part`
+  * with plain arithmetic — an independent replay of the whole DAG's
+  * semantics, not of its implementation.
+  */
+object PipelineQueries {
+
+  private val q68Invocation = new AtomicInteger(0)
+
+  /** Per-process scratch root; removed on JVM exit so repeated bench/verify
+    * runs don't strand warehouse copies in /tmp (same lifecycle as
+    * MartQueries' bucketed scratch).
+    */
+  private lazy val scratch: String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pipeline-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }))
+    base
+  }
+
+  private val Date = "2024-03-15"
+
+  /** q68: tiki_dag end-to-end (ref dags/tiki_dag.py task chain:
+    * transform_tiki.py:411 transform_data → load_to_bq.py:143 fact
+    * WRITE_TRUNCATE → :273 dim MERGE → analytics_dag.py:172 ASSERT gate).
+    */
+  def q68TikiPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q68Invocation.incrementAndGet()
+    val base = s"$scratch/q68_$inv"
+
+    val pk = col("p_partkey")
+    def s(c: Column): Column = c.cast("string")
+
+    // crawler-shaped snapshot record; `late` is the dedup winner
+    def snap(late: Boolean): Column = {
+      val price =
+        if (!late) concat(s(pk % 800 + 151), lit(".000 đ"))
+        // the winner for every ~97th product is unparseable → cleanPrice
+        // null → dropNullKeys removes the product from the day's fact
+        else when(pk % 97 === 0, lit("khuyến mãi"))
+          .otherwise(concat(s(pk % 800 + 150), lit(".000 VND")))
+      // keep the integer part <= 999: "1000.000 VND" is not a valid
+      // VN-thousand-separated literal and cleanPrice would read it as 1000
+      val origPrice = concat(s(pk % 700 + (if (late) 250 else 300)), lit(".000 VND"))
+      val discount = concat(lit("-"), s(pk % 80 + (if (late) 0 else 1)), lit("%"))
+      val sold =
+        if (late) concat(lit("Đã bán "), s(pk % 500), lit("k"))
+        else concat(lit("Đã bán "), s(pk % 500))
+      val rating =
+        if (late) concat(s(pk % 4 + 1), lit("."), s(pk % 10)) else lit("1.0")
+      val reviews = if (late) s(pk % 1000) else s(pk % 1000 + 5)
+      val path = when(pk % 3 === 0, s(pk % 25))
+        .when(pk % 3 === 1, concat(s(pk % 25), lit(" > "), s(pk % 100 + 100)))
+        .otherwise(concat(s(pk % 25), lit(" > "), s(pk % 100 + 100),
+          lit(" > "), s(pk % 7 + 7)))
+      val badges = when(pk % 2 === 0, array(lit("tiki_now"), lit("freeship")))
+        .otherwise(array(lit("freeship")))
+      val extractedAt =
+        lit(if (late) s"${Date}T16:30:00.000Z" else s"${Date}T08:00:00.000Z")
+      struct(
+        s(pk).as("product_id"),
+        concat(lit("SKU-"), s(pk), lit(if (late) "-1" else "-0")).as("sku"),
+        concat(lit("Product "), s(pk)).as("name"),
+        price.as("price"),
+        origPrice.as("original_price"),
+        discount.as("discount_rate"),
+        sold.as("quantity_sold"),
+        rating.as("rating"),
+        reviews.as("review_count"),
+        concat(lit("Brand "), s(pk % 50)).as("brand"),
+        concat(lit("Seller "), s(pk % 30)).as("seller"),
+        s(pk % 30).as("seller_id"),
+        concat(lit("http://t/"), s(pk), lit(".jpg")).as("thumbnail_url"),
+        concat(lit("https://tiki.vn/p/"), s(pk)).as("product_url"),
+        path.as("category_path"),
+        concat(lit("https://tiki.vn/slug-"), s(pk % 25), lit("/c"), s(pk % 25))
+          .as("_category_url"),
+        badges.as("badges"),
+        extractedAt.as("_extracted_at"))
+    }
+
+    // raw zone: two JSON snapshots per product under snapshot_date=<day>/
+    Tables.part(spark, dir).select(pk)
+      .select(explode(array(snap(late = false), snap(late = true))).as("r"))
+      .select("r.*")
+      .coalesce(4)
+      .write.mode("overwrite").json(s"$base/raw/snapshot_date=$Date")
+
+    TikiDailyPipeline.run(spark, s"$base/raw", s"$base/wh", Date)
+
+    // the gated result is what the DAG actually WROTE, read back from the
+    // warehouse — not an in-memory intermediate
+    CleanZone.read(spark, s"$base/wh/fact_daily_snapshot")
+      .select(col("snapshot_date"), col("product_id"), col("current_price"),
+        col("original_price"), col("discount_rate"), col("sales_volume_acc"),
+        col("review_count"), col("rating_average"), col("inventory_status"),
+        col("tiki_now"), col("extracted_at").cast("timestamp_ntz").as("extracted_at"))
+  }
+
+  /** Independent DuckDB replay: the winner snapshot's parses, computed
+    * arithmetically from the same `part` derivation.
+    */
+  def q68Oracle: String =
+    s"""SELECT DATE '$Date' AS snapshot_date,
+      |  p_partkey AS product_id,
+      |  (p_partkey % 800 + 150) * 1000 AS current_price,
+      |  (p_partkey % 700 + 250) * 1000 AS original_price,
+      |  CAST(p_partkey % 80 AS INTEGER) AS discount_rate,
+      |  (p_partkey % 500) * 1000 AS sales_volume_acc,
+      |  p_partkey % 1000 AS review_count,
+      |  CAST(CAST(p_partkey % 4 + 1 AS VARCHAR) || '.' || CAST(p_partkey % 10 AS VARCHAR) AS DOUBLE) AS rating_average,
+      |  TRUE AS inventory_status,
+      |  p_partkey % 2 = 0 AS tiki_now,
+      |  TIMESTAMP '$Date 16:30:00' AS extracted_at
+      |FROM part
+      |WHERE p_partkey % 97 <> 0""".stripMargin
+}
