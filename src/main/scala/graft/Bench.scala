@@ -41,7 +41,24 @@ object Bench {
       throw new IllegalArgumentException(
         s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$runsRaw'"))
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // System load context: this sandbox is shared, and round-over-round
+    // swings on identical code have repeatedly needed attribution. The
+    // 1/5/15-min loadavg before and after makes load spikes readable from
+    // the artifact itself.
+    def loadavg(): String =
+      scala.util.Try(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ").take(3)
+          .mkString(","))
+        .getOrElse("unavailable")
+    val loadBefore = loadavg()
+    // optional comma-separated name filter (e.g. scale probes over the
+    // most expensive queries only); the driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val dt = run(fn)
         // leaked per-query caches must not skew later timings (Verify does
@@ -54,7 +71,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}""")
+    val loadAfter = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }

@@ -83,6 +83,22 @@ object LshAnn {
   val NumTables = 8
   val PlanesPerTable = 6
 
+  /** Occupancy-bounded plane count for SELF-JOIN banding: with a fixed
+    * plane count, expected bucket occupancy is n/2^bits, so in-bucket
+    * candidate pairs grow as n² — the 10× scale probe measured exactly
+    * that (q31: 13× time at 10× rows). Growing bits with log₂(n) pins
+    * occupancy near [[TargetOccupancy]] and candidate volume to ~O(n).
+    * Integer step ladder, NOT a float log: both the operator and the
+    * DuckDB oracle must pick the identical width on every engine.
+    * n ≤ 2048 keeps the historical 6 bits, so all driver-tested scale
+    * factors are bit-for-bit unchanged.
+    */
+  val TargetOccupancy = 32
+  val MaxPlanes = 12
+  def adaptivePlanes(n: Long): Int =
+    (PlanesPerTable to MaxPlanes).find(b => n <= (TargetOccupancy.toLong << b))
+      .getOrElse(MaxPlanes)
+
   /** Deterministic pseudo-random plane weight in [-0.5, 0.5). Public so an
     * external oracle (e.g. the DuckDB correctness gate) can reproduce the
     * exact signatures.
@@ -98,11 +114,12 @@ object LshAnn {
     (VectorFns.dot(vec, w) > 0).cast("int")
   }
 
-  /** Bucket key per table: packed sign bits of the `PlanesPerTable`
-    * hyperplane projections.
+  /** Bucket key per table: packed sign bits of the `bits` hyperplane
+    * projections (default: the fixed query-path width).
     */
-  def bucketKey(vec: Column, table: Int, dims: Int): Column =
-    (0 until PlanesPerTable).map(p => planeCol(vec, table, p, dims) * (1 << p))
+  def bucketKey(vec: Column, table: Int, dims: Int,
+                bits: Int = PlanesPerTable): Column =
+    (0 until bits).map(p => planeCol(vec, table, p, dims) * (1 << p))
       .reduce(_ + _)
 
   /** Approximate top-k: candidates = same bucket in ANY table, then exact
@@ -148,13 +165,22 @@ object LshAnn {
   * formulation lives only there, as the oracle reference.
   */
 object CosinePairs {
+  /** @param planesPerTable bucket-key width; 0 (default) sizes it from a
+    *                       corpus count via [[LshAnn.adaptivePlanes]] — the
+    *                       one extra action is a single-column count scan,
+    *                       paid once to keep the self-join candidate volume
+    *                       linear in n instead of quadratic.
+    */
   def banded(vectors: DataFrame, idCol: String, vecCol: String,
-             threshold: Double, dims: Int): DataFrame = {
+             threshold: Double, dims: Int, planesPerTable: Int = 0): DataFrame = {
+    val bits =
+      if (planesPerTable > 0) planesPerTable
+      else LshAnn.adaptivePlanes(vectors.select(col(idCol)).count())
     val keyed = graft.operators.OpCache.cache(vectors.select(
       col(idCol).as("vid") +: col(vecCol).as("vec") +:
         VectorFns.norm(col(vecCol)).as("nrm") +:
         (0 until LshAnn.NumTables).map(t =>
-          LshAnn.bucketKey(col(vecCol), t, dims).as(s"bk_$t")): _*)
+          LshAnn.bucketKey(col(vecCol), t, dims, bits).as(s"bk_$t")): _*)
     ) // consumed three times: bucket entries + both pair sides
     val entries = keyed.select(col("vid"),
       explode(array((0 until LshAnn.NumTables).map(t =>

@@ -37,12 +37,17 @@ object ExtraQueries {
     val sumsq = (1 to dims)
       .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
       .mkString(" + ")
-    // same LCG weights, same in-element-order sign sums as LshAnn.bucketKey
-    val (bucketCols, anyBucket) = SimilarityQueries.lshBucketSql
-    s"""WITH v AS (
+    // same LCG weights, same in-element-order sign sums as LshAnn.bucketKey;
+    // the adaptive variant mirrors the occupancy-bounded bucket width
+    // (CosinePairs.banded's default) via the same integer ladder
+    val (bitsCte, bucketCols, anyBucket) =
+      SimilarityQueries.lshBucketSqlAdaptive("embeddings")
+    s"""WITH nb AS (
+       |  $bitsCte
+       |), v AS (
        |  SELECT vec_id, embedding, sqrt($sumsq) AS nrm,
        |    $bucketCols
-       |  FROM embeddings
+       |  FROM embeddings, nb
        |), pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM v a JOIN v b ON a.vec_id < b.vec_id AND ($anyBucket)

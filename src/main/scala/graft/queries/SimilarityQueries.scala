@@ -47,17 +47,40 @@ object SimilarityQueries {
     * any-table-collision predicate between aliases a and b).
     */
   private[queries] def lshBucketSql: (String, String) = {
-    def planeDot(t: Int, p: Int) = (1 to Dims)
-      .map(i => s"CAST(embedding[$i] AS DOUBLE)*${LshAnn.weight(t, p, i - 1)}")
-      .mkString(" + ")
     def bucket(t: Int) = (0 until LshAnn.PlanesPerTable)
-      .map(p => s"(CASE WHEN (${planeDot(t, p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+      .map(p => s"(CASE WHEN (${lshPlaneDot(t, p)}) > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
     val bucketCols = (0 until LshAnn.NumTables)
       .map(t => s"(${bucket(t)}) AS bk_$t").mkString(",\n    ")
     val anyBucket = (0 until LshAnn.NumTables)
       .map(t => s"a.bk_$t = b.bk_$t").mkString(" OR ")
     (bucketCols, anyBucket)
+  }
+
+  private def lshPlaneDot(t: Int, p: Int) = (1 to Dims)
+    .map(i => s"CAST(embedding[$i] AS DOUBLE)*${LshAnn.weight(t, p, i - 1)}")
+    .mkString(" + ")
+
+  /** Variable-width variant mirroring [[LshAnn.adaptivePlanes]]: emits all
+    * [[LshAnn.MaxPlanes]] plane signs with each bit masked by the
+    * corpus-count-derived `nb.bits` scalar. The ladder is pure integer
+    * comparison — identical on any engine, no float log edge cases.
+    * Returns (bits-CTE body over `table`, bucket column SQL that expects a
+    * cross-joined `nb`, any-collision predicate).
+    */
+  private[queries] def lshBucketSqlAdaptive(table: String): (String, String, String) = {
+    val ladder = (LshAnn.PlanesPerTable until LshAnn.MaxPlanes)
+      .map(b => s"WHEN count(*) <= ${LshAnn.TargetOccupancy.toLong << b} THEN $b")
+      .mkString(" ")
+    val bitsCte = s"SELECT CASE $ladder ELSE ${LshAnn.MaxPlanes} END AS bits FROM $table"
+    def bucket(t: Int) = (0 until LshAnn.MaxPlanes)
+      .map(p => s"(CASE WHEN $p < nb.bits AND (${lshPlaneDot(t, p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val bucketCols = (0 until LshAnn.NumTables)
+      .map(t => s"(${bucket(t)}) AS bk_$t").mkString(",\n    ")
+    val anyBucket = (0 until LshAnn.NumTables)
+      .map(t => s"a.bk_$t = b.bk_$t").mkString(" OR ")
+    (bitsCte, bucketCols, anyBucket)
   }
 
   /** q25: random-hyperplane LSH ANN (LshAnn.NumTables tables ×
