@@ -89,7 +89,8 @@ object SparkEntry {
     "q27_quality_score" -> (TextQueries.q27QualityScore _),
     "q28_token_count" -> (TextQueries.q28TokenCount _),
     "q29_fingerprint" -> (TextQueries.q29Fingerprint _),
-    "q68_tiki_pipeline" -> (PipelineQueries.q68TikiPipeline _)
+    "q68_tiki_pipeline" -> (PipelineQueries.q68TikiPipeline _),
+    "q69_click_attribution" -> (StreamingQueries.q69ClickAttribution _)
   )
 
   /** DuckDB-runnable oracle for each query (same column names/aliases). */
@@ -160,6 +161,7 @@ object SparkEntry {
     "q27_quality_score" -> TextQueries.q27Oracle,
     "q28_token_count" -> TextQueries.q28Oracle,
     "q29_fingerprint" -> TextQueries.q29Oracle,
-    "q68_tiki_pipeline" -> PipelineQueries.q68Oracle
+    "q68_tiki_pipeline" -> PipelineQueries.q68Oracle,
+    "q69_click_attribution" -> StreamingQueries.q69Oracle
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.streaming.{EventAggregates, Sessionize}
+import graft.streaming.{EventAggregates, Sessionize, StreamJoin}
 
 /** Batch-equivalent entries for the streaming operators (SURVEY §2 items
   * 42-43): Structured Streaming's unified model means the identical
@@ -86,6 +86,35 @@ object StreamingQueries {
       |FROM events e JOIN sessions s
       |  ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
       |WHERE e.event_type = 'error'""".stripMargin
+
+  /** q69: stream-stream join (batch-equivalent plan): every click joined to
+    * the same user's purchases within a 30-minute attribution horizon.
+    * [[StreamJoin.attribute]] is the streaming operator — state on BOTH
+    * sides, expired by the watermarks + this range conjunct (StreamingSpec
+    * drives it over two MemoryStreams and asserts stream == this batch
+    * result).
+    */
+  def q69ClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    StreamJoin.attribute(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        horizonSeconds = 1800L)
+      .select(col("user_id"), col("click_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  def q69Oracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  p.value AS purchase_value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECOND
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin
 
   /** q59: snapshot diff — per-user activity snapshots of the corpus's first
     * two days, classified added/removed/changed

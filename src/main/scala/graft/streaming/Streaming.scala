@@ -149,6 +149,41 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark(keys)
 }
 
+/** Stream-stream inner join with state on BOTH sides (the one streaming
+  * shape the suite previously lacked; reference analog: trends_dag.py's
+  * staging⋈dim join cadence run continuously): per-user click→purchase
+  * attribution within an event-time horizon.
+  *
+  * In streaming mode pass `watermark`: Spark requires watermarks on both
+  * unbounded sides PLUS the event-time range conjunct below, and uses them
+  * to expire both join state stores — click state older than
+  * `horizon + watermark` can never match a future purchase and is dropped,
+  * so state is bounded by rate × horizon, not stream history. The
+  * identical plan runs on batch frames (unified model), which is what the
+  * q69 oracle gates.
+  */
+object StreamJoin {
+  def attribute(clicks: DataFrame, purchases: DataFrame,
+                horizonSeconds: Long,
+                watermark: Option[String] = None): DataFrame = {
+    val c0 = clicks.select(col("user_id").as("c_user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p0 = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    val c = watermark.fold(c0)(w => c0.withWatermark("click_ts", w))
+    val p = watermark.fold(p0)(w => p0.withWatermark("purchase_ts", w))
+    c.join(p,
+        col("c_user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("c_user_id").as("user_id"), col("click_id"),
+        col("click_ts"), col("purchase_id"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+}
+
 /** Streaming MERGE sink (reference trends_dag.py staging→MERGE, continuous):
   * each micro-batch upserts into a parquet target via foreachBatch +
   * [[Upsert.merge]].

@@ -5,7 +5,11 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{Event, EventAggregates, Sessionize, StreamingDedup, UpsertSink}
+import graft.streaming.{Event, EventAggregates, Sessionize, StreamJoin, StreamingDedup, UpsertSink}
+
+/** Minimal event row carrying the ids [[StreamJoin.attribute]] selects. */
+final case class EvRow(user_id: Long, event_id: Long, ts: Timestamp,
+                       value: Double)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -99,6 +103,60 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Double]("total_value")))
       assert(closed.contains((1L, 2L, 3.0)),
         s"expected user 1 session closed, got ${closed.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("stream-stream click->purchase join matches the batch plan; late side drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EvRow]
+    val purchases = MemoryStream[EvRow]
+    val joined = StreamJoin.attribute(clicks.toDF(), purchases.toDF(),
+      horizonSeconds = 600L, watermark = Some("5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click 10:00 -> purchase 10:05 matches (within 10 min);
+      //         click 10:08 does NOT (purchase precedes it)
+      // user 2: click 10:01 vs purchase 10:30 -> outside the horizon
+      clicks.addData(EvRow(1L, 101L, ts(0), 0.0), EvRow(1L, 102L, ts(8), 0.0),
+        EvRow(2L, 103L, ts(1), 0.0))
+      purchases.addData(EvRow(1L, 201L, ts(5), 50.0),
+        EvRow(2L, 202L, ts(30), 20.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past every horizon so all matches emit
+      // (these two also match each other)
+      clicks.addData(EvRow(9L, 199L, ts(59), 0.0))
+      purchases.addData(EvRow(9L, 299L, ts(59), 7.0))
+      q.processAllAvailable()
+
+      def streamRows() = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+          r.getAs[Long]("purchase_id"))).toSet
+
+      // batch equivalence: the SAME operator over the same rows as plain
+      // DataFrames (unified model)
+      val batchClicks = Seq(EvRow(1L, 101L, ts(0), 0.0),
+        EvRow(1L, 102L, ts(8), 0.0), EvRow(2L, 103L, ts(1), 0.0),
+        EvRow(9L, 199L, ts(59), 0.0)).toDF()
+      val batchPurchases = Seq(EvRow(1L, 201L, ts(5), 50.0),
+        EvRow(2L, 202L, ts(30), 20.0), EvRow(9L, 299L, ts(59), 7.0)).toDF()
+      val batchRows = StreamJoin.attribute(batchClicks, batchPurchases, 600L)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(batchRows == Set((1L, 101L, 201L), (9L, 199L, 299L)))
+      assert(streamRows() == batchRows,
+        s"stream ${streamRows()} != batch $batchRows")
+
+      // a click older than the click-side watermark (10:54) is dropped
+      // before the join: no new output even though a purchase at 10:30
+      // sits within its horizon in batch terms
+      clicks.addData(EvRow(2L, 104L, ts(25), 0.0))
+      q.processAllAvailable()
+      assert(streamRows() == batchRows, "late click must not join")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        s"expected numRowsDroppedByWatermark >= 1, got $dropped")
     } finally q.stop()
   }
 
