@@ -90,7 +90,8 @@ object SparkEntry {
     "q28_token_count" -> (TextQueries.q28TokenCount _),
     "q29_fingerprint" -> (TextQueries.q29Fingerprint _),
     "q68_tiki_pipeline" -> (PipelineQueries.q68TikiPipeline _),
-    "q69_click_attribution" -> (StreamingQueries.q69ClickAttribution _)
+    "q69_click_attribution" -> (StreamingQueries.q69ClickAttribution _),
+    "q70_winnow_dedup" -> (ExtraQueries.q70WinnowDedup _)
   )
 
   /** DuckDB-runnable oracle for each query (same column names/aliases). */
@@ -162,6 +163,7 @@ object SparkEntry {
     "q28_token_count" -> TextQueries.q28Oracle,
     "q29_fingerprint" -> TextQueries.q29Oracle,
     "q68_tiki_pipeline" -> PipelineQueries.q68Oracle,
-    "q69_click_attribution" -> StreamingQueries.q69Oracle
+    "q69_click_attribution" -> StreamingQueries.q69Oracle,
+    "q70_winnow_dedup" -> ExtraQueries.q70Oracle
   )
 }

@@ -67,24 +67,15 @@ object ExtraQueries {
     */
   val WinnowWindow = 4
 
-  def q32WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val d = Tables.documents(spark, dir).repartition(col("doc_id"))
-    // ordered (non-distinct) hash sequence — winnowing needs positions
-    val hashSeq = ColumnBridge.column(graft.plans.ShingleHash(
-      ColumnBridge.expression(col("text")), distinct = false))
-    // single consumer — no cache (nothing to reuse, unlike the dedup family)
-    val hl = d.select(col("doc_id"), hashSeq.as("hs"))
-    val m = size(col("hs"))
-    val w = lit(WinnowWindow)
-    val minima = when(m >= WinnowWindow,
-      array_distinct(transform(sequence(lit(0), m - w),
-        i => array_min(slice(col("hs"), i + 1, w)))))
-      .otherwise(array(array_min(col("hs"))))
-    hl.select(col("doc_id"), explode(minima).as("fingerprint"))
-  }
+  def q32WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.WinnowDedup.fingerprints(
+      Tables.documents(spark, dir), "doc_id", "text", WinnowWindow)
 
-  def q32Oracle: String =
+  /** The winnow-fingerprint CTE chain (docs → shingles → ordered hashes →
+    * window minima → exploded (doc_id, fingerprint)), shared by the q32
+    * and q70 oracles — both must select the identical fingerprints.
+    */
+  private def winnowCtes: String =
     s"""WITH docs AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
        |), toks AS (
@@ -104,8 +95,61 @@ object ExtraQueries {
        |      i -> list_min(hs[i+1:i+$WinnowWindow])))
        |    ELSE [list_min(hs)] END AS fps
        |  FROM hseq
+       |), fp AS (
+       |  SELECT doc_id, unnest(fps) AS fingerprint FROM minima
+       |)""".stripMargin
+
+  def q32Oracle: String =
+    s"""$winnowCtes
+       |SELECT doc_id, fingerprint FROM fp""".stripMargin
+
+  /** q70: winnowing-based near-dup clusters
+    * ([[graft.operators.dedup.WinnowDedup.clusters]]) — fingerprint windows
+    * → doc-frequency-capped index → ≥2-shared-window candidate pairs →
+    * connected components; the composition of items 40 and 65.
+    */
+  val WinnowMinShared = 2
+
+  def q70WinnowDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.WinnowDedup.clusters(
+        Tables.documents(spark, dir), "doc_id", "text",
+        window = WinnowWindow, minShared = WinnowMinShared)
+      .select(col("node").as("doc_id"), col("cluster_rep"), col("cluster_size"))
+
+  def q70Oracle: String = {
+    val cap = graft.operators.dedup.NGramJaccard.DefaultMaxShingleDocFreq
+    s"""${winnowCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |hot AS (
+       |  SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) > $cap
+       |),
+       |kept AS (
+       |  SELECT fp.doc_id, fp.fingerprint FROM fp
+       |  WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
+       |),
+       |jpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $WinnowMinShared
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION SELECT doc_b, doc_a FROM jpairs
+       |),
+       |reach AS (
+       |  SELECT src AS node, dst AS r FROM edges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM reach rc JOIN edges e ON rc.r = e.src
+       |),
+       |comp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
        |)
-       |SELECT doc_id, unnest(fps) AS fingerprint FROM minima""".stripMargin
+       |SELECT c.doc_id, c.cluster_rep, cnt.cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+       |      FROM comp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
+  }
 
   /** q45: unit-normalized embeddings — the standard ANN preprocessing pass
     * (pre-normalized vectors make cosine = plain dot product). The norm is

@@ -184,6 +184,43 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("rank") > 3).count() == 0)
   }
 
+  test("WinnowDedup: overlapping docs cluster transitively; unrelated docs stay out") {
+    import spark.implicits._
+    import graft.operators.dedup.WinnowDedup
+    // A≈B (shared prefix), B≈C (shared suffix), D unrelated: winnowing must
+    // close A-B-C into ONE cluster (rep = min id) even though A and C share
+    // nothing directly — the fingerprint→pairs→CC composition under test
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog while boats drift along slowly here"),
+      (3L, "completely different opening words now while boats drift along slowly here"),
+      (4L, "unrelated text about spark catalyst optimizer rules and physical plans"))
+      .toDF("doc_id", "text")
+    val out = WinnowDedup.clusters(docs, "doc_id", "text",
+        window = 2, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byNode = out.map(t => t._1 -> t._2).toMap
+    assert(byNode.get(1L).contains(1L) && byNode.get(2L).contains(1L) &&
+      byNode.get(3L).contains(1L),
+      s"A-B-C must close into one cluster with rep 1, got ${out.mkString(",")}")
+    assert(!byNode.contains(4L), "unrelated doc must not be materialized")
+    assert(out.forall(_._3 == 3L), s"cluster size must be 3, got ${out.mkString(",")}")
+  }
+
+  test("WinnowDedup: doc-frequency cap suppresses boilerplate-window blowup") {
+    import spark.implicits._
+    import graft.operators.dedup.WinnowDedup
+    // every doc shares one boilerplate run; with the cap at n-1 the shared
+    // fingerprints leave the index and nothing pairs
+    val n = 10
+    val docs = (1 to n)
+      .map(i => (i.toLong, s"all docs share this long boilerplate run tail$i unique$i trailer$i"))
+      .toDF("doc_id", "text")
+    val capped = WinnowDedup.clusters(docs, "doc_id", "text",
+      window = 2, minShared = 1, maxDocFreq = n - 1L)
+    assert(capped.count() == 0, "capped boilerplate generates no clusters")
+  }
+
   test("SimHash: near-identical docs get near-identical signatures") {
     val docs = Tables.documents(spark, sf("0.001"))
     val sig = SimHash.signatures(docs, "doc_id", "text")
