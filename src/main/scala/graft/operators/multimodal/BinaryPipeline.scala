@@ -42,6 +42,50 @@ object Bmp {
   }
 }
 
+/** Minimal animated-GIF writer over javax.imageio — the pure-JVM way to
+  * materialize a REAL multi-frame media payload with deterministic content.
+  * Frames are TYPE_BYTE_INDEXED (palette indices stored verbatim by GIF's
+  * LZW — no quantization), so the encode→decode round trip is pixel-exact
+  * and externally predictable from [[Bmp.pixelByte]].
+  */
+object Gif {
+  def encodeAnimated(width: Int, height: Int, frames: Int,
+                     seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0,
+      s"bad shape ${width}x$height x$frames")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              Bmp.pixelByte(seed + f, (y.toLong * width + x)))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+}
+
 /** Multimodal column plumbing (SURVEY §2 item 41): media payloads ride as
   * opaque `binary` columns with typed metadata; decode/feature-extract runs
   * batched per partition via `mapPartitions` (the Scala analog of a Pandas
@@ -167,11 +211,15 @@ object BinaryPipeline {
       .toDF(idCol, blobCol, "width", "height", "transform")
   }
 
-  /** Frame-sampling stage (STUB — no video codecs in the JVM): a real
-    * implementation decodes a video container and emits one row per sampled
-    * frame; the stub slices the payload into `frames` equal byte windows.
-    * One input row → N output rows, preserving partition-batched execution
-    * (the iterator never materializes the whole partition).
+  /** Frame-sampling stage: REAL for animated GIF (the one multi-frame
+    * container the JVM ships a codec for) — up to `frames` evenly spaced
+    * frames are decoded via ImageIO and re-encoded as BMP, `src_frame`
+    * recording each sample's original frame index. Video containers
+    * (mp4/webm/audio) remain a labeled STUB — no pure-JVM codec exists —
+    * slicing the payload into `frames` equal byte windows with
+    * source='bytes-stub'. One input row → N output rows, preserving
+    * partition-batched execution (the iterator never materializes the
+    * whole partition).
     */
   def frameSample(spark: SparkSession, df: DataFrame, idCol: String,
                   blobCol: String, frames: Int): DataFrame = {
@@ -180,12 +228,50 @@ object BinaryPipeline {
     df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
-        val window = math.max(1, blob.length / frames)
-        (0 until math.min(frames, blob.length)).iterator.map { f =>
-          val start = f * window
-          (id, f, blob.slice(start, math.min(start + window, blob.length)))
+        val real =
+          if (sniff(blob).contains("image/gif")) gifFrames(id, blob, frames)
+          else None
+        real.getOrElse {
+          val window = math.max(1, blob.length / frames)
+          (0 until math.min(frames, blob.length)).iterator.map { f =>
+            val start = f * window
+            (id, f, f,
+              blob.slice(start, math.min(start + window, blob.length)),
+              "bytes-stub")
+          }
         }
       })
-      .toDF(idCol, "frame_no", "frame_bytes")
+      .toDF(idCol, "frame_no", "src_frame", "frame_bytes", "source")
+  }
+
+  /** Decode ≤ `k` evenly spaced frames of an animated GIF; None when the
+    * payload sniffs as GIF but no reader can parse it (falls back to the
+    * stub path rather than failing the partition).
+    */
+  private def gifFrames(id: Long, blob: Array[Byte], k: Int)
+      : Option[Iterator[(Long, Int, Int, Array[Byte], String)]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val srcIdxs =
+        if (n <= k) 0 until n
+        else (0 until k).map(f => (f.toLong * n / k).toInt)
+      // materialized before the reader is disposed (the map is strict)
+      Some(srcIdxs.zipWithIndex.map { case (src, ord) =>
+        val img = reader.read(src)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", buf)
+        (id, ord, src, buf.toByteArray, "gif")
+      }.iterator)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 }

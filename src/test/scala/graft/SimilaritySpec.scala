@@ -85,5 +85,44 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("frame_no").collect()
     assert(fl.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
     assert(fl.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
+    // text payloads are not a multi-frame container: labeled stub path
+    assert(fl.forall(_.getAs[String]("source") == "bytes-stub"))
+  }
+
+  test("frameSample decodes REAL animated-GIF frames, evenly sampled, pixel-exact") {
+    import spark.implicits._
+    import graft.operators.multimodal.{BinaryPipeline, Bmp, Gif}
+    val (w, h) = (8, 6)
+    val gif = Gif.encodeAnimated(w, h, frames = 10, seed = 7L)
+    val df = Seq((1L, gif)).toDF("doc_id", "blob")
+    val out = BinaryPipeline.frameSample(spark, df, "doc_id", "blob", frames = 4)
+      .orderBy("frame_no").collect()
+    // 4 evenly spaced samples out of 10 source frames, all real-decoded
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getString(4))).toSeq ==
+      Seq((0, 0, "gif"), (1, 2, "gif"), (2, 5, "gif"), (3, 7, "gif")),
+      out.mkString(","))
+    out.foreach { r =>
+      val src = r.getInt(2)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      assert(img.getWidth == w && img.getHeight == h)
+      // reference frame: same deterministic generator, same indexed palette
+      // — GIF stores palette indices verbatim, so the round trip must be
+      // pixel-exact, not approximately equal
+      val ref = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until h; x <- 0 until w)
+        ref.getRaster.setSample(x, y, 0, Bmp.pixelByte(7L + src, y.toLong * w + x))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRGB(x, y) == ref.getRGB(x, y),
+          s"pixel ($x,$y) of sampled frame $src diverged")
+    }
+    // a 3-frame GIF sampled at k=4 yields all 3 real frames, no padding
+    val small = Seq((2L, Gif.encodeAnimated(w, h, frames = 3, seed = 11L)))
+      .toDF("doc_id", "blob")
+    val sm = BinaryPipeline.frameSample(spark, small, "doc_id", "blob", frames = 4)
+      .orderBy("frame_no").collect()
+    assert(sm.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0, 0), (1, 1), (2, 2)))
   }
 }
