@@ -56,4 +56,25 @@ object Analytics {
       sum(col(valueCol)).over(w).cast(DoubleType) /
         count(col(valueCol)).over(w))
   }
+
+  /** Cohort retention: users grouped by the day of their FIRST event, then
+    * distinct active users per (cohort_day, day_offset) cell — the classic
+    * retention triangle.
+    *
+    * Two shuffles, both on bounded keys: first-touch is a partial-agg
+    * min per user; the join back to the fact co-partitions on the user key
+    * (both sides already hashed on it, AQE handles user-count skew); the
+    * final cell aggregation's distinct is per-cell bounded. No windows, no
+    * global sorts — the shape survives a 1000× user count.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ev = df.filter(col(tsCol).isNotNull)
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+    val firstTouch = ev.groupBy(col(userCol))
+      .agg(min(col("__day")).as("cohort_day"))
+    ev.join(firstTouch, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Bloom-filter semi-join reduction — the runtime-filter
+  * pattern for big-fact ⋈ selective-dim joins at 100 TB: build an m-bit
+  * filter from the (filtered) dim keys, pre-filter the fact BEFORE its
+  * shuffle, then run the exact join, which removes the filter's false
+  * positives. The join result is bit-identical to the unfiltered plan; the
+  * win is that the fact rows that cannot match never enter the exchange.
+  *
+  * Spark has this built in (`spark.sql.optimizer.runtime.bloomFilter.*`,
+  * injected by Catalyst when statistics justify it) using engine-private
+  * hashing. This operator is the engine-portable, deterministic variant —
+  * bit positions derive from md5 like every graft sketch ([[HllSketch]],
+  * [[CountMinSketch]]), so an external system (or the DuckDB oracle) can
+  * rebuild the identical filter and audit exactly which rows it admits.
+  *
+  * The build's `collect()` is bounded by the BITMAP (m bits, ~2 KiB–2 MiB),
+  * never by data volume — same bounded-driver-state argument as
+  * [[Quantiles]]' P partition offsets. The probe side ships the bitmap as
+  * one array literal (a broadcast-variable analog), evaluated O(k) per row
+  * inside whole-stage codegen.
+  */
+object BloomFilter {
+
+  /** The k bit positions of a key: md5 of "<key>:bf<i>", first 8 hex chars
+    * as an integer, mod m — reproducible in any engine with md5.
+    */
+  def positions(key: Column, m: Int, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      conv(substring(md5(concat(key.cast("string"), lit(s":bf$i"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % m
+    }
+
+  /** Build the filter from (small, pre-filtered) build-side keys: a dense
+    * Boolean bitmap of m bits. Nulls never match a join anyway and are
+    * excluded.
+    */
+  def build(df: DataFrame, keyCol: String, m: Int, k: Int): Array[Boolean] = {
+    require(m > 0 && k > 0, s"bad bloom shape m=$m k=$k")
+    val keys = df.filter(col(keyCol).isNotNull)
+    val pos = keys
+      .select(explode(array(positions(col(keyCol), m, k): _*)).as("p"))
+      .distinct()
+      .collect() // bounded by m distinct positions, not by input rows
+    val bits = new Array[Boolean](m)
+    pos.foreach(r => bits(r.getLong(0).toInt) = true)
+    bits
+  }
+
+  /** Probe predicate: true iff every one of the key's k positions is set.
+    * No false negatives by construction; false positives are whatever the
+    * load factor admits and are eliminated by the exact join downstream.
+    */
+  def mightContain(key: Column, bits: Array[Boolean], m: Int, k: Int): Column = {
+    require(bits.length == m, s"bitmap length ${bits.length} != m $m")
+    val lut = typedLit(bits.toSeq)
+    positions(key, m, k)
+      .map(p => element_at(lut, p.cast("int") + 1))
+      .reduce(_ && _)
+  }
+}

@@ -48,4 +48,31 @@ object SnapshotDiff {
         valueCols.map(c => col(s"before_$c")) ++
         valueCols.map(c => col(s"after_$c")): _*)
   }
+
+  /** The inverse operator: apply a [[diff]] change set to the `before`
+    * snapshot, reconstructing `after` exactly — `applyChanges(b, diff(b, a),
+    * keys) == a` row-for-row. This is how a 100 TB warehouse ships state:
+    * full snapshots move once, then only the (small) change sets travel and
+    * replay downstream.
+    *
+    * One keyed join (the change set is the small side — broadcast-able by
+    * AQE at real scale): keys absent from the changes keep their `before`
+    * values, 'removed' keys drop, 'added'/'changed' keys take the
+    * `after_*` values.
+    */
+  def applyChanges(before: DataFrame, changes: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val valueCols = before.columns.filterNot(keys.contains).toSeq
+    val needed = "change_type" +: valueCols.map(c => s"after_$c")
+    needed.foreach(c => require(changes.columns.contains(c),
+      s"changes frame lacks column '$c' — not a diff() output for this snapshot schema"))
+    val ch = changes.select(keys.map(col) ++
+      (col("change_type") +: valueCols.map(c => col(s"after_$c"))): _*)
+    before.join(ch, keys, "full_outer")
+      .filter(col("change_type").isNull || col("change_type") =!= "removed")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col("change_type").isNotNull, col(s"after_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

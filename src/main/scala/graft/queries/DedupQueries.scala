@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.dedup.{DupClusters, ExactDedup, MinHashLSH, NGramJaccard, SimHash}
+import graft.operators.dedup.{DupClusters, EditDistance, ExactDedup, MinHashLSH, NGramJaccard, SimHash}
 
 /** Deduplication queries over the documents table (SURVEY §2 items 30-33).
   * Oracle SQL shares one set of CTEs so the DuckDB shingle/hash pipeline is
@@ -78,7 +78,10 @@ object DedupQueries {
   def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     MinHashLSH.candidatePairs(Tables.documents(spark, dir), "doc_id", "text")
 
-  def q22Oracle: String = {
+  /** LSH candidate-pair CTEs (sig → bands → pairs), shared by q22 and the
+    * edit-distance verify (q75) so both replay the identical banding.
+    */
+  private def candidatePairCtes: String = {
     val sigTerms = MinHashLSH.As.zip(MinHashLSH.Bs).map { case (a, b) =>
       s"list_min(list_transform(hashes, h -> ($a * h + $b) % 2147483647))"
     }.mkString(",\n    ")
@@ -99,14 +102,37 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  def q22Oracle: String =
+    s"""$candidatePairCtes
        |SELECT p.doc_a, p.doc_b,
        |  CAST(list_sum(list_transform(range(${MinHashLSH.NumHashes}),
        |    i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / ${MinHashLSH.NumHashes}.0 AS est_jaccard
        |FROM pairs p
        |JOIN sig sa ON p.doc_a = sa.doc_id
        |JOIN sig sb ON p.doc_b = sb.doc_id""".stripMargin
-  }
+
+  /** q75: character-grain near-dup — [[EditDistance.nearPairs]]'s blocked
+    * (LSH-candidate) Levenshtein verify, threshold 20 edits on the
+    * lowercased text (the corpus's near-dup pairs sit at ≤8 edits,
+    * unrelated candidates at ≥38 — the gap q21's token-level Jaccard
+    * cannot see character-grain).
+    */
+  def q75EditPairs(spark: SparkSession, dir: String): DataFrame =
+    EditDistance.nearPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxDist = 20)
+
+  def q75Oracle: String =
+    s"""$candidatePairCtes,
+       |txt AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(ta.t, tb.t) AS INTEGER) AS edit_dist
+       |FROM pairs p
+       |JOIN txt ta ON p.doc_a = ta.doc_id
+       |JOIN txt tb ON p.doc_b = tb.doc_id
+       |WHERE levenshtein(ta.t, tb.t) <= 20""".stripMargin
 
   /** q52: duplicate clusters — connected components over q21's exact
     * near-dup pairs; survivor = min doc_id per component. The oracle

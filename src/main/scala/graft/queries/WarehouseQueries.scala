@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.operators.{BloomFilter, Pivot, Scd2, SnapshotDiff}
+
+/** Warehouse-shape queries for the round-8 operator additions: SCD2
+  * history (q71), explicit-values pivot (q72), rollup/grouping-sets mart
+  * heads (q73), CDC diff→apply round trip (q77) and the deterministic
+  * Bloom-filter semi-join reduction (q78).
+  */
+object WarehouseQueries {
+
+  /** q71: SCD2 validity intervals for each customer's order-priority state
+    * over time ([[Scd2.history]]) — the reference's SCD1 MERGE dims
+    * (load_to_bq.py:273) upgraded to keep history. Snapshots are first
+    * deduped to the (customer, day) grain with a deterministic arg-max
+    * (the latest order that day speaks for the day), the same
+    * keep-most-recent contract as transform_tiki.py:582.
+    */
+  def q71Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("snap_day"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("o_orderpriority"))
+    Scd2.history(snaps, keyCols = Seq("o_custkey"), ordCol = "snap_day",
+        attrCols = Seq("o_orderpriority"))
+      .select(col("o_custkey"), col("version").cast("int").as("version"),
+        col("o_orderpriority"), col("snap_day").as("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
+  def q71Oracle: String =
+    """WITH s AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS snap_day,
+      |    arg_max(o_orderpriority, o_orderkey) AS p
+      |  FROM orders GROUP BY 1, 2
+      |), m AS (
+      |  SELECT o_custkey, snap_day, p, lag(p) OVER w AS pp,
+      |    (lag(p) OVER w IS NULL AND row_number() OVER w = 1) AS first_row
+      |  FROM s WINDOW w AS (PARTITION BY o_custkey ORDER BY snap_day)
+      |), c AS (
+      |  SELECT * FROM m WHERE first_row OR p IS DISTINCT FROM pp
+      |)
+      |SELECT o_custkey, CAST(row_number() OVER w2 AS INTEGER) AS version,
+      |  p AS o_orderpriority, snap_day AS valid_from,
+      |  lead(snap_day) OVER w2 AS valid_to,
+      |  lead(snap_day) OVER w2 IS NULL AS is_current
+      |FROM c WINDOW w2 AS (PARTITION BY o_custkey ORDER BY snap_day)""".stripMargin
+
+  /** q72: events pivoted long→wide ([[Pivot.toWide]], the inverse of q04's
+    * melt): one row per day, per-type count and decimal-exact value sum
+    * columns. Values are the pinned five-type header — no discovery scan.
+    * Counts coalesce to 0 (an absent cell is "no events", not unknown);
+    * sums stay null-when-absent and exit as canonical doubles.
+    */
+  def q72PivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("event_date"), col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+    val wide = Pivot.toWide(ev, Seq("event_date"), "event_type", types,
+      Seq(count(lit(1)).as("cnt"), sum(col("v")).as("val")))
+    wide.select(col("event_date") +: types.flatMap(t => Seq(
+      coalesce(col(s"${t}_cnt"), lit(0L)).as(s"${t}_cnt"),
+      col(s"${t}_val").cast(DoubleType).as(s"${t}_val"))): _*)
+  }
+
+  def q72Oracle: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map { t =>
+      s"""  COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_val""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |$cols
+       |FROM events WHERE ts IS NOT NULL
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q73: revenue rollup over the region → nation hierarchy (GROUPING SETS
+    * — the mart serving layer's drill-down totals in ONE pass instead of
+    * three). Spark's `rollup` expands grains map-side and partial-aggs
+    * each, so the exchange carries (|nations| + |regions| + 1) cells per
+    * partition, not data; `grouping_id()` disambiguates genuinely-null
+    * group keys from subtotal rows, bit-compatible with DuckDB's
+    * GROUPING().
+    */
+  def q73RollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("int").as("lvl"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("rev"),
+        count(lit(1)).as("n_items"))
+      .select(col("r_name"), col("n_name"), col("lvl"),
+        col("rev").cast(DoubleType).as("revenue"), col("n_items"))
+  }
+
+  def q73Oracle: String =
+    """SELECT r.r_name, n.n_name,
+      |  CAST(GROUPING(r.r_name, n.n_name) AS INTEGER) AS lvl,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin
+
+  /** q77: CDC round trip — diff the corpus's first two daily per-user
+    * activity snapshots (q59's frames), then [[SnapshotDiff.applyChanges]]
+    * the change set back onto day 1. The result must equal the day-2
+    * snapshot computed directly, which is exactly what the oracle does:
+    * the gate proves diff∘apply ≡ identity across engines.
+    */
+  def q77CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+    val days = ev.agg(min(col("day")).as("d1"))
+      .select(col("d1"), date_add(col("d1"), 1).as("d2"))
+    def snapshot(dcol: String) = ev.join(broadcast(days), lit(true))
+      .filter(col("day") === col(dcol))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+    val before = snapshot("d1")
+    val changes = SnapshotDiff.diff(before, snapshot("d2"), keys = Seq("user_id"))
+    SnapshotDiff.applyChanges(before, changes, keys = Seq("user_id"))
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast(DoubleType).as("total_value"))
+  }
+
+  def q77Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE ts IS NOT NULL
+      |), dd AS (
+      |  SELECT MIN(day) + 1 AS d2 FROM ev
+      |)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM ev, dd WHERE day = d2 GROUP BY 1""".stripMargin
+
+  private val BloomM = 1 << 14
+  private val BloomK = 3
+
+  /** q78: Bloom-filter semi-join reduction ([[BloomFilter]]) — BUILDING-
+    * segment customers build a 16 Ki-bit filter; orders probe it BEFORE
+    * the exact join (at 100 TB: before their shuffle). Output per
+    * priority: how many orders the bloom admitted (candidates — includes
+    * its false positives), how many the exact join kept, and their
+    * decimal-exact revenue. The oracle rebuilds the identical bitmap from
+    * the same md5 positions, so both counts — including the fp margin —
+    * must agree bit-for-bit.
+    */
+  def q78BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bits = BloomFilter.build(dim, "c_custkey", BloomM, BloomK)
+    // cached: both the candidate-count and the exact-join branches consume
+    // the probed frame (released by Verify/Bench's OpCache scope)
+    val cand = graft.operators.OpCache.cache(Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderpriority", "o_totalprice")
+      .filter(BloomFilter.mightContain(col("o_custkey"), bits, BloomM, BloomK)))
+    val candCounts = cand.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("candidate_cnt"))
+    val matched = cand.join(dim, cand("o_custkey") === dim("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("matched_cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    candCounts.join(matched, "o_orderpriority")
+      .select(col("o_orderpriority"), col("candidate_cnt"), col("matched_cnt"),
+        col("rev").cast(DoubleType).as("revenue"))
+  }
+
+  def q78Oracle: String = {
+    val is = (0 until BloomK).map(i => s"($i)").mkString(", ")
+    s"""WITH dim AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       |), hk AS (SELECT i FROM (VALUES $is) v(i)),
+       |bloom AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':bf' || i), 1, 8) AS BIGINT) % $BloomM AS p
+       |  FROM dim CROSS JOIN hk
+       |), cand AS (
+       |  SELECT o_custkey, o_orderpriority, o_totalprice FROM orders o
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM hk
+       |    WHERE CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR) || ':bf' || hk.i), 1, 8) AS BIGINT) % $BloomM
+       |      NOT IN (SELECT p FROM bloom))
+       |), cc AS (
+       |  SELECT o_orderpriority, COUNT(*) AS candidate_cnt FROM cand GROUP BY 1
+       |), mm AS (
+       |  SELECT o_orderpriority, COUNT(*) AS matched_cnt,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM cand JOIN dim ON cand.o_custkey = dim.c_custkey GROUP BY 1
+       |)
+       |SELECT cc.o_orderpriority, cc.candidate_cnt, mm.matched_cnt,
+       |  CAST(mm.rev AS DOUBLE) AS revenue
+       |FROM cc JOIN mm USING (o_orderpriority)""".stripMargin
+  }
+}
