@@ -77,4 +77,24 @@ object Analytics {
         datediff(col("__day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
+
+  /** First-order transition matrix over each user's event sequence: counts
+    * of consecutive (from_type → to_type) bigrams — the user-journey /
+    * Markov-path dashboard family.
+    *
+    * One shuffle on the user key (lag window, per-user bounded), then a
+    * partial-agg count on the |types|² matrix — the exchange after the
+    * window carries matrix cells, not events. `orderCols` must totally
+    * order each user's events (ts plus a unique tiebreak) or bigrams are
+    * nondeterministic under ties.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
+                       orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix needs ordering columns")
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    df.withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+  }
 }

@@ -128,4 +128,52 @@ object Quantiles {
     wide.select(col("g").as(groupCol), explode(array(entries: _*)).as("e"))
       .select(col(groupCol), col("e.q").as("q"), col("e.value").as("value"))
   }
+
+  /** Approximate quantiles from a FIXED-WIDTH histogram sketch — the
+    * mergeable scale path beside [[exactDiscrete]]'s exact two-phase
+    * prefix sum: bucket counts are one partial-agg pass (≤ `buckets` rows
+    * cross the exchange regardless of input size), they MERGE by addition
+    * across partitions/days like the other sketches, and the estimate
+    * reads the cumulative histogram. Error is bounded by the bucket width
+    * ((hi-lo)/buckets) — all integer arithmetic, so any engine reproduces
+    * it bit-for-bit (no t-digest centroid drift).
+    *
+    * Values outside [lo, hi) clamp into the edge buckets (their rank mass
+    * still counts; their position error is unbounded — size the domain).
+    * Returns one row per requested quantile: (q, bucket_lo) where
+    * bucket_lo is the lower bound of the bucket holding rank ⌈q·n⌉.
+    */
+  def approxByHistogram(df: DataFrame, valueCol: Column, qs: Seq[Double],
+                        lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: ${qs.mkString(", ")}")
+    require(lo < hi && buckets > 0, s"bad histogram domain [$lo,$hi)x$buckets")
+    val width = (hi - lo + buckets - 1) / buckets // ceil: covers the domain
+    import org.apache.spark.sql.expressions.Window
+    // floor division, spelled out: Spark's `/` on longs is TRUE division
+    // (double); floor of it equals integer division here because value and
+    // width are exact ≤2^53 longs (width ≫ double ulp at quotient scale)
+    val bucket = least(greatest(
+      floor((valueCol.cast("long") - lo) / width).cast("long"), lit(0L)),
+      lit(buckets - 1L))
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+    // cumulative over ≤ `buckets` rows — bounded by the sketch size, not
+    // the data; the single-partition window is the same bounded-smallness
+    // argument as exactDiscrete's P-row driver offsets
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val qCols = qs.zipWithIndex.map { case (q, i) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n").cast("double")).cast("long"),
+        col("b"))).as(s"q_$i")
+    }
+    val wide = cum.agg(qCols.head, qCols.tail: _*)
+    val entries = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"), (lit(lo) + col(s"q_$i") * width).as("bucket_lo"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.q").as("q"), col("e.bucket_lo").as("bucket_lo"))
+  }
 }

@@ -60,4 +60,25 @@ object Sampling {
       hashBucket(concat(col(idCol).cast("string"), lit(":"), col(stratumCol)),
         100, ":stratum") < pct)
   }
+
+  /** EXACTLY-k deterministic uniform sample: the k rows with the smallest
+    * md5(id + salt) (id as tiebreak — total order, so the kept set is
+    * unique). Rate-based sampling ([[deterministicSample]]) can't hit an
+    * exact count ("budget is 10k eval documents"); hash-ranking can, stays
+    * reproducible across engines/runs/layouts, and — because the hash
+    * order is fixed — growing k only ever ADDS rows to the sample.
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject — each
+    * partition keeps its local top-k and the driver merges P·k bounded
+    * rows; no global sort of the data ever happens.
+    */
+  def deterministicExactK(df: DataFrame, idCol: String, k: Int,
+                          salt: String): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    df.withColumn("__h",
+        md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .drop("__h")
+  }
 }

@@ -43,4 +43,38 @@ object Stats {
         sqrt((nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
           (nD * dbl("syy") - dbl("sy") * dbl("sy")))).as("pearson_r"))
   }
+
+  /** Rolling z-score anomaly signal over an ORDERED series: each row's
+    * value against the mean/stddev of the `n` PRECEDING rows (current row
+    * excluded — the anomaly must not contaminate its own baseline).
+    *
+    * Same exact-moment discipline as [[pearson]]: the windowed Σx and Σx²
+    * accumulate as exact decimals (`valueCol` must be integral-valued —
+    * scale money to cents first) and ONE fixed-order double formula reads
+    * them out; sqrt/÷ are correctly-rounded IEEE ops, so any engine
+    * mirroring the textual formula agrees bitwise. Rows with an incomplete
+    * window or zero variance get a null z.
+    *
+    * The window is GLOBAL (no partition key) by design: the input is an
+    * already-aggregated series (e.g. revenue per day), bounded by the
+    * calendar, not by data volume — the same bounded-smallness argument as
+    * the histogram sketch's cumulative pass. Never point this at raw rows;
+    * aggregate to the series grain first.
+    */
+  def rollingZ(df: DataFrame, orderCol: Column, valueCol: Column,
+               n: Int, zCol: String = "z"): DataFrame = {
+    require(n >= 2, s"baseline window must have >= 2 rows, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCol).rowsBetween(-n, -1)
+    val x = valueCol.cast("decimal(18,0)")
+    val s1 = sum(x).over(w)
+    val s2 = sum(x * x).over(w)
+    val cnt = count(x).over(w)
+    val nD = cnt.cast("double")
+    // textual formula mirrored by oracles: var = (s2 - s1*s1/n) / (n-1)
+    val variance = (s2.cast("double") -
+      s1.cast("double") * s1.cast("double") / nD) / (nD - lit(1.0))
+    val z = (x.cast("double") - s1.cast("double") / nD) / sqrt(variance)
+    df.withColumn(zCol, when(cnt === n && variance > 0, z))
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.{Analytics, Funnel}
@@ -62,4 +63,72 @@ object BehaviorQueries {
        |  UNION ALL
        |  SELECT 3, '${FunnelStages(2)}', (SELECT COUNT(*) FROM s3)
        |) WHERE users > 0""".stripMargin
+
+  /** q82: first-order event-transition matrix
+    * ([[Analytics.transitionMatrix]]): counts of consecutive
+    * (from → to) event-type bigrams per user, totally ordered by
+    * (ts, event_id) so ties are deterministic in both engines.
+    */
+  def q82Transitions(spark: SparkSession, dir: String): DataFrame =
+    Analytics.transitionMatrix(
+      Tables.events(spark, dir).filter(col("ts").isNotNull),
+      "user_id", "event_type", Seq(col("ts"), col("event_id")))
+
+  def q82Oracle: String =
+    """WITH seq AS (
+      |  SELECT event_type, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE ts IS NOT NULL
+      |)
+      |SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS transitions
+      |FROM seq WHERE prev IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q83: rolling z-score anomaly days ([[graft.operators.Stats.rollingZ]])
+    * — each day's event-value total against the mean/σ of the 7 preceding
+    * days, moments exact in decimal, one textually-mirrored double
+    * formula at the edge (sqrt and ÷ are correctly-rounded IEEE ops, so
+    * the oracle's identical expression agrees bitwise). Null z = warm-up
+    * rows (< 7 prior days) or a zero-variance baseline.
+    */
+  def q83AnomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    val daily = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("day_value"))
+      .select(col("day"),
+        (col("day_value") * 100).cast("long").as("value_cents"))
+    Stats.rollingZ(daily, col("day"), col("value_cents"), n = 7)
+      .select(col("day"), col("value_cents"), col("z"),
+        coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+  }
+
+  def q83Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+      |), m AS (
+      |  SELECT day, value_cents,
+      |    SUM(CAST(value_cents AS DECIMAL(18,0))) OVER w AS s1,
+      |    SUM(CAST(value_cents AS DECIMAL(18,0)) * CAST(value_cents AS DECIMAL(18,0))) OVER w AS s2,
+      |    COUNT(value_cents) OVER w AS cnt
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |), z AS (
+      |  -- decimal moments reach double via VARCHAR: DuckDB's direct
+      |  -- decimal→double cast double-rounds above 2^53 (s2 ≈ 7·(1e9)²
+      |  -- exceeds it); the string parse is correctly rounded, matching
+      |  -- Spark's Decimal.toDouble (same trap as q67)
+      |  SELECT day, value_cents, cnt,
+      |    (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |      / (CAST(cnt AS DOUBLE) - 1.0) AS var,
+      |    (CAST(value_cents AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(cnt AS DOUBLE)) AS dev
+      |  FROM m
+      |)
+      |SELECT day, value_cents,
+      |  CASE WHEN cnt = 7 AND var > 0 THEN dev / sqrt(var) END AS z,
+      |  COALESCE(abs(CASE WHEN cnt = 7 AND var > 0 THEN dev / sqrt(var) END) > 2.0, FALSE) AS is_anomaly
+      |FROM z""".stripMargin
 }

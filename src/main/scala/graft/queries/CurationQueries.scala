@@ -195,4 +195,19 @@ object CurationQueries {
       |GROUP BY fingerprint
       |HAVING SUM(CASE WHEN split_name = 'train' THEN 1 ELSE 0 END) > 0
       |   AND SUM(CASE WHEN split_name = 'eval' THEN 1 ELSE 0 END) > 0""".stripMargin
+
+  /** q79: EXACTLY-100 deterministic uniform sample of the corpus
+    * ([[Sampling.deterministicExactK]]): the 100 docs with the smallest
+    * salted md5 — reproducible anywhere, grows monotonically with k, and
+    * plans as TakeOrderedAndProject (per-partition top-k, no global sort).
+    */
+  def q79HashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicExactK(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", k = 100, salt = ":x79")
+
+  def q79Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |ORDER BY md5(CAST(doc_id AS VARCHAR) || ':x79'), doc_id
+      |LIMIT 100""".stripMargin
 }

@@ -494,4 +494,40 @@ object MartQueries {
       |WHERE r.r_name = 'ASIA'
       |  AND o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
       |GROUP BY n.n_name""".stripMargin
+
+  private val HistLo = 0L
+  private val HistHi = 50000000L // order totals cap at ~$500k = 5e7 cents
+  private val HistBuckets = 1000
+  private val HistWidth = (HistHi - HistLo + HistBuckets - 1) / HistBuckets
+
+  /** q85: approximate quantiles from the mergeable fixed-width histogram
+    * sketch ([[graft.operators.Quantiles.approxByHistogram]]) — q62's
+    * exact percentiles' scale sibling: one partial-agg pass whose
+    * exchange carries ≤1000 bucket counts, error bounded by the $500
+    * bucket width, counts merge by addition across days/partitions.
+    * Integer arithmetic end-to-end; the oracle replays the histogram.
+    */
+  def q85ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.approxByHistogram(
+      Tables.orders(spark, dir), totalPriceCents(),
+      qs = Seq(0.5, 0.9, 0.99), lo = HistLo, hi = HistHi, buckets = HistBuckets)
+
+  def q85Oracle: String =
+    s"""WITH v AS (
+       |  SELECT ${totalPriceCentsSql()} AS cents
+       |  FROM orders WHERE o_totalprice IS NOT NULL
+       |), b AS (
+       |  SELECT LEAST(GREATEST((cents - $HistLo) // $HistWidth, 0), ${HistBuckets - 1}) AS b
+       |  FROM v
+       |), counts AS (
+       |  SELECT b, COUNT(*) AS c FROM b GROUP BY 1
+       |), cum AS (
+       |  SELECT b, SUM(c) OVER (ORDER BY b) AS cumc, SUM(c) OVER () AS n FROM counts
+       |), qs AS (
+       |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q
+       |)
+       |SELECT q, $HistLo + MIN(b) * $HistWidth AS bucket_lo
+       |FROM cum CROSS JOIN qs
+       |WHERE cumc >= CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT)
+       |GROUP BY q""".stripMargin
 }

@@ -203,4 +203,39 @@ object TextQueries {
       |    ORDER BY score DESC, term ASC) AS INTEGER) AS rank
       |  FROM scored
       |) WHERE rank <= 3""".stripMargin
+
+  /** q84: inverted-index postings — one row per term: document frequency
+    * and the first 20 doc ids of the sorted posting list (emitted as a
+    * '-'-joined string, the exact representation both engines can build).
+    * The (term, doc) distinct is a partial-agg shuffle on the term; the
+    * posting-list cap bounds every output row, the standard guard against
+    * stopword-grade terms exploding a row (at full corpus scale the cap
+    * is what keeps the index frame navigable).
+    */
+  def q84Postings(spark: SparkSession, dir: String): DataFrame = {
+    val termDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(TextFns.normalizeText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    termDocs.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"),
+        array_join(
+          slice(transform(sort_array(collect_set(col("doc_id"))),
+            _.cast("string")), 1, 20), "-").as("postings_head"))
+  }
+
+  def q84Oracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents WHERE text IS NOT NULL
+      |), td AS (
+      |  SELECT DISTINCT doc_id, term FROM raw
+      |)
+      |SELECT term, COUNT(*) AS doc_freq,
+      |  array_to_string(list_sort(list(doc_id))[1:20], '-') AS postings_head
+      |FROM td
+      |WHERE len(term) > 0
+      |GROUP BY term""".stripMargin
 }

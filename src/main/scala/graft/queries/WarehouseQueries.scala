@@ -208,4 +208,90 @@ object WarehouseQueries {
        |  CAST(mm.rev AS DOUBLE) AS revenue
        |FROM cc JOIN mm USING (o_orderpriority)""".stripMargin
   }
+
+  /** q80: cross-table expectation suite ([[graft.operators.Expectations]])
+    * — referential integrity (lineitem→orders, orders→customer orphans),
+    * key uniqueness, accepted values, date-range membership, plus two
+    * null-scans that REALLY fire on this corpus (events.ts, documents.text
+    * both contain nulls), so the report carries failing rows, not just a
+    * wall of green.
+    */
+  def q80Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    report(Seq(
+      "lineitem_orphan_orders" ->
+        orphans(lineitem.select("l_orderkey"), Seq("l_orderkey"),
+          orders.select("o_orderkey"), Seq("o_orderkey")),
+      "orders_orphan_customers" ->
+        orphans(orders.select("o_custkey"), Seq("o_custkey"),
+          customer.select("c_custkey"), Seq("c_custkey")),
+      "orders_duplicate_keys" ->
+        duplicateKeys(orders, Seq("o_orderkey")),
+      "orders_bad_status" ->
+        notAccepted(orders, "o_orderstatus", Seq("O", "F", "P")),
+      "orders_date_out_of_range" ->
+        violating(orders, col("o_orderdate") >= lit("1992-01-01") &&
+          col("o_orderdate") < lit("2002-01-01")),
+      "events_null_ts" ->
+        violating(Tables.events(spark, dir), col("ts").isNotNull),
+      "documents_null_text" ->
+        violating(Tables.documents(spark, dir), col("text").isNotNull)))
+  }
+
+  def q80Oracle: String =
+    """WITH checks AS (
+      |  SELECT 'lineitem_orphan_orders' AS check_name,
+      |    (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NULL OR NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS violations
+      |  UNION ALL
+      |  SELECT 'orders_orphan_customers',
+      |    (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NULL OR NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'orders_duplicate_keys',
+      |    (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+      |  UNION ALL
+      |  SELECT 'orders_bad_status',
+      |    (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)
+      |  UNION ALL
+      |  SELECT 'orders_date_out_of_range',
+      |    (SELECT COUNT(*) FROM orders WHERE NOT COALESCE(
+      |      o_orderdate >= '1992-01-01' AND o_orderdate < '2002-01-01', FALSE))
+      |  UNION ALL
+      |  SELECT 'events_null_ts', (SELECT COUNT(*) FROM events WHERE ts IS NULL)
+      |  UNION ALL
+      |  SELECT 'documents_null_text', (SELECT COUNT(*) FROM documents WHERE text IS NULL)
+      |)
+      |SELECT check_name, violations, violations = 0 AS passed FROM checks""".stripMargin
+
+  /** q81: incremental aggregate maintenance ([[graft.operators.IncrementalAgg]])
+    * — the running per-priority mart over all days but the last, merged
+    * with the last day's delta agg; the gate proves merge(agg(hist),
+    * agg(delta)) == agg(all) exactly (the oracle aggregates the whole
+    * table directly). Decimal revenue + long counts: the additive monoid.
+    */
+  def q81IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+    val maxDay = o.agg(max(col("day")).as("maxd"))
+    val withMax = o.join(broadcast(maxDay), lit(true))
+    def aggOf(pred: org.apache.spark.sql.Column) = withMax.filter(pred)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev"))
+    val merged = IncrementalAgg.merge(
+      aggOf(col("day") < col("maxd")), aggOf(col("day") === col("maxd")),
+      keys = Seq("o_orderpriority"))
+    merged.select(col("o_orderpriority"), col("n_orders"),
+      col("rev").cast(DoubleType).as("revenue"))
+  }
+
+  def q81Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
 }

@@ -4,7 +4,8 @@ import java.sql.Date
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, BloomFilter, Funnel, Pivot, Scd2, SnapshotDiff}
+import graft.operators.{Analytics, BloomFilter, Expectations, Funnel,
+  IncrementalAgg, Pivot, Quantiles, Sampling, Scd2, SnapshotDiff, Stats}
 import graft.operators.dedup.EditDistance
 
 /** Specs for the round-8 warehouse/behavior operators: SCD2 history,
@@ -148,5 +149,92 @@ class WarehouseSpec extends SparkSpec {
       .collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(pairs.head.getInt(2) == 1)
+  }
+
+  test("Expectations: orphans (incl. null FKs), duplicates, accepted values") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val orphan = Expectations.orphans(child, Seq("fk"), parent, Seq("pk"))
+    assert(orphan.collect().map(r => Option(r.get(0))).toSet ==
+      Set(Some(9L), None))
+    val dup = Expectations.duplicateKeys(child, Seq("fk"))
+    assert(dup.collect().map(_.getLong(1)).toSeq == Seq(2L)) // fk=1 twice
+    val rep = Expectations.report(Seq(
+      "orphans" -> orphan,
+      "no_fk_over_100" -> Expectations.violating(child, col("fk") <= 100)))
+    assert(rep.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("orphans" -> 2L, "no_fk_over_100" -> 1L)) // null fk violates predicate
+  }
+
+  test("IncrementalAgg.merge(agg(D1), agg(D2)) == agg(D1 union D2)") {
+    val d1 = Seq(("a", 1L, BigDecimal("10.50")), ("b", 1L, BigDecimal("2.00")))
+      .toDF("k", "n", "v")
+    val d2 = Seq(("a", 2L, BigDecimal("0.25")), ("c", 5L, BigDecimal("7.00")))
+      .toDF("k", "n", "v")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("n").as("n"), sum("v").as("v"))
+    val merged = IncrementalAgg.merge(aggOf(d1), aggOf(d2), Seq("k"))
+    val direct = aggOf(d1.unionByName(d2))
+    assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    assert(merged.schema == direct.schema) // types survive the merge
+  }
+
+  test("transitionMatrix counts ordered bigrams per user") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      (2L, 4L, ts("2024-01-01 09:00:00"), "a"),
+      (2L, 5L, ts("2024-01-01 09:01:00"), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val m = Analytics.transitionMatrix(ev, "user_id", "event_type",
+      Seq(col("ts"), col("event_id"))).collect()
+    assert(m.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap ==
+      Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("Stats.rollingZ: warm-up and zero-variance rows are null, spike flags") {
+    val rows = ((1 to 10).map(d => (d, 100L)) :+ ((11, 500L))) // flat then spike
+      .toDF("d", "v")
+    val z = Stats.rollingZ(rows, col("d"), col("v"), n = 3).orderBy("d").collect()
+    // rows 1-3: incomplete window; rows 4-11 over flat baseline: var=0 → null
+    assert(z.take(3).forall(_.isNullAt(2)))
+    assert(z.slice(3, 10).forall(_.isNullAt(2))) // zero variance
+    // give the baseline variance, then measure the spike
+    val rows2 = Seq((1, 100L), (2, 110L), (3, 90L), (4, 105L), (5, 500L))
+      .toDF("d", "v")
+    val z2 = Stats.rollingZ(rows2, col("d"), col("v"), n = 3).orderBy("d").collect()
+    assert(!z2(4).isNullAt(2) && z2(4).getDouble(2) > 2.0)
+  }
+
+  test("Quantiles.approxByHistogram lands within one bucket of exact") {
+    val vals = (1L to 10000L).toDF("v")
+    val approx = Quantiles.approxByHistogram(vals, col("v"),
+        qs = Seq(0.5, 0.99), lo = 0L, hi = 10000L, buckets = 100)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    // exact p50 = 5000, p99 = 9900; bucket width 100 → lower bound within it
+    assert(math.abs(approx(0.5) - 5000L) <= 100)
+    assert(math.abs(approx(0.99) - 9900L) <= 100)
+    // out-of-domain values clamp into edge buckets, rank mass preserved
+    val clamped = Quantiles.approxByHistogram(
+        Seq(-50L, 1L, 2L, 3L, 99999L).toDF("v"), col("v"),
+        qs = Seq(1.0), lo = 0L, hi = 100L, buckets = 10)
+      .collect()
+    assert(clamped.head.getLong(1) == 90L) // top bucket holds the overflow
+  }
+
+  test("Sampling.deterministicExactK: exact k, monotone in k, id-stable") {
+    val df = (1L to 1000L).toDF("id")
+    val k50 = Sampling.deterministicExactK(df, "id", 50, ":t").collect()
+      .map(_.getLong(0)).toSet
+    val k100 = Sampling.deterministicExactK(df, "id", 100, ":t").collect()
+      .map(_.getLong(0)).toSet
+    assert(k50.size == 50 && k100.size == 100)
+    assert(k50.subsetOf(k100)) // growing the budget only adds rows
+    // reproducible across a different physical layout
+    val k50b = Sampling.deterministicExactK(df.repartition(7), "id", 50, ":t")
+      .collect().map(_.getLong(0)).toSet
+    assert(k50b == k50)
   }
 }
