@@ -196,23 +196,67 @@ object StreamJoin {
   */
 object UpsertSink {
   def mergeBatch(targetPath: String, keys: Seq[String])
-                (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+                (batch: DataFrame, batchId: Long): Unit =
+    SwapWrite.replace(batch.sparkSession, targetPath, batchId) {
+      case Some(current) => Upsert.merge(current, batch.dropDuplicates(keys), keys)
+      case None          => batch.dropDuplicates(keys)
+    }
+}
+
+/** Continuous incremental-agg mart maintenance: the streaming twin of
+  * [[graft.operators.IncrementalAgg]] (as [[StreamOps.streamingHllRegisters]]
+  * is of the HLL sketch). Each micro-batch is aggregated to the mart grain
+  * by `aggOf` and FOLDED into the running state — per-batch cost is
+  * ∝ |state| + |batch|, never the stream's history, which is the whole
+  * point of maintaining a mart continuously instead of re-aggregating it.
+  *
+  * Unlike the upsert sink, addition is NOT naturally idempotent: a
+  * foreachBatch retry that re-added its delta would double-count. The
+  * batch-id marker inside [[SwapWrite]] makes retried micro-batches no-ops,
+  * restoring effectively-once maintenance on a plain filesystem.
+  */
+object AggMaintenanceSink {
+  def maintainBatch(targetPath: String, keys: Seq[String],
+                    aggOf: DataFrame => DataFrame)
+                   (batch: DataFrame, batchId: Long): Unit =
+    SwapWrite.replace(batch.sparkSession, targetPath, batchId) {
+      case Some(state) => graft.operators.IncrementalAgg.merge(state, aggOf(batch), keys)
+      case None        => aggOf(batch)
+    }
+}
+
+/** Crash-recoverable full-replace of a parquet dir, shared by the
+  * foreachBatch sinks.
+  *
+  * Swap protocol: write staging → move current target to a backup → move
+  * staging in → drop backup. This is NOT atomic (plain filesystems have no
+  * multi-dir transactions) but every crash window leaves a recoverable
+  * full copy: either the backup or the staging dir still holds the merged
+  * history. A `_graft_applied_<batchId>` marker travels inside each
+  * written dir; a retried micro-batch whose marker is already in the
+  * target returns without touching state (idempotent replay — REQUIRED
+  * for additive sinks, a free remerge-skip for idempotent ones). Use a
+  * transactional table format for true exactly-once guarantees.
+  */
+private[streaming] object SwapWrite {
+  def replace(spark: SparkSession, targetPath: String, batchId: Long)
+             (next: Option[DataFrame] => DataFrame): Unit = {
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(targetPath)
     val backup = new Path(s"$targetPath-backup")
     // Crash/retry recovery: a failed swap can leave the merged history only
     // in the backup dir. Restore it FIRST — merging from the raw batch
-    // alone and then deleting the backup would discard all prior upserts.
+    // alone and then deleting the backup would discard all prior merges.
     if (!fs.exists(target) && fs.exists(backup))
       require(fs.rename(backup, target), s"restore $backup -> $target failed")
-    val deduped = batch.dropDuplicates(keys)
+    val marker = s"_graft_applied_$batchId"
+    if (fs.exists(new Path(target, marker))) return // retry of an applied batch
     val merged =
-      if (fs.exists(target))
-        Upsert.merge(spark.read.parquet(targetPath), deduped, keys)
-      else deduped
+      if (fs.exists(target)) next(Some(spark.read.parquet(targetPath)))
+      else next(None)
     val staging = new Path(s"$targetPath-staging-$batchId")
     merged.write.mode("overwrite").parquet(staging.toString)
+    fs.create(new Path(staging, marker)).close()
     // HDFS-style filesystems signal rename/delete failure by returning
     // false, not throwing — swallow it and the micro-batch is silently
     // dropped while the stream reports success. Fail loudly so the batch

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{Event, EventAggregates, Sessionize, StreamJoin, StreamingDedup, UpsertSink}
+import graft.streaming.{AggMaintenanceSink, Event, EventAggregates, Sessionize, StreamJoin, StreamingDedup, UpsertSink}
 
 /** Minimal event row carrying the ids [[StreamJoin.attribute]] selects. */
 final case class EvRow(user_id: Long, event_id: Long, ts: Timestamp,
@@ -191,6 +191,35 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
       "history row k=1 survived the crashed swap")
     assert(!fs.exists(new Path(s"$target-backup")))
+  }
+
+  test("AggMaintenanceSink maintains a running mart; retried batches are no-ops") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("agg_maint").toString
+    val target = s"$dir/mart"
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+    val stream = MemoryStream[(String, Long)]
+    val q = stream.toDF().toDF("k", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(AggMaintenanceSink.maintainBatch(target, Seq("k"), aggOf) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    def mart() = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      stream.addData(("a", 1L), ("a", 2L), ("b", 5L)); q.processAllAvailable()
+      stream.addData(("a", 10L), ("c", 7L)); q.processAllAvailable()
+      // running state == the aggregate of everything ever streamed
+      assert(mart() == Map("a" -> ((3L, 13L)), "b" -> ((1L, 5L)), "c" -> ((1L, 7L))))
+      // a foreachBatch RETRY of an already-applied batch id must not
+      // double-add its delta (addition is not idempotent; the marker is)
+      AggMaintenanceSink.maintainBatch(target, Seq("k"), aggOf)(
+        Seq(("a", 100L)).toDF("k", "v"), batchId = 1L)
+      assert(mart() == Map("a" -> ((3L, 13L)), "b" -> ((1L, 5L)), "c" -> ((1L, 7L))),
+        "retried batch 1 must be a no-op")
+    } finally q.stop()
   }
 
   test("StreamingDedup drops re-delivered keys within the watermark, bounded state") {
