@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object BloomFilter {
 
+  /** Bitmap size for an expected build-side key count: the next power of
+    * two ≥ 16 bits/key (k=3 → ~0.1–0.5% false positives). Size m from the
+    * ACTUAL dim count — the build side is dim-sized, so counting it first
+    * is cheap, while a FIXED m silently saturates when the dim grows: the
+    * 10× scale probe measured exactly that (fill → 1, fp → 1, and the
+    * "prefilter" admits everything — correct results, zero reduction).
+    * Capped at 2^28 bits (32 MiB) — beyond that, ship Spark's built-in
+    * runtime bloom or a semi-join instead of a literal.
+    */
+  def mFor(expectedKeys: Long): Int = {
+    require(expectedKeys > 0, s"expectedKeys must be positive, got $expectedKeys")
+    var m = 1024
+    while (m < 16L * expectedKeys && m < (1 << 28)) m <<= 1
+    m
+  }
+
   /** The k bit positions of a key: md5 of "<key>:bf<i>", first 8 hex chars
     * as an integer, mod m — reproducible in any engine with md5.
     */

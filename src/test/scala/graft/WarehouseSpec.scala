@@ -85,6 +85,21 @@ class WarehouseSpec extends SparkSpec {
     assert(probed.count() < fact.count())
   }
 
+  test("BloomFilter.mFor keeps false positives low where a fixed m saturates") {
+    val n = 20000
+    val dim = (1L to n.toLong).toDF("key")
+    val nonMembers = (1000001L to 1020000L).toDF("key")
+    def fpRate(m: Int): Double = {
+      val bits = BloomFilter.build(dim, "key", m, 3)
+      nonMembers.filter(BloomFilter.mightContain(col("key"), bits, m, 3))
+        .count().toDouble / n
+    }
+    val sized = fpRate(BloomFilter.mFor(n)) // 16 bits/key
+    val fixedSmall = fpRate(1 << 12)        // 0.2 bits/key: saturated
+    assert(sized < 0.01, s"sized-m fp rate $sized")
+    assert(fixedSmall > 0.9, s"saturated filter should admit ~everything, fp=$fixedSmall")
+  }
+
   test("Funnel: strict ordering — a purchase before the first view does not convert") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
