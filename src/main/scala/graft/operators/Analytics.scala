@@ -97,4 +97,54 @@ object Analytics {
       .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("transitions"))
   }
+
+  /** Per-key activity-coverage audit: for each key, the active span
+    * (first..last day), how many distinct days were active, and how many
+    * were MISSED inside the span — the completeness complement of the
+    * retention triangle ("which users/feeds went dark mid-span"), and the
+    * per-entity analog of the backfill driver's missing-partition problem.
+    *
+    * Pure arithmetic on ONE partial-agg pass (min/max/distinct-day count
+    * per key) — the calendar is never exploded, so the cost is the
+    * aggregation's, independent of span length.
+    */
+  def coverageGaps(df: DataFrame, keyCol: String, dateCol: String): DataFrame =
+    df.filter(col(dateCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("first_day"), max(col(dateCol)).as("last_day"),
+        countDistinct(col(dateCol)).as("active_days"))
+      .withColumn("span_days",
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+      .withColumn("missing_days", col("span_days") - col("active_days"))
+
+  /** Time-weighted average: each observation weighted by its holding time
+    * (micros until the NEXT observation of the same key — the last one
+    * carries no duration), the metric that answers "what was the average
+    * price/rate OVER TIME" where a row-mean overweights bursty ticks.
+    * The reference's FX-rate feed is exactly such an irregular series.
+    *
+    * One shuffle on the key (lead window), then exact decimal Σ(v·w) and
+    * long Σw per key with a single double division at the edge — the same
+    * moment discipline as [[graft.operators.Stats]]. Keys with a single
+    * observation have no holding time and produce no output row.
+    * `tieCols` must break timestamp ties into a total order: under a tie
+    * one row gets zero duration and the other the gap, so WHICH is which
+    * must be deterministic or Σ(v·w) isn't.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: Column, tieCols: Seq[String]): DataFrame = {
+    val base = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol) +: unix_micros(col(tsCol)).as("__t") +:
+        valueCol.cast("decimal(18,2)").as("__v") +: tieCols.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t") +: tieCols.map(col): _*)
+    base
+      .withColumn("__w", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("__w").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__v") * col("__w")).as("__sv"), sum(col("__w")).as("__sw"))
+      .select(col(keyCol), col("n_intervals"),
+        (col("__sv").cast("double") / col("__sw").cast("double")).as("twap"))
+  }
 }

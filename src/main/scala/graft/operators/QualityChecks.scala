@@ -62,4 +62,28 @@ object QualityChecks {
   /** Drop rows with null critical fields (ref transform_tiki.py:595). */
   def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.na.drop("any", keys)
+
+  /** Join-cardinality guard: returns `df` unchanged but FAILS THE JOB the
+    * moment any key tuple occurs more than once — wrap a dim before an
+    * enrichment join and a fan-out bug (the classic silent row-multiplier:
+    * a "1:N" join that was supposed to be N:1) dies loudly at the first
+    * duplicate instead of shipping doubled metrics downstream.
+    *
+    * Cost: one partial-agg count on the keys plus a join back — dim-sized,
+    * the same price as the upsert that usually precedes it. The error
+    * carries the offending key via a codegen'd raise_error, so the guard
+    * stays distributed (no driver-side validation scan).
+    */
+  def requireUniqueKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "requireUniqueKeys needs at least one key column")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    // the raise_error rides in a FILTER predicate: a projected-then-dropped
+    // column would be pruned by Catalyst without ever evaluating the check
+    val checked = counts.filter(
+      when(col("__n") > 1, raise_error(concat(
+          lit(s"duplicate key in supposedly-unique dim (${keys.mkString(",")}): "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
+        .otherwise(lit(true)))
+    df.join(checked.select(keys.map(col): _*), keys, "left_semi")
+  }
 }

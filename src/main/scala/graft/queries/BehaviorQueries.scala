@@ -131,4 +131,50 @@ object BehaviorQueries {
       |  CASE WHEN cnt = 7 AND var > 0 THEN dev / sqrt(var) END AS z,
       |  COALESCE(abs(CASE WHEN cnt = 7 AND var > 0 THEN dev / sqrt(var) END) > 2.0, FALSE) AS is_anomaly
       |FROM z""".stripMargin
+
+  /** q86: per-user activity-coverage audit ([[Analytics.coverageGaps]]) —
+    * users who went dark for days inside their own active span. Pure
+    * arithmetic on one partial-agg pass; the calendar is never exploded.
+    */
+  def q86ActivityGaps(spark: SparkSession, dir: String): DataFrame =
+    Analytics.coverageGaps(
+        Tables.events(spark, dir).filter(col("ts").isNotNull)
+          .select(col("user_id"), to_date(col("ts")).as("day")),
+        "user_id", "day")
+      .filter(col("missing_days") > 0)
+
+  def q86Oracle: String =
+    """SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day,
+      |  COUNT(DISTINCT day) AS active_days,
+      |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+      |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) - COUNT(DISTINCT day) AS missing_days
+      |FROM (SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE ts IS NOT NULL)
+      |GROUP BY user_id
+      |HAVING CAST(MAX(day) - MIN(day) + 1 AS BIGINT) - COUNT(DISTINCT day) > 0""".stripMargin
+
+  /** q89: per-user time-weighted average event value
+    * ([[Analytics.timeWeightedAvg]]) — each observation weighted by its
+    * holding time, the irregular-series mean a row-average gets wrong.
+    * Exact decimal Σ(v·w) with the VARCHAR decimal→double route (micros
+    * weights push the moment past 2^53).
+    */
+  def q89Twap(spark: SparkSession, dir: String): DataFrame =
+    Analytics.timeWeightedAvg(
+      Tables.events(spark, dir), "user_id", "ts", col("value"),
+      tieCols = Seq("event_id"))
+
+  def q89Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE ts IS NOT NULL
+      |), w AS (
+      |  SELECT user_id, v,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS w
+      |  FROM e
+      |)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(CAST(SUM(v * w) AS VARCHAR) AS DOUBLE) /
+      |    CAST(CAST(SUM(w) AS VARCHAR) AS DOUBLE) AS twap
+      |FROM w WHERE w IS NOT NULL
+      |GROUP BY user_id""".stripMargin
 }

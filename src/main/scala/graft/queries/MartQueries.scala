@@ -530,4 +530,74 @@ object MartQueries {
        |FROM cum CROSS JOIN qs
        |WHERE cumc >= CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT)
        |GROUP BY q""".stripMargin
+
+  /** q87: customer spend quartiles — ntile(4) over exact decimal lifetime
+    * spend (totally ordered by (spend desc, custkey) so bucket boundaries
+    * are deterministic), then per-quartile stats. The per-customer agg is
+    * partial-agg friendly; the ntile window runs over the CUSTOMER frame
+    * (dim-sized), not the fact.
+    */
+  def q87SpendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+    spend.withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("n_orders")).as("n_orders"),
+        min(col("spend")).cast(DoubleType).as("min_spend"),
+        max(col("spend")).cast(DoubleType).as("max_spend"),
+        sum(col("spend")).cast(DoubleType).as("total_spend"))
+  }
+
+  def q87Oracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |), q AS (
+      |  SELECT *, CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS INTEGER) AS quartile
+      |  FROM spend
+      |)
+      |SELECT quartile, COUNT(*) AS n_customers,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(MIN(spend) AS DOUBLE) AS min_spend,
+      |  CAST(MAX(spend) AS DOUBLE) AS max_spend,
+      |  CAST(SUM(spend) AS DOUBLE) AS total_spend
+      |FROM q GROUP BY 1""".stripMargin
+
+  /** q88: market-basket co-purchase pairs ([[graft.operators.Affinity]]) —
+    * top-20 part pairs by joint order count with exact lift. Pair fan-out
+    * is bounded per order by basket size (≤13 here), never by catalog
+    * size; ranking is TakeOrdered-bounded.
+    */
+  def q88CoPurchase(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Affinity.coOccurrence(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+      .orderBy(col("n_baskets").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+
+  def q88Oracle: String =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |), ic AS (
+      |  SELECT i, COUNT(*) AS cnt FROM bi GROUP BY 1
+      |), nb AS (
+      |  SELECT COUNT(DISTINCT b) AS nb FROM bi
+      |), pairs AS (
+      |  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets
+      |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+      |  GROUP BY 1, 2
+      |)
+      |SELECT item_a, item_b, n_baskets, ca.cnt AS n_a, cb.cnt AS n_b,
+      |  CAST(n_baskets * nb.nb AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN ic ca ON pairs.item_a = ca.i
+      |JOIN ic cb ON pairs.item_b = cb.i
+      |CROSS JOIN nb
+      |ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+      |LIMIT 20""".stripMargin
 }

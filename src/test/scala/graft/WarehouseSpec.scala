@@ -85,6 +85,68 @@ class WarehouseSpec extends SparkSpec {
     assert(probed.count() < fact.count())
   }
 
+  test("coverageGaps: span vs active days, no calendar explode") {
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-01"), (1L, "2024-01-05"),
+      (2L, "2024-01-03"))
+      .toDF("user_id", "day").withColumn("day", to_date(col("day")))
+    val out = graft.operators.Analytics.coverageGaps(ev, "user_id", "day")
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ==
+      Seq((1L, 2L, 5L, 3L), (2L, 1L, 1L, 0L))) // (active, span, missing)
+  }
+
+  test("timeWeightedAvg weights by holding time; ties resolved by tiebreak") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 10.0 held 10s, 20.0 held 30s → twap = (10*10 + 20*30)/40 = 17.5
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, 2L, ts("2024-01-01 00:00:10"), 20.0),
+      (1L, 3L, ts("2024-01-01 00:00:40"), 99.0), // last: no duration
+      // user 2: two events at the SAME instant — tiebreak by event_id
+      // gives the lower id zero duration deterministically
+      (2L, 4L, ts("2024-01-01 00:00:00"), 5.0),
+      (2L, 5L, ts("2024-01-01 00:00:00"), 7.0),
+      (2L, 6L, ts("2024-01-01 00:00:10"), 9.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.operators.Analytics.timeWeightedAvg(ev, "user_id", "ts",
+        col("value"), tieCols = Seq("event_id")).orderBy("user_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getDouble(2) == 17.5)
+    assert(out(1).getLong(1) == 2 && out(1).getDouble(2) == 7.0) // 5.0 zero-weighted
+  }
+
+  test("Affinity.coOccurrence: hand-computed lift; mega-baskets capped out") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 10L), // dup (1,10) collapses
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L))
+      .toDF("basket", "item")
+    val out = graft.operators.Affinity.coOccurrence(li, "basket", "item")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // (10,20): together in 2 of 3 baskets; n_10=3, n_20=2 → lift 2*3/(3*2)=1
+    assert(out((10L, 20L)) == ((2L, 3L, 2L, 1.0)))
+    assert(out((10L, 30L)) == ((1L, 3L, 1L, 1.0)))
+    // a mega-basket is excluded entirely rather than exploding quadratically
+    val withMega = li.unionByName(
+      (1L to 50L).map(i => (9L, 1000L + i)).toDF("basket", "item"))
+    val capped = graft.operators.Affinity.coOccurrence(withMega, "basket", "item",
+      maxBasketSize = 10)
+    assert(capped.filter(col("item_a") >= 1000L).count() == 0)
+  }
+
+  test("requireUniqueKeys passes unique dims and fails loudly on duplicates") {
+    import graft.operators.QualityChecks
+    val unique = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(QualityChecks.requireUniqueKeys(unique, Seq("k")).count() == 2)
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val e = intercept[Exception] {
+      QualityChecks.requireUniqueKeys(dup, Seq("k")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate key")), e.getMessage)
+  }
+
   test("BloomFilter.mFor keeps false positives low where a fixed m saturates") {
     val n = 20000
     val dim = (1L to n.toLong).toDF("key")
