@@ -106,10 +106,70 @@ object DotProduct {
 
 /** SparkSessionExtensions entry point: register with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` to make
-  * `dot_product(a, b)` available in SQL.
+  * the graft function surface available from PLAIN SQL — `spark.sql(...)`
+  * users get the same operators the DataFrame API exposes, with identical
+  * semantics because each SQL name resolves to the very Column expression
+  * the Scala function builds (no parallel implementation to drift):
+  * `dot_product`/`shingle_hash` are the native codegen'd Expressions;
+  * the `parse_*`/text functions unfold into their built-in expression
+  * trees at resolution time, so they stay inside whole-stage codegen
+  * exactly like their DataFrame twins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("dot_product"), DotProduct.info,
-      DotProduct.builder))
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.Column
+  import graft.functions.{CleanFns, TextFns}
+
+  type Registration = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Adapt a Column-combinator to a FunctionRegistry builder: wrap the SQL
+    * call's child expressions as Columns, apply the combinator, unwrap.
+    */
+  private def col1(name: String, fn: Column => Column): Registration = {
+    val builder: Seq[Expression] => Expression = { children =>
+      require(children.size == 1, s"$name takes exactly 1 argument")
+      // Spark 4 Columns wrap ColumnNodes, not Expressions — adapt both
+      // ways through the sql-package bridge (ExpressionUtils is
+      // private[sql] in Spark 4)
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.toExpression(fn(GraftColumnBridge.toColumn(children.head)))
+    }
+    (FunctionIdentifier(name),
+      new ExpressionInfo(CleanFns.getClass.getName, name), builder)
+  }
+
+  private val shingleBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "shingle_hash takes exactly 1 argument")
+    ShingleHash(children.head, distinct = true)
+  }
+
+  /** The full SQL function surface, public so hosts that cannot set
+    * `spark.sql.extensions` at build time (e.g. an already-running
+    * session) can install it directly into a FunctionRegistry.
+    */
+  val registrations: Seq[Registration] = Seq(
+    (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder),
+    (FunctionIdentifier("shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
+      shingleBuilder)) ++ Seq[(String, Column => Column)](
+    "parse_sales_volume" -> CleanFns.parseSalesVolume,
+    "parse_discount_rate" -> CleanFns.parseDiscountRate,
+    "clean_price" -> CleanFns.cleanPrice,
+    "extract_category_id" -> CleanFns.extractCategoryId,
+    "extract_url_key" -> CleanFns.extractUrlKey,
+    "category_leaf" -> CleanFns.categoryLeaf,
+    "category_root" -> CleanFns.categoryRoot,
+    "category_depth" -> CleanFns.categoryDepth,
+    "language_id" -> TextFns.languageId,
+    "quality_score" -> TextFns.qualityScore,
+    "token_count_ws" -> TextFns.tokenCountWs,
+    "token_count_bpe" -> TextFns.tokenCountBpe,
+    "normalize_text" -> TextFns.normalizeText,
+    "doc_fingerprint" -> TextFns.fingerprint,
+    "redact_text" -> TextFns.redact
+  ).map { case (name, fn) => col1(name, fn) }
 }

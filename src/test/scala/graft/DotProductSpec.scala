@@ -37,6 +37,30 @@ class DotProductSpec extends SparkSpec {
     assert(row.getDouble(1) > 0.0)
   }
 
+  test("GraftExtensions registers the whole function surface for plain SQL") {
+    import graft.plans.GraftExtensions
+    GraftExtensions.registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    Tables.documents(spark, sf("0.001")).createOrReplaceTempView("docs_sql")
+    // each SQL name must produce EXACTLY the DataFrame twin's result
+    val sql = spark.sql(
+      """SELECT doc_id, language_id(text) AS lang_id, token_count_ws(text) AS n_tok,
+        |  doc_fingerprint(text) AS fp, size(shingle_hash(text)) AS n_shingles
+        |FROM docs_sql WHERE text IS NOT NULL""".stripMargin)
+    val df = Tables.documents(spark, sf("0.001")).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextFns.languageId(col("text")).as("lang_id"),
+        graft.functions.TextFns.tokenCountWs(col("text")).as("n_tok"),
+        graft.functions.TextFns.fingerprint(col("text")).as("fp"),
+        size(graft.operators.dedup.TextShingles.shingleHashes(col("text"))).as("n_shingles"))
+    assert(sql.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // the parser family resolves and evaluates from SQL too
+    val p = spark.sql(
+      "SELECT parse_sales_volume('Đã bán 1.5k') AS v, clean_price('1.234.567 ₫') AS p").head()
+    assert(p.getLong(0) == 1500L)
+  }
+
   test("null arrays yield null; mismatched lengths fail loudly") {
     import spark.implicits._
     val df = Seq(
