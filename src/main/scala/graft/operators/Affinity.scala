@@ -36,7 +36,10 @@ object Affinity {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBasketSize)
       .select(col("__b")))
-    val sized = bi.join(big, Seq("__b"), "left_anti")
+    // cached: feeds the item marginals, the basket count AND both pair-
+    // join sides — uncached, each consumer re-runs the distinct shuffle
+    // and the anti-join (same multi-consumer reasoning as WinnowDedup)
+    val sized = OpCache.cache(bi.join(big, Seq("__b"), "left_anti"))
     val itemCounts = OpCache.cache(
       sized.groupBy(col("__i")).agg(count(lit(1)).as("__cnt")))
     val nBaskets = sized.select(countDistinct(col("__b")).as("__nb"))

@@ -32,10 +32,15 @@ object Funnel {
     require(stages.distinct == stages, s"duplicate stage in $stages")
     val spark: SparkSession = df.sparkSession
     import spark.implicits._
+    // null users are droppable by definition (no identity to funnel) and
+    // would NPE the primitive-Long encoder below. The null test runs on
+    // the CAST result: a non-numeric id column nulls at the cast, after
+    // any pre-cast filter already passed
     val ev = df
       .filter(col(tsCol).isNotNull && col(typeCol).isin(stages: _*))
-      .select(col(userCol).cast("long"), unix_micros(col(tsCol)),
+      .select(col(userCol).cast("long").as("__u"), unix_micros(col(tsCol)),
         col(typeCol))
+      .filter(col("__u").isNotNull)
       .as[(Long, Long, String)]
     val stageArr = stages.toArray
     ev.groupByKey(_._1)

@@ -84,6 +84,11 @@ object QualityChecks {
           lit(s"duplicate key in supposedly-unique dim (${keys.mkString(",")}): "),
           concat_ws(",", keys.map(k => col(k).cast("string")): _*))))
         .otherwise(lit(true)))
-    df.join(checked.select(keys.map(col): _*), keys, "left_semi")
+      .select(keys.map(k => col(k).as(s"__k_$k")): _*)
+    // null-SAFE semi-join: the plain `keys` join would silently drop a
+    // null-keyed row (e.g. an "unknown member" dim row) — the guard must
+    // return df unchanged, and null-keyed duplicates must still trip it
+    val cond = keys.map(k => df(k) <=> checked(s"__k_$k")).reduce(_ && _)
+    df.join(checked, cond, "left_semi")
   }
 }

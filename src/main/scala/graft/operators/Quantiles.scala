@@ -175,5 +175,10 @@ object Quantiles {
     }
     wide.select(explode(array(entries: _*)).as("e"))
       .select(col("e.q").as("q"), col("e.bucket_lo").as("bucket_lo"))
+      // empty/all-null input: the global agg still yields one all-null row
+      // whose explode would emit phantom (q, null) estimates — a no-data
+      // histogram has no quantiles (matching exactDiscrete and the SQL
+      // GROUP BY formulation, both of which return zero rows)
+      .filter(col("bucket_lo").isNotNull)
   }
 }

@@ -25,7 +25,12 @@ object Sampling {
     conv(substring(md5(concat(id.cast("string"), lit(salt)).cast("binary")), 1, 8),
       16, 10).cast("long") % buckets
 
-  /** Adds `split_name`: 'train' for trainPct% of rows, else 'eval'. */
+  /** Adds `split_name`: 'train' for trainPct% of rows, else 'eval'.
+    * A null id has a null bucket, so the `when` falls through and every
+    * null-id row lands in 'eval' — deterministic and contamination-safe
+    * (a row with no identity can never be proven absent from train, so it
+    * must not be there). Same convention in the q47 oracle.
+    */
   def deterministicSplit(df: DataFrame, idCol: String, trainPct: Int,
                          splitCol: String = "split_name"): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct out of range: $trainPct")
@@ -56,8 +61,12 @@ object Sampling {
     val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
       when(col(stratumCol) === s, p).otherwise(acc)
     }
+    // null strata form their own defaultPct segment: an un-coalesced null
+    // stratum would null the hash concat and the null comparison would
+    // silently sample those rows at 0% regardless of defaultPct
     df.filter(
-      hashBucket(concat(col(idCol).cast("string"), lit(":"), col(stratumCol)),
+      hashBucket(concat(col(idCol).cast("string"), lit(":"),
+          coalesce(col(stratumCol), lit("<null>"))),
         100, ":stratum") < pct)
   }
 

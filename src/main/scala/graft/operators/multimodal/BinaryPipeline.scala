@@ -269,6 +269,12 @@ object BinaryPipeline {
         javax.imageio.ImageIO.write(img, "bmp", buf)
         (id, ord, src, buf.toByteArray, "gif")
       }.iterator)
+    } catch {
+      // a blob can carry the GIF magic yet have a truncated/corrupt body:
+      // the reader registers (so the no-reader escape above is not taken)
+      // but getNumImages/read throws — that is precisely the unparseable
+      // case the stub fallback exists for, not a reason to fail the task
+      case scala.util.control.NonFatal(_) => None
     } finally {
       reader.dispose()
       iis.close()

@@ -163,7 +163,7 @@ object CurationQueries {
 
   def q60Oracle: String =
     """SELECT doc_id, lang FROM documents
-      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':stratum'), 1, 8) AS BIGINT) % 100
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(lang, '<null>') || ':stratum'), 1, 8) AS BIGINT) % 100
       |  < CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 100 ELSE 50 END""".stripMargin
 
   /** q50: split-contamination audit — content fingerprints present in BOTH

@@ -120,6 +120,14 @@ class CurationSpec extends SparkSpec {
     val none = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0), defaultPct = 100)
     assert(none.filter(col("lang") === "en").count() == 0)
+    // null strata are their own defaultPct segment, NOT silently dropped
+    // (an un-coalesced null stratum nulls the hash and samples at 0%)
+    import spark.implicits._
+    val withNulls = Seq((1L, Option("en")), (2L, None), (3L, None))
+      .toDF("doc_id", "lang")
+    val keptNull = Sampling.stratifiedSample(withNulls, "doc_id", "lang",
+      Map("en" -> 100), defaultPct = 100)
+    assert(keptNull.count() == 3, "defaultPct=100 must keep null-stratum rows")
   }
 
   test("unit vectors have norm 1") {

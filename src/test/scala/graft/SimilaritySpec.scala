@@ -124,5 +124,12 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("frame_no").collect()
     assert(sm.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
       Seq((0, 0), (1, 1), (2, 2)))
+    // GIF magic + corrupt body: the reader registers but parsing throws —
+    // must fall back to the stub path, not fail the task
+    val corrupt = "GIF89a".getBytes("US-ASCII") ++ Array.fill[Byte](40)(0x5a)
+    val cr = BinaryPipeline.frameSample(spark,
+        Seq((3L, corrupt)).toDF("doc_id", "blob"), "doc_id", "blob", frames = 2)
+      .collect()
+    assert(cr.nonEmpty && cr.forall(_.getString(4) == "bytes-stub"))
   }
 }

@@ -138,6 +138,15 @@ class WarehouseSpec extends SparkSpec {
     import graft.operators.QualityChecks
     val unique = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     assert(QualityChecks.requireUniqueKeys(unique, Seq("k")).count() == 2)
+    // a single null-keyed row is unique → passes AND is retained (the
+    // null-unsafe join would silently delete it); duplicated nulls trip it
+    val withNull = Seq((Some(1L), "a"), (None, "unknown-member")).toDF("k", "v")
+    assert(QualityChecks.requireUniqueKeys(withNull, Seq("k")).count() == 2)
+    val dupNull = Seq((Option.empty[Long], "a"), (Option.empty[Long], "b"))
+      .toDF("k", "v")
+    intercept[Exception] {
+      QualityChecks.requireUniqueKeys(dupNull, Seq("k")).count()
+    }
     val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
     val e = intercept[Exception] {
       QualityChecks.requireUniqueKeys(dup, Seq("k")).count()
@@ -299,6 +308,11 @@ class WarehouseSpec extends SparkSpec {
         qs = Seq(1.0), lo = 0L, hi = 100L, buckets = 10)
       .collect()
     assert(clamped.head.getLong(1) == 90L) // top bucket holds the overflow
+    // empty input → zero rows, not phantom (q, null) estimates
+    val empty = Quantiles.approxByHistogram(
+      Seq.empty[Long].toDF("v"), col("v"), qs = Seq(0.5), lo = 0L, hi = 10L,
+      buckets = 2)
+    assert(empty.count() == 0)
   }
 
   test("Sampling.deterministicExactK: exact k, monotone in k, id-stable") {
