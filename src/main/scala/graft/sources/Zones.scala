@@ -67,6 +67,29 @@ object RawZone {
       else s.add("_corrupt_record", org.apache.spark.sql.types.StringType))
     withCorrupt.fold(reader)(s => reader.schema(s)).json(path)
   }
+
+  /** [[read]] plus quarantine ROUTING: corrupt raw lines are written (as
+    * plain text, one original line per row — the evidence the upstream
+    * crawler team needs, not a parsed wreck) to `quarantinePath`, and only
+    * the clean rows come back, `_corrupt_record` dropped. The reference
+    * pipeline tolerates bad crawler output row-by-row; at 100 TB the bad
+    * rows must also be KEPT somewhere auditable or the loss is silent.
+    *
+    * The corrupt side is cached before the two consuming actions (count
+    * via write, clean-side reuse) so the JSON parse runs once.
+    */
+  def readWithQuarantine(spark: SparkSession, basePath: String,
+                         schema: StructType, quarantinePath: String,
+                         date: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val parsed = graft.operators.OpCache.cache(
+      read(spark, basePath, Some(schema), date))
+    val corrupt = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("value"))
+    // text sink: one original line per row; empty quarantine is fine
+    corrupt.write.mode(SaveMode.Append).text(quarantinePath)
+    parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
 }
 
 object CleanZone {
@@ -76,15 +99,29 @@ object CleanZone {
     * difference between O(day) and O(history) at 100 TB.
     */
   def writePartitioned(df: DataFrame, path: String,
-                       partitionCols: Seq[String]): Unit =
+                       partitionCols: Seq[String],
+                       format: String = "parquet"): Unit =
     df.write
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
-      .parquet(path)
+      .format(format) // parquet default; "orc" for ORC-standardized lakes
+      .save(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  def readFormat(spark: SparkSession, path: String, format: String): DataFrame =
+    spark.read.format(format).load(path)
+
+  /** Schema-drift read: crawler payloads GAIN fields over time, so later
+    * partitions carry columns earlier ones lack. `mergeSchema` unions the
+    * per-file footers into one schema (absent columns read as null). Off
+    * by default in Spark because footer-merging costs one small task per
+    * file — pay it at the drift boundary, pin the schema downstream.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Concurrent-safe variant of [[writePartitioned]]: two jobs writing
     * DIFFERENT days of the same table at once must not clobber each other

@@ -64,6 +64,65 @@ class SourcesSpec extends SparkSpec {
     assert(after.filter(col("snapshot_date") === "2026-01-02").count() == 1)
   }
 
+  test("readWithQuarantine routes corrupt lines to an auditable text dir") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = Files.createTempDirectory("rawq").toString
+    val day = s"$dir/snapshot_date=2026-02-01"
+    new java.io.File(day).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$day/part1.json"),
+      """{"product_id": 1, "price": "88"}
+        |{totally broken
+        |{"product_id": 2, "price": "99"}""".stripMargin)
+    val q = s"$dir-quarantine"
+    val schema = new StructType().add("product_id", LongType).add("price", StringType)
+    val clean = RawZone.readWithQuarantine(spark, dir, schema, q,
+      date = Some("2026-02-01"))
+    assert(clean.count() == 2 && !clean.columns.contains("_corrupt_record"))
+    val quarantined = spark.read.text(q).collect().map(_.getString(0))
+    assert(quarantined.toSeq == Seq("{totally broken"),
+      "the ORIGINAL bad line, verbatim")
+  }
+
+  test("readMerged unions drifted partition schemas; absent columns read null") {
+    val dir = Files.createTempDirectory("drift").toString
+    Seq((1L, 10.0)).toDF("id", "price")
+      .write.parquet(s"$dir/snapshot_date=2026-01-01")
+    Seq((2L, 20.0, "tiki_now")).toDF("id", "price", "badge") // field gained
+      .write.parquet(s"$dir/snapshot_date=2026-01-02")
+    val merged = CleanZone.readMerged(spark, dir)
+    assert(merged.columns.contains("badge"))
+    assert(merged.filter(col("badge").isNull).count() == 1)
+    assert(merged.filter(col("badge") === "tiki_now").count() == 1)
+  }
+
+  test("ORC format round-trips through the partitioned writer") {
+    val dir = Files.createTempDirectory("orczone").toString + "/t"
+    val df = Seq((1L, "2026-01-01", 5.0), (2L, "2026-01-02", 6.0))
+      .toDF("id", "snapshot_date", "price")
+    CleanZone.writePartitioned(df, dir, Seq("snapshot_date"), format = "orc")
+    val back = CleanZone.readFormat(spark, dir, "orc")
+    assert(back.count() == 2)
+    assert(back.select(sum(col("price"))).head().getDouble(0) == 11.0)
+  }
+
+  test("Compaction rewrites many small files into few; content identical; idempotent") {
+    import graft.sources.Compaction
+    val dir = Files.createTempDirectory("compact").toString + "/part"
+    val df = (1L to 1000L).toDF("id")
+    df.repartition(20).write.parquet(dir) // 20 tiny files
+    def nFiles = new java.io.File(dir).listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles == 20)
+    val written = Compaction.compactDir(spark, dir, targetBytes = 1L << 20)
+    assert(written == 1, s"1 MiB target over ~KB of data -> one file, got $written")
+    assert(nFiles == 1)
+    // content exactly preserved
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 1000L))
+    // re-run is a no-op (already compacted)
+    assert(Compaction.compactDir(spark, dir, targetBytes = 1L << 20) == 0)
+  }
+
   test("TrendsCsv reads the wide format ready for melting") {
     val f = Files.createTempDirectory("trends").toString + "/trends.csv"
     Files.writeString(java.nio.file.Paths.get(f),
