@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user funnel state (2 scalars — state is bounded by user count,
+  * never event history).
+  */
+final case class FunnelState(reach: Int, lastStageMicros: Long)
+
+/** One (user, reach) progression emission. */
+final case class FunnelProgress(user_id: Long, reach: Int)
+
+/** CONTINUOUS ordered-funnel tracking — the streaming twin of
+  * [[graft.operators.Funnel]] (as [[AggMaintenanceSink]] is of
+  * IncrementalAgg): each user's stage progression is maintained as
+  * 2-scalar state and an update row is emitted whenever their reach
+  * advances, so a dashboard reads conversion live instead of
+  * re-scanning events.
+  *
+  * Semantics: the state machine is MONOTONE — stage i+1 fires on the
+  * minimum event time of its type strictly after stage i's reach time,
+  * considering events as they are delivered. When a user's events arrive
+  * in event-time order across micro-batches (or all in one batch) this
+  * equals the batch min-chain exactly (spec-asserted); an event arriving
+  * out of order across batches cannot retroactively lower an
+  * already-reached stage time — the streaming trade-off every funnel
+  * tracker makes, since retraction would need unbounded history.
+  */
+object StreamingFunnel {
+
+  /** Input needs (user_id, ts, event_type) columns; emits FunnelProgress
+    * updates (OutputMode.Update sinks).
+    */
+  def track(events: DataFrame, stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageArr = stages.toArray
+    events
+      .filter(col("ts").isNotNull && col("event_type").isin(stages: _*))
+      .select(col("user_id").cast("long").as("__u"), unix_micros(col("ts")),
+        col("event_type"))
+      .filter(col("__u").isNotNull)
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, String)],
+         state: GroupState[FunnelState]) =>
+          val prior = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var reach = prior.reach
+          var last = prior.lastStageMicros
+          val evs = it.toArray // this user's batch slice only
+          var advanced = true
+          while (advanced && reach < stageArr.length) {
+            val stage = stageArr(reach)
+            var best = Long.MaxValue
+            var i = 0
+            while (i < evs.length) {
+              val t = evs(i)._2
+              if (evs(i)._3 == stage && t > last && t < best) best = t
+              i += 1
+            }
+            if (best == Long.MaxValue) advanced = false
+            else { last = best; reach += 1 }
+          }
+          if (reach != prior.reach) {
+            state.update(FunnelState(reach, last))
+            Iterator.single(FunnelProgress(user, reach))
+          } else Iterator.empty
+      }
+  }
+}

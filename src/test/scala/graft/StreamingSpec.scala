@@ -222,6 +222,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingFunnel matches batch reach on in-order delivery; advances across batches") {
+    import graft.streaming.StreamingFunnel
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val stream = MemoryStream[Event]
+    val out = StreamingFunnel.track(stream.toDF(), stages)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Update).start()
+    def latest(): Map[Long, Int] = spark.table("funnel_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    try {
+      // batch 1: user 1 views+clicks; user 2 purchases FIRST (won't count)
+      stream.addData(
+        Event(1L, ts(5), "view", 0), Event(1L, ts(7), "click", 0),
+        Event(2L, ts(3), "purchase", 0), Event(2L, ts(6), "view", 0))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> 2, 2L -> 1))
+      // the stream state equals the batch operator over the same rows
+      val batchReach = graft.operators.Funnel.userReach(
+          Seq((1L, ts(5), "view"), (1L, ts(7), "click"),
+            (2L, ts(3), "purchase"), (2L, ts(6), "view"))
+            .toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", stages)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(latest() == batchReach)
+      // batch 2: user 1 purchases after the click -> reach 3 emitted;
+      // user 2 clicks after the view -> reach 2
+      stream.addData(Event(1L, ts(9), "purchase", 0), Event(2L, ts(8), "click", 0))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> 3, 2L -> 2))
+    } finally q.stop()
+  }
+
   test("StreamingDedup drops re-delivered keys within the watermark, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
