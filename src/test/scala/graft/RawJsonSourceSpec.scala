@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+
+/** DataSource V2 raw-JSON connector: pushdown reaches the source, pruning
+  * shrinks the read schema, results agree with the built-in JSON reader.
+  */
+class RawJsonSourceSpec extends SparkSpec {
+
+  private val schema = new StructType()
+    .add("product_id", LongType).add("price", DoubleType).add("name", StringType)
+
+  private def writeCorpus(): String = {
+    val dir = Files.createTempDirectory("dsv2raw").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"product_id": 1, "price": 10.5, "name": "ao thun"}
+        |{"product_id": 2, "price": 99.0, "name": "giay"}
+        |{corrupt line}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"product_id": 3, "name": "mu"}
+        |{"product_id": 4, "price": 5.0, "name": "tat"}""".stripMargin)
+    dir
+  }
+
+  private def readV2(dir: String) =
+    spark.read.format("graft.sources.dsv2.RawJsonSource")
+      .schema(schema).option("path", dir).load()
+
+  test("reads JSONL across files, skips corrupt lines, agrees with spark.read.json") {
+    val dir = writeCorpus()
+    val v2 = readV2(dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSet
+    val builtin = spark.read.schema(schema).json(dir)
+      .filter(col("product_id").isNotNull).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSet
+    assert(v2 == builtin && v2.size == 4)
+  }
+
+  test("filters push into the source and appear in the plan; residuals re-checked") {
+    val dir = writeCorpus()
+    val q = readV2(dir).filter(col("price") > 6.0 && col("name").isNotNull)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft-raw-json PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(price,6.0)"), plan)
+    assert(plan.contains("IsNotNull(name)"), plan)
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("column pruning reaches the read schema") {
+    val dir = writeCorpus()
+    val q = readV2(dir).select("name")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("ReadSchema: struct<name:string>"), plan)
+    assert(q.collect().map(_.getString(0)).toSet == Set("ao thun", "giay", "mu", "tat"))
+  }
+
+  test("source-side equality pushdown keeps only matching lines") {
+    val dir = writeCorpus()
+    val q = readV2(dir).filter(col("product_id") === 3L)
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getString(2) == "mu")
+    // missing field (price for id=3) reads null and fails a pushed comparison
+    assert(readV2(dir).filter(col("price") < 6.0).collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+  }
+}
