@@ -41,17 +41,38 @@ object Compaction {
     val total = files.map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     if (n >= files.length) return 0 // already at target granularity
-    val staging = new Path(s"$dir-compact-${java.util.UUID.randomUUID}")
-    val retired = new Path(s"$dir-retired-${java.util.UUID.randomUUID}")
-    spark.read.parquet(dir).coalesce(n)
+    // dot-prefixed SIBLING names: partition discovery over the parent
+    // table must never see the in-flight copies as extra partitions
+    // (same discipline as writePartitionedIsolated's .retired-* dirs)
+    val uuid = java.util.UUID.randomUUID
+    val staging = new Path(p.getParent, s".${p.getName}-compact-$uuid")
+    val retired = new Path(p.getParent, s".${p.getName}-retired-$uuid")
+    // mergeSchema: the small files being compacted are exactly the
+    // schema-drift case (readMerged's rationale) — a single-footer read
+    // would silently drop columns absent from the chosen footer
+    spark.read.option("mergeSchema", "true").parquet(dir).coalesce(n)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     def mustRename(from: Path, to: Path): Unit =
       require(fs.rename(from, to), s"rename $from -> $to failed")
     try {
       mustRename(p, retired)
-      mustRename(staging, p)
+      try mustRename(staging, p)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // the partition must never be left missing: put the old data
+          // back before propagating (if even the restore fails, the
+          // staged copy survives — the finally guard below keeps it)
+          require(fs.rename(retired, p),
+            s"swap AND restore failed — data intact at $retired and $staging")
+          throw e
+      }
       require(fs.delete(retired, true), s"delete $retired failed")
-    } finally fs.delete(staging, true) // no-op after a successful swap
+    } finally {
+      // delete the staged copy only when the partition dir exists (swap
+      // done, or old data restored / never moved); if the partition is
+      // missing, staging is the sole surviving copy — keep it
+      if (fs.exists(staging) && fs.exists(p)) fs.delete(staging, true)
+    }
     n
   }
 }

@@ -75,8 +75,12 @@ object RawZone {
     * pipeline tolerates bad crawler output row-by-row; at 100 TB the bad
     * rows must also be KEPT somewhere auditable or the loss is silent.
     *
-    * The corrupt side is cached before the two consuming actions (count
-    * via write, clean-side reuse) so the JSON parse runs once.
+    * The parsed frame is cached (OpCache) so the quarantine write and the
+    * returned clean side share one JSON parse. As with the dedup family's
+    * operator caches, a long-lived session should wrap the call AND the
+    * clean side's terminal action in `OpCache.scoped { ... }` to release
+    * the cache deterministically; outside a scope it is a plain
+    * LRU-evictable `.cache()` (fine for one-shot pipeline runs).
     */
   def readWithQuarantine(spark: SparkSession, basePath: String,
                          schema: StructType, quarantinePath: String,

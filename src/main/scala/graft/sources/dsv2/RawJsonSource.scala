@@ -107,11 +107,15 @@ private[dsv2] class RawJsonScan(path: String, required: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hidden-name filter applies to DIRECTORIES too: _temporary attempt
+    // files and _spark_metadata logs under a crashed/streaming writer's
+    // output are valid JSON lines that are NOT data (the built-in reader
+    // excludes them; emitting them would mean duplicate/phantom rows)
     def files(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.flatMap { s =>
-        if (s.isDirectory) files(s.getPath)
-        else if (s.getPath.getName.startsWith("_") ||
-          s.getPath.getName.startsWith(".")) Nil
+        val name = s.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (s.isDirectory) files(s.getPath)
         else Seq(s.getPath)
       }
     files(p).map(f => RawJsonInputPartition(f.toString): InputPartition).toArray
@@ -160,20 +164,36 @@ private[dsv2] class RawJsonPartitionReader(file: String, required: StructType,
     }
   }
 
-  /** Evaluate one pushed filter against the raw node (source-side skip). */
+  /** Evaluate one pushed filter against the raw node (source-side skip).
+    * A comparison we cannot do EXACTLY (null field, type surprise,
+    * integral beyond long) conservatively PASSES — Spark's residual
+    * filter is the correctness boundary and will re-drop; a false drop
+    * here would be a silently missing row nothing can resurrect.
+    */
   private def passes(node: JsonNode, f: Filter): Boolean = f match {
     case IsNotNull(a) => { val v = node.get(a); v != null && !v.isNull }
-    case EqualTo(a, v) => compare(node.get(a), v).contains(0)
-    case GreaterThan(a, v) => compare(node.get(a), v).exists(_ > 0)
-    case LessThan(a, v) => compare(node.get(a), v).exists(_ < 0)
+    case EqualTo(a, v) => compare(node.get(a), v).forall(_ == 0)
+    case GreaterThan(a, v) => compare(node.get(a), v).forall(_ > 0)
+    case LessThan(a, v) => compare(node.get(a), v).forall(_ < 0)
     case _ => true
   }
 
   private def compare(f: JsonNode, v: Any): Option[Int] = {
-    if (f == null || f.isNull) return None // null never passes a comparison
+    if (f == null || f.isNull) return None // residual drops null comparisons
     v match {
-      case s: String if f.isTextual => Some(f.asText().compareTo(s))
-      case n: Number if f.isNumber =>
+      // UTF8String order, NOT Java String compareTo: Spark compares UTF-8
+      // bytes, and UTF-16 surrogate pairs sort differently (e.g. U+1F600
+      // vs U+E000) — a source disagreeing with the engine's order would
+      // falsely drop rows
+      case s: String if f.isTextual =>
+        Some(UTF8String.fromString(f.asText()).compareTo(UTF8String.fromString(s)))
+      // exact integral compare where both sides are longs: a double
+      // round-trip collapses values above 2^53
+      case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+                _: java.lang.Byte) if f.isIntegralNumber && f.canConvertToLong =>
+        Some(java.lang.Long.compare(f.asLong(), n.asInstanceOf[Number].longValue()))
+      case n: Number if f.isNumber && !n.isInstanceOf[java.lang.Long] &&
+          !n.isInstanceOf[java.lang.Integer] =>
         Some(java.lang.Double.compare(f.asDouble(), n.doubleValue()))
       case b: java.lang.Boolean if f.isBoolean =>
         Some(java.lang.Boolean.compare(f.asBoolean(), b))

@@ -59,6 +59,22 @@ class RawJsonSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).toSet == Set("ao thun", "giay", "mu", "tat"))
   }
 
+  test("hidden dirs are skipped; big-long comparisons are exact at the source") {
+    val dir = writeCorpus()
+    // a crashed writer's _temporary attempt holds a valid JSON line that
+    // must NOT surface as data
+    new java.io.File(s"$dir/_temporary/0").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_temporary/0/part.json"),
+      """{"product_id": 999, "price": 1.0, "name": "ghost"}""")
+    assert(readV2(dir).filter(col("name") === "ghost").count() == 0)
+    // 2^53 + 1: a double round-trip would collapse it onto 2^53 and a
+    // source-side drop could never be resurrected by the residual
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c.json"),
+      """{"product_id": 9007199254740993, "name": "big"}""")
+    val kept = readV2(dir).filter(col("product_id") > 9007199254740992L).collect()
+    assert(kept.map(_.getString(2)).toSeq == Seq("big"))
+  }
+
   test("source-side equality pushdown keeps only matching lines") {
     val dir = writeCorpus()
     val q = readV2(dir).filter(col("product_id") === 3L)

@@ -123,6 +123,23 @@ class SourcesSpec extends SparkSpec {
     assert(Compaction.compactDir(spark, dir, targetBytes = 1L << 20) == 0)
   }
 
+  test("Compaction preserves drifted schemas (mergeSchema read, no column loss)") {
+    import graft.sources.Compaction
+    val dir = Files.createTempDirectory("compactdrift").toString + "/part"
+    Seq((1L, 10.0)).toDF("id", "price").repartition(2).write.parquet(dir)
+    Seq((2L, 20.0, "tiki_now")).toDF("id", "price", "badge")
+      .repartition(2).write.mode("append").parquet(dir)
+    assert(Compaction.compactDir(spark, dir, targetBytes = 1L << 20) == 1)
+    val back = CleanZone.readMerged(spark, dir)
+    assert(back.columns.contains("badge"), "drifted column must survive compaction")
+    assert(back.filter(col("badge") === "tiki_now").count() == 1)
+    assert(back.count() == 2)
+    // no stray sibling dirs visible to partition discovery
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles.map(_.getName).forall(n =>
+      n == "part" || n.startsWith(".")), parent.listFiles.map(_.getName).toSeq)
+  }
+
   test("TrendsCsv reads the wide format ready for melting") {
     val f = Files.createTempDirectory("trends").toString + "/trends.csv"
     Files.writeString(java.nio.file.Paths.get(f),
