@@ -61,6 +61,41 @@ object Stats {
     * the histogram sketch's cumulative pass. Never point this at raw rows;
     * aggregate to the series grain first.
     */
+  /** Chi-square contingency cells for two categorical columns: per cell
+    * the observed count, the exact expected-count RATIONAL (row_total ·
+    * col_total as numerator over N — integers, no division drift), and
+    * the cell's χ² contribution (o − e)²/e as ONE fixed-order double
+    * formula over those exact integers.
+    *
+    * Deliberately emits CELLS, not the summed statistic: a sum of double
+    * terms is partition-order-dependent, while each cell's term is a
+    * deterministic function of exact integers. The cell frame is bounded
+    * by |A|·|B| (category cardinalities), so summing it in a fixed order
+    * downstream is trivial where the caller wants the scalar.
+    *
+    * Shape: one partial-agg pass for the contingency counts, two
+    * broadcast-sized marginal frames joined back onto the cell frame.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = base.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("o")).as("__r"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("o")).as("__c"))
+    val n = cells.agg(sum(col("o")).as("__n"))
+    // (o - r·c/N)²/(r·c/N) == (o·N - r·c)² / (r·c·N): exact long products
+    // inside decimals, one double division at the edge. 19-digit operands:
+    // |num| ≤ N² needs N ≤ ~3·10⁹ rows, and 19×19 keeps the square inside
+    // decimal-38 on EVERY engine (DuckDB refuses a 38×38 multiply)
+    val num = (col("o") * col("__n") - col("__r") * col("__c"))
+      .cast("decimal(19,0)")
+    val den = (col("__r") * col("__c")).cast("decimal(19,0)") * col("__n")
+    cells
+      .join(rowTot, Seq(aCol)).join(colTot, Seq(bCol)).join(broadcast(n), lit(true))
+      .select(col(aCol), col(bCol), col("o"),
+        col("__r").as("row_total"), col("__c").as("col_total"), col("__n").as("n"),
+        ((num * num).cast("double") / den.cast("double")).as("chi2_term"))
+  }
+
   def rollingZ(df: DataFrame, orderCol: Column, valueCol: Column,
                n: Int, zCol: String = "z"): DataFrame = {
     require(n >= 2, s"baseline window must have >= 2 rows, got $n")

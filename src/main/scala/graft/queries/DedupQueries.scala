@@ -124,6 +124,48 @@ object DedupQueries {
     EditDistance.nearPairs(Tables.documents(spark, dir), "doc_id", "text",
       maxDist = 20)
 
+  /** q92: incremental against-history dedup
+    * ([[graft.operators.dedup.IncrementalDedup]]) — the daily-ingest
+    * shape: an md5-parity split plays "history" vs "today's batch";
+    * today dedupes within itself (min-id survivor) and against history's
+    * FINGERPRINT SET only — history text is never re-read. Null-text
+    * docs survive as themselves.
+    */
+  def q92IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    import graft.operators.dedup.IncrementalDedup
+    val docs = Tables.documents(spark, dir)
+    val isHistory = Sampling.hashBucket(
+      org.apache.spark.sql.functions.col("doc_id"), 2, ":hist") === 0
+    IncrementalDedup.newDocs(
+        docs.filter(!isHistory),
+        IncrementalDedup.fingerprints(docs.filter(isHistory), "text"),
+        "doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("fingerprint"),
+        org.apache.spark.sql.functions.col("n_chars"))
+  }
+
+  def q92Oracle: String =
+    s"""WITH tagged AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN text IS NULL THEN NULL ELSE md5($NormSql) END AS fingerprint,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':hist'), 1, 8) AS BIGINT) % 2 = 0 AS is_hist
+       |  FROM documents
+       |), h AS (
+       |  SELECT DISTINCT fingerprint FROM tagged WHERE is_hist AND fingerprint IS NOT NULL
+       |), today AS (
+       |  SELECT * FROM tagged WHERE NOT is_hist
+       |), surv AS (
+       |  SELECT doc_id, fingerprint, n_chars,
+       |    row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+       |  FROM today WHERE fingerprint IS NOT NULL
+       |)
+       |SELECT doc_id, fingerprint, n_chars FROM surv
+       |WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM h)
+       |UNION ALL
+       |SELECT doc_id, fingerprint, n_chars FROM today WHERE fingerprint IS NULL""".stripMargin
+
   def q75Oracle: String =
     s"""$candidatePairCtes,
        |txt AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL)

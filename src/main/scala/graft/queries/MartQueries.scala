@@ -600,4 +600,91 @@ object MartQueries {
       |CROSS JOIN nb
       |ORDER BY n_baskets DESC, item_a ASC, item_b ASC
       |LIMIT 20""".stripMargin
+
+  /** q90: winsorized order totals ([[graft.operators.Cleanse.winsorize]])
+    * — cents clipped to the exact [p01, p99] percentiles; the robust-
+    * statistics cleaning step before averaging fat-tailed metrics. The
+    * oracle replays the exact-quantile bounds and the clamp.
+    */
+  def q90Winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cleanse.winsorize(
+        Tables.orders(spark, dir).select(col("o_orderkey"),
+          totalPriceCents().as("cents")),
+        col("cents"), outCol = "clipped", pLo = 0.01, pHi = 0.99)
+      .select(col("o_orderkey"), col("cents"), col("clipped"),
+        col("clipped_lo"), col("clipped_hi"))
+
+  def q90Oracle: String =
+    s"""WITH v AS (
+       |  SELECT o_orderkey, ${totalPriceCentsSql()} AS cents
+       |  FROM orders WHERE o_totalprice IS NOT NULL
+       |), n AS (SELECT COUNT(*) AS n FROM v),
+       |counts AS (SELECT cents AS c, COUNT(*) AS k FROM v GROUP BY 1),
+       |cum AS (SELECT c, SUM(k) OVER (ORDER BY c) AS cumk FROM counts),
+       |bounds AS (
+       |  SELECT
+       |    (SELECT MIN(c) FROM cum, n WHERE cumk >= CAST(CEIL(0.01 * CAST(n AS DOUBLE)) AS BIGINT)) AS lo,
+       |    (SELECT MIN(c) FROM cum, n WHERE cumk >= CAST(CEIL(0.99 * CAST(n AS DOUBLE)) AS BIGINT)) AS hi
+       |)
+       |SELECT o_orderkey, cents,
+       |  LEAST(GREATEST(cents, lo), hi) AS clipped,
+       |  lo AS clipped_lo, hi AS clipped_hi
+       |FROM v CROSS JOIN bounds""".stripMargin
+
+  /** q91: per-segment min-max normalized customer balances
+    * ([[graft.operators.Cleanse.minMaxPerGroup]]) — feature scaling to
+    * [0,1] within each market segment; exact long extrema, one double
+    * division.
+    */
+  def q91MinMaxNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cleanse.minMaxPerGroup(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("bal_cents")),
+        "c_mktsegment", col("bal_cents"), outCol = "bal_norm")
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"), col("bal_norm"))
+
+  def q91Oracle: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      |  FROM customer
+      |), x AS (
+      |  SELECT c_mktsegment, MIN(bal_cents) AS mn, MAX(bal_cents) AS mx
+      |  FROM c WHERE bal_cents IS NOT NULL GROUP BY 1
+      |)
+      |SELECT c.c_custkey, c.c_mktsegment, c.bal_cents,
+      |  CASE WHEN x.mx > x.mn
+      |       THEN CAST(c.bal_cents - x.mn AS DOUBLE) / CAST(x.mx - x.mn AS DOUBLE)
+      |  END AS bal_norm
+      |FROM c LEFT JOIN x USING (c_mktsegment)""".stripMargin
+
+  /** q93: chi-square contingency cells for order priority × status
+    * ([[graft.operators.Stats.chiSquareCells]]): exact integer
+    * marginals/numerators, one double division per cell — cells, not the
+    * order-dependent summed statistic. The oracle routes the big exact
+    * products through VARCHAR (q67's >2^53 decimal-cast lesson).
+    */
+  def q93ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.chiSquareCells(
+      Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
+
+  def q93Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      |), cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS o
+      |  FROM base GROUP BY 1, 2
+      |), r AS (SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT o_orderstatus, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.o_orderstatus, cells.o_orderpriority, cells.o,
+      |  r.rt AS row_total, c.ct AS col_total, n.n,
+      |  CAST(CAST(CAST(cells.o * n.n - r.rt * c.ct AS DECIMAL(19,0)) *
+      |            CAST(cells.o * n.n - r.rt * c.ct AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE) /
+      |  CAST(CAST(CAST(r.rt * c.ct AS DECIMAL(19,0)) * n.n AS VARCHAR) AS DOUBLE) AS chi2_term
+      |FROM cells
+      |JOIN r USING (o_orderpriority)
+      |JOIN c USING (o_orderstatus)
+      |CROSS JOIN n""".stripMargin
 }

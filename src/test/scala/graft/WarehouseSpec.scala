@@ -156,6 +156,57 @@ class WarehouseSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("duplicate key")), e.getMessage)
   }
 
+  test("winsorize clips to exact percentile bounds") {
+    import graft.operators.Cleanse
+    val df = (1L to 100L).toDF("v")
+    val out = Cleanse.winsorize(df, col("v"), "w", pLo = 0.05, pHi = 0.95)
+      .select("v", "w", "w_lo", "w_hi").collect()
+    assert(out.forall(r => r.getLong(2) == 5L && r.getLong(3) == 95L))
+    assert(out.forall { r =>
+      val (v, w) = (r.getLong(0), r.getLong(1))
+      w == math.min(math.max(v, 5L), 95L)
+    })
+  }
+
+  test("minMaxPerGroup scales to [0,1]; constant groups yield null") {
+    import graft.operators.Cleanse
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    val out = Cleanse.minMaxPerGroup(df, "g", col("v"), "norm")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSet == Set(("a", 10L, Some(0.0)), ("a", 20L, Some(0.5)),
+      ("a", 30L, Some(1.0)), ("b", 7L, None), ("b", 7L, None)))
+  }
+
+  test("IncrementalDedup: within-batch min-id survivor, history filter, null text survives") {
+    import graft.operators.dedup.IncrementalDedup
+    val history = Seq((1L, "seen before")).toDF("doc_id", "text")
+    val today = Seq(
+      (10L, "brand new"), (11L, "brand new"),   // in-batch dup: 10 survives
+      (12L, "seen before"),                     // already in history: dropped
+      (13L, null.asInstanceOf[String]))         // null text: survives as-is
+      .toDF("doc_id", "text")
+    val out = IncrementalDedup.newDocs(today,
+        IncrementalDedup.fingerprints(history, "text"), "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(10L, 13L))
+  }
+
+  test("chiSquareCells matches a hand-computed 2x2 table") {
+    import graft.operators.Stats
+    // o: (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=50; N=100, r_a=40 r_b=60, c_x=40 c_y=60
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val out = Stats.chiSquareCells(rows.toDF("p", "s"), "p", "s")
+      .collect().map(r => ((r.getAs[String]("p"), r.getAs[String]("s")),
+        (r.getAs[Long]("o"), r.getAs[Double]("chi2_term")))).toMap
+    // expected (a,x) = 40*40/100 = 16 → term (30-16)²/16 = 12.25
+    assert(out(("a", "x")) == ((30L, 12.25)))
+    // (b,y): e = 36 → (50-36)²/36 = 196/36
+    assert(math.abs(out(("b", "y"))._2 - 196.0 / 36.0) < 1e-12)
+  }
+
   test("BloomFilter.mFor keeps false positives low where a fixed m saturates") {
     val n = 20000
     val dim = (1L to n.toLong).toDF("key")
