@@ -114,4 +114,27 @@ object TextFns {
   private def countRaw(text: Column, pattern: String): Column =
     when(text.isNull, 0)
       .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0))))
+
+  /** Overlapping token-window chunks — the RAG/pre-training document
+    * splitter: normalized tokens sliced into windows of `sizeTokens`
+    * starting every `sizeTokens - overlap` tokens, as an array of
+    * (chunk_no, chunk_text, n_tokens) structs for the caller to
+    * posexplode. Pure per-row array expressions (sequence/transform/
+    * slice) — zero shuffle, fully codegen-compatible, and reproducible in
+    * any engine with list slicing (the oracle rebuilds the identical
+    * windows). The final window is allowed to run short; a start index is
+    * emitted iff it is 0 or begins before the token count, so every token
+    * lands in ≥1 chunk and short docs yield exactly one.
+    */
+  def chunked(text: Column, sizeTokens: Int, overlap: Int): Column = {
+    require(sizeTokens > 0 && overlap >= 0 && overlap < sizeTokens,
+      s"need 0 <= overlap < size, got size=$sizeTokens overlap=$overlap")
+    val step = sizeTokens - overlap
+    val toks = split(normalizeText(text), " ")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step))
+    transform(starts, (s, i) => struct(
+      i.as("chunk_no"),
+      array_join(slice(toks, s + 1, lit(sizeTokens)), " ").as("chunk_text"),
+      least(size(toks) - s, lit(sizeTokens)).as("n_tokens")))
+  }
 }

@@ -225,6 +225,32 @@ object TextQueries {
             _.cast("string")), 1, 20), "-").as("postings_head"))
   }
 
+  /** q94: overlapping token-window chunking ([[TextFns.chunked]]) — 32-
+    * token windows every 24 tokens (8 overlap), one row per chunk. The
+    * RAG/pre-training splitter as pure per-row array expressions; the
+    * oracle rebuilds the identical windows with DuckDB list slicing.
+    */
+  def q94Chunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFns.chunked(col("text"), sizeTokens = 32, overlap = 8)).as("c"))
+      .select(col("doc_id"), col("c.chunk_no").cast("int").as("chunk_no"),
+        col("c.chunk_text"), col("c.n_tokens").cast("int").as("n_tokens"))
+
+  def q94Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL
+      |), starts AS (
+      |  SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 1, 0) + 1, 24)) AS s
+      |  FROM toks
+      |)
+      |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_no,
+      |  array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+      |  CAST(LEAST(len(t) - s, 32) AS INTEGER) AS n_tokens
+      |FROM starts""".stripMargin
+
   def q84Oracle: String =
     """WITH raw AS (
       |  SELECT doc_id,
