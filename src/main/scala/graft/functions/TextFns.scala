@@ -119,22 +119,30 @@ object TextFns {
     * splitter: normalized tokens sliced into windows of `sizeTokens`
     * starting every `sizeTokens - overlap` tokens, as an array of
     * (chunk_no, chunk_text, n_tokens) structs for the caller to
-    * posexplode. Pure per-row array expressions (sequence/transform/
-    * slice) — zero shuffle, fully codegen-compatible, and reproducible in
-    * any engine with list slicing (the oracle rebuilds the identical
-    * windows). The final window is allowed to run short; a start index is
-    * emitted iff it is 0 or begins before the token count, so every token
-    * lands in ≥1 chunk and short docs yield exactly one.
+    * posexplode. Pure per-row array expressions (sequence/filter/
+    * transform/slice) — zero shuffle, fully codegen-compatible, and
+    * reproducible in any engine with list slicing (the oracle rebuilds
+    * the identical windows). The final window is allowed to run short;
+    * a start is kept iff it is 0 or lies before `n_tokens − overlap` —
+    * every token still lands in ≥1 chunk, and a start inside the final
+    * overlap zone (whose window would be a strict SUFFIX of the previous
+    * chunk — pure duplicate content in a RAG/pre-training index) is not
+    * emitted. Short docs therefore yield exactly one chunk; empty or
+    * whitespace-only text yields none.
     */
   def chunked(text: Column, sizeTokens: Int, overlap: Int): Column = {
     require(sizeTokens > 0 && overlap >= 0 && overlap < sizeTokens,
       s"need 0 <= overlap < size, got size=$sizeTokens overlap=$overlap")
     val step = sizeTokens - overlap
-    val toks = split(normalizeText(text), " ")
-    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step))
+    val norm = normalizeText(text)
+    val toks = split(norm, " ")
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => (s === 0 || s < n - overlap) && length(norm) > 0)
     transform(starts, (s, i) => struct(
       i.as("chunk_no"),
       array_join(slice(toks, s + 1, lit(sizeTokens)), " ").as("chunk_text"),
-      least(size(toks) - s, lit(sizeTokens)).as("n_tokens")))
+      least(n - s, lit(sizeTokens)).as("n_tokens")))
   }
 }

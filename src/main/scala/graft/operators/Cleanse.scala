@@ -27,8 +27,12 @@ object Cleanse {
       .agg(min(when(col("q") === pLo, col("value"))).as("__lo"),
         min(when(col("q") === pHi, col("value"))).as("__hi"))
     df.join(broadcast(bounds), lit(true))
+      // null guard is load-bearing: Spark's greatest/least SKIP null
+      // arguments, so an unguarded clip would map a missing value to the
+      // lower bound — fabricated data
       .withColumn(outCol,
-        least(greatest(valueCol.cast("long"), col("__lo")), col("__hi")))
+        when(valueCol.isNotNull,
+          least(greatest(valueCol.cast("long"), col("__lo")), col("__hi"))))
       .withColumnRenamed("__lo", s"${outCol}_lo")
       .withColumnRenamed("__hi", s"${outCol}_hi")
   }
@@ -44,13 +48,16 @@ object Cleanse {
   def minMaxPerGroup(df: DataFrame, groupCol: String, valueCol: Column,
                      outCol: String): DataFrame = {
     val extrema = df.filter(valueCol.isNotNull)
-      .groupBy(col(groupCol))
+      .groupBy(col(groupCol).as("__g"))
       .agg(min(valueCol.cast("long")).as("__mn"), max(valueCol.cast("long")).as("__mx"))
-    df.join(extrema, Seq(groupCol), "left")
+    // null-SAFE join: a null group is still a group (SQL GROUP BY keeps
+    // it), and its rows deserve the same scaling — the plain equi-join
+    // would silently never match them
+    df.join(extrema, df(groupCol) <=> extrema("__g"), "left")
       .withColumn(outCol,
         when(col("__mx") > col("__mn"),
           (valueCol.cast("long") - col("__mn")).cast("double") /
             (col("__mx") - col("__mn")).cast("double")))
-      .drop("__mn", "__mx")
+      .drop("__g", "__mn", "__mx")
   }
 }

@@ -44,6 +44,49 @@ object Stats {
           (nD * dbl("syy") - dbl("sy") * dbl("sy")))).as("pearson_r"))
   }
 
+  /** Chi-square contingency cells for two categorical columns: per cell
+    * the observed count, the exact expected-count RATIONAL (row_total ·
+    * col_total as numerator over N — integers, no division drift), and
+    * the cell's χ² contribution (o − e)²/e as ONE fixed-order double
+    * formula over those exact integers.
+    *
+    * Deliberately emits CELLS, not the summed statistic: a sum of double
+    * terms is partition-order-dependent, while each cell's term is a
+    * deterministic function of exact integers. The cell frame is bounded
+    * by |A|·|B| (category cardinalities), so summing it in a fixed order
+    * downstream is trivial where the caller wants the scalar.
+    *
+    * Shape: one partial-agg pass for the contingency counts (cached — the
+    * marginals, N and the final join all branch from it), two
+    * broadcast-sized marginal frames joined back onto the cell frame.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = OpCache.cache(
+      base.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o")))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("o")).as("__r"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("o")).as("__c"))
+    // loud bound enforcement, not just a comment: the long products below
+    // wrap silently past N ≈ 3·10⁹ under non-ANSI evaluation
+    val n = cells.agg(sum(col("o")).as("__n"))
+      .filter(when(col("__n") > 3000000000L, raise_error(concat(
+          lit("chiSquareCells: N = "), col("__n").cast("string"),
+          lit(" exceeds the exact-arithmetic bound (~3e9 rows); "),
+          lit("pre-aggregate or sample first")))).otherwise(lit(true)))
+    // (o - r·c/N)²/(r·c/N) == (o·N - r·c)² / (r·c·N): exact long products
+    // inside decimals, one double division at the edge. 19-digit operands:
+    // |num| ≤ N² needs the N guard above, and 19×19 keeps the square
+    // inside decimal-38 on EVERY engine (DuckDB refuses a 38×38 multiply)
+    val num = (col("o") * col("__n") - col("__r") * col("__c"))
+      .cast("decimal(19,0)")
+    val den = (col("__r") * col("__c")).cast("decimal(19,0)") * col("__n")
+    cells
+      .join(rowTot, Seq(aCol)).join(colTot, Seq(bCol)).join(broadcast(n), lit(true))
+      .select(col(aCol), col(bCol), col("o"),
+        col("__r").as("row_total"), col("__c").as("col_total"), col("__n").as("n"),
+        ((num * num).cast("double") / den.cast("double")).as("chi2_term"))
+  }
+
   /** Rolling z-score anomaly signal over an ORDERED series: each row's
     * value against the mean/stddev of the `n` PRECEDING rows (current row
     * excluded — the anomaly must not contaminate its own baseline).
@@ -61,41 +104,6 @@ object Stats {
     * the histogram sketch's cumulative pass. Never point this at raw rows;
     * aggregate to the series grain first.
     */
-  /** Chi-square contingency cells for two categorical columns: per cell
-    * the observed count, the exact expected-count RATIONAL (row_total ·
-    * col_total as numerator over N — integers, no division drift), and
-    * the cell's χ² contribution (o − e)²/e as ONE fixed-order double
-    * formula over those exact integers.
-    *
-    * Deliberately emits CELLS, not the summed statistic: a sum of double
-    * terms is partition-order-dependent, while each cell's term is a
-    * deterministic function of exact integers. The cell frame is bounded
-    * by |A|·|B| (category cardinalities), so summing it in a fixed order
-    * downstream is trivial where the caller wants the scalar.
-    *
-    * Shape: one partial-agg pass for the contingency counts, two
-    * broadcast-sized marginal frames joined back onto the cell frame.
-    */
-  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-    val cells = base.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
-    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("o")).as("__r"))
-    val colTot = cells.groupBy(col(bCol)).agg(sum(col("o")).as("__c"))
-    val n = cells.agg(sum(col("o")).as("__n"))
-    // (o - r·c/N)²/(r·c/N) == (o·N - r·c)² / (r·c·N): exact long products
-    // inside decimals, one double division at the edge. 19-digit operands:
-    // |num| ≤ N² needs N ≤ ~3·10⁹ rows, and 19×19 keeps the square inside
-    // decimal-38 on EVERY engine (DuckDB refuses a 38×38 multiply)
-    val num = (col("o") * col("__n") - col("__r") * col("__c"))
-      .cast("decimal(19,0)")
-    val den = (col("__r") * col("__c")).cast("decimal(19,0)") * col("__n")
-    cells
-      .join(rowTot, Seq(aCol)).join(colTot, Seq(bCol)).join(broadcast(n), lit(true))
-      .select(col(aCol), col(bCol), col("o"),
-        col("__r").as("row_total"), col("__c").as("col_total"), col("__n").as("n"),
-        ((num * num).cast("double") / den.cast("double")).as("chi2_term"))
-  }
-
   def rollingZ(df: DataFrame, orderCol: Column, valueCol: Column,
                n: Int, zCol: String = "z"): DataFrame = {
     require(n >= 2, s"baseline window must have >= 2 rows, got $n")

@@ -28,7 +28,10 @@ object IncrementalDedup {
     */
   def newDocs(today: DataFrame, historyFingerprints: DataFrame,
               idCol: String, textCol: String): DataFrame = {
-    val fp = today.withColumn("fingerprint", TextFns.fingerprint(col(textCol)))
+    // cached: the null-text and survivor branches both consume the
+    // fingerprinted batch — uncached, the md5 projection runs twice
+    val fp = graft.operators.OpCache.cache(
+      today.withColumn("fingerprint", TextFns.fingerprint(col(textCol))))
     val nullText = fp.filter(col("fingerprint").isNull)
     val survivors = fp.filter(col("fingerprint").isNotNull)
       .withColumn("__rn", row_number().over(

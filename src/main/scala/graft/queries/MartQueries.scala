@@ -609,7 +609,8 @@ object MartQueries {
   def q90Winsorize(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Cleanse.winsorize(
         Tables.orders(spark, dir).select(col("o_orderkey"),
-          totalPriceCents().as("cents")),
+          totalPriceCents().as("cents"))
+          .filter(col("cents").isNotNull), // mirror the oracle's null drop
         col("cents"), outCol = "clipped", pLo = 0.01, pHi = 0.99)
       .select(col("o_orderkey"), col("cents"), col("clipped"),
         col("clipped_lo"), col("clipped_hi"))

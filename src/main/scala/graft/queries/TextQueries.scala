@@ -240,16 +240,18 @@ object TextQueries {
 
   def q94Oracle: String =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       |  FROM documents WHERE text IS NOT NULL
       |), starts AS (
       |  SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 1, 0) + 1, 24)) AS s
-      |  FROM toks
+      |  FROM toks WHERE len(norm) > 0
       |)
       |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_no,
       |  array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
       |  CAST(LEAST(len(t) - s, 32) AS INTEGER) AS n_tokens
-      |FROM starts""".stripMargin
+      |FROM starts
+      |WHERE s = 0 OR s < len(t) - 8""".stripMargin
 
   def q84Oracle: String =
     """WITH raw AS (

@@ -133,23 +133,26 @@ class CurationSpec extends SparkSpec {
   test("chunked: every token covered, overlap exact, short docs one chunk") {
     import graft.functions.TextFns
     val text = (1 to 50).map(i => s"w$i").mkString(" ")
-    val out = Seq((1L, text), (2L, "tiny doc"))
+    val out = Seq((1L, text), (2L, "tiny doc"), (3L, "   "))
       .toDF("doc_id", "text")
       .select(col("doc_id"), explode(TextFns.chunked(col("text"), 20, 5)).as("c"))
       .select(col("doc_id"), col("c.chunk_no"), col("c.chunk_text"), col("c.n_tokens"))
       .collect()
     val d1 = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
-    // starts every 15 tokens: 0, 15, 30, 45 → 4 chunks; last runs short
-    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
-    assert(d1.map(_.getInt(3)).toSeq == Seq(20, 20, 20, 5))
+    // starts every 15 tokens: 0, 15, 30 — the raw start 45 falls inside
+    // the final overlap zone (its window ⊂ chunk 2) and is NOT emitted
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(20, 20, 20))
     // overlap: chunk 1 starts at token 16 (15 tokens after chunk 0)
     assert(d1(1).getString(2).startsWith("w16 "))
-    // coverage: union of chunk tokens = all 50
+    // coverage: union of chunk tokens = all 50, no suffix-duplicate chunk
     val covered = d1.flatMap(_.getString(2).split(" ")).toSet
     assert(covered == (1 to 50).map(i => s"w$i").toSet)
     val d2 = out.filter(_.getLong(0) == 2L)
     assert(d2.length == 1 && d2.head.getString(2) == "tiny doc" &&
       d2.head.getInt(3) == 2)
+    // whitespace-only text: zero chunks, not an empty chunk of n_tokens=1
+    assert(!out.exists(_.getLong(0) == 3L))
   }
 
   test("unit vectors have norm 1") {
