@@ -86,6 +86,40 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("Funnel.userReach equals a reference min-chain on random event sets") {
+    import graft.operators.Funnel
+    val stages = Seq("view", "click", "purchase")
+    val evGen = Gen.listOfN(60, for {
+      u <- Gen.chooseNum(1, 5)
+      t <- Gen.chooseNum(0, 30)
+      s <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+    } yield (u.toLong, t.toLong, s))
+    (1 to 5).foreach { _ =>
+      val rows = evGen.sample.get
+      def refReach(evs: List[(Long, Long, String)]): Int = {
+        var prev = Long.MinValue
+        var reach = 0
+        var stalled = false
+        for (stage <- stages if !stalled) {
+          val cands = evs.filter(e => e._3 == stage && e._2 > prev)
+          if (cands.isEmpty) stalled = true
+          else { prev = cands.map(_._2).min; reach += 1 }
+        }
+        reach
+      }
+      val expected = rows.groupBy(_._1).map { case (u, evs) =>
+        u -> refReach(evs)
+      }.filter(_._2 > 0)
+      val df = rows.map { case (u, t, s) =>
+        (u, new java.sql.Timestamp(t * 1000L), s)
+      }.toDF("user_id", "ts", "event_type")
+      val got = Funnel.userReach(df, "user_id", "ts", "event_type", stages)
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+        .filter(_._2 > 0).toMap
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
   test("approxByHistogram is within one bucket width of the exact quantile") {
     (1 to 5).foreach { _ =>
       val vals = Gen.listOfN(200, Gen.chooseNum(0L, 9999L)).sample.get
