@@ -139,10 +139,14 @@ object TextFns {
     val n = size(toks)
     val starts = filter(
       sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
-      s => (s === 0 || s < n - overlap) && length(norm) > 0)
-    transform(starts, (s, i) => struct(
-      i.as("chunk_no"),
-      array_join(slice(toks, s + 1, lit(sizeTokens)), " ").as("chunk_text"),
-      least(n - s, lit(sizeTokens)).as("n_tokens")))
+      s => s === 0 || s < n - overlap)
+    // blank-doc guard hoisted OUTSIDE the per-element lambda: null array →
+    // explode drops the row, and length(norm) evaluates once per row, not
+    // once per candidate start
+    when(length(norm) > 0,
+      transform(starts, (s, i) => struct(
+        i.as("chunk_no"),
+        array_join(slice(toks, s + 1, lit(sizeTokens)), " ").as("chunk_text"),
+        least(n - s, lit(sizeTokens)).as("n_tokens"))))
   }
 }

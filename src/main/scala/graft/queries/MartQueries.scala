@@ -657,7 +657,9 @@ object MartQueries {
       |  CASE WHEN x.mx > x.mn
       |       THEN CAST(c.bal_cents - x.mn AS DOUBLE) / CAST(x.mx - x.mn AS DOUBLE)
       |  END AS bal_norm
-      |FROM c LEFT JOIN x USING (c_mktsegment)""".stripMargin
+      |-- null-SAFE group match, mirroring the operator: a null group is
+      |-- still a group and its rows scale like any other
+      |FROM c LEFT JOIN x ON c.c_mktsegment IS NOT DISTINCT FROM x.c_mktsegment""".stripMargin
 
   /** q93: chi-square contingency cells for order priority × status
     * ([[graft.operators.Stats.chiSquareCells]]): exact integer
