@@ -42,6 +42,50 @@ object Bmp {
   }
 }
 
+/** One decoded-audio feature row ([[BinaryPipeline.audioFeatures]]);
+  * stub rows carry None features.
+  */
+final case class AudioRow(doc_id: Long, source: String,
+    sample_rate: Option[Int], n_samples: Option[Long],
+    duration_ms: Option[Long], sum_sq: Option[Long], peak: Option[Long],
+    rms: Option[Double])
+
+/** Minimal PCM16 mono WAV writer — the pure-JVM way to materialize a REAL
+  * audio payload with deterministic content: a canonical 44-byte RIFF
+  * header plus little-endian 16-bit samples from [[Wav.sampleValue]]
+  * (same engine-reproducible LCG family as [[Bmp.pixelByte]], so an
+  * external oracle predicts every decoded sample with plain integer ops).
+  */
+object Wav {
+  /** 16-bit signed sample i of the deterministic stream for `seed`. */
+  def sampleValue(seed: Long, i: Long): Int =
+    (((((seed % 9973L) * 2654435761L + i * 1103515245L + 12345L) / 65536L)
+      % 65536L) - 32768L).toInt
+
+  def encode(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0, s"bad shape $nSamples@$sampleRate")
+    val dataSize = 2 * nSamples
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      b.putShort(sampleValue(seed, i.toLong).toShort)
+      i += 1
+    }
+    b.array()
+  }
+}
+
 /** Minimal animated-GIF writer over javax.imageio — the pure-JVM way to
   * materialize a REAL multi-frame media payload with deterministic content.
   * Frames are TYPE_BYTE_INDEXED (palette indices stored verbatim by GIF's
@@ -175,6 +219,21 @@ object BinaryPipeline {
       .toDF(idCol, "blob", metaCol)
   }
 
+  /** WAV encoder stage ([[Wav.encode]] batched per partition, like
+    * [[encodeBmp]]): one deterministic PCM16 payload per row.
+    */
+  def encodeWav(spark: SparkSession, df: DataFrame, idCol: String,
+                nCol: String, rateCol: String, seedCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nCol).cast("int"),
+        col(rateCol).cast("int"), col(seedCol).cast("long"))
+      .as[(Long, Int, Int, Long)]
+      .mapPartitions(_.map { case (id, n, rate, seed) =>
+        (id, Wav.encode(n, rate, seed))
+      })
+      .toDF(idCol, "blob")
+  }
+
   /** Resize stage: decodes real images, scales them with AWT (area-capable
     * bilinear via Graphics2D), re-encodes as BMP; non-image payloads pass
     * through a labeled stub path. Runs per partition — same batch shape a
@@ -242,6 +301,71 @@ object BinaryPipeline {
         }
       })
       .toDF(idCol, "frame_no", "src_frame", "frame_bytes", "source")
+  }
+
+  /** REAL audio feature extraction: WAV payloads decode through
+    * `javax.sound.sampled.AudioSystem` (the JVM's actual audio codec
+    * path — format negotiation, frame accounting — not a byte-peeking
+    * shortcut) into PCM16 samples, batched per partition like the image
+    * stages. Emitted per row: sample_rate, n_samples, duration_ms (exact
+    * integer), sum_sq and peak (exact longs over the decoded samples) and
+    * rms (ONE division + sqrt over the exact moments — correctly-rounded
+    * IEEE, deterministic anywhere). Non-WAV/undecodable payloads take the
+    * labeled stub row (source='bytes-stub', null features) — mp3/ogg/mp4
+    * stay stubs, no pure-JVM codec exists.
+    */
+  def audioFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                    blobCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        wavFeatures(blob) match {
+          case Some((rate, n, sumSq, peak)) =>
+            AudioRow(id, "audio/wav", Some(rate), Some(n),
+              Some(n * 1000L / rate), Some(sumSq), Some(peak),
+              Some(math.sqrt(sumSq.toDouble / n)))
+          case None =>
+            AudioRow(id, "bytes-stub", None, None, None, None, None, None)
+        }
+      })
+      .toDF()
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** (sampleRate, nSamples, Σs², max|s|) via the real AudioSystem decode;
+    * None when no reader accepts the payload or it is not 16-bit PCM.
+    */
+  private def wavFeatures(blob: Array[Byte])
+      : Option[(Int, Long, Long, Long)] = {
+    if (blob.length < 12 ||
+      !(blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' && blob(3) == 'F'))
+      return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+        val bytes = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sumSq = 0L
+        var peak = 0L
+        var n = 0L
+        while (bb.remaining() >= 2) {
+          val s = bb.getShort.toLong
+          sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          n += 1
+        }
+        if (n == 0) None
+        else Some((fmt.getSampleRate.toInt, n, sumSq, peak))
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None // corrupt: stub path
+    }
   }
 
   /** Decode ≤ `k` evenly spaced frames of an animated GIF; None when the

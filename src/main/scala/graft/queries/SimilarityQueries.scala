@@ -140,6 +140,40 @@ object SimilarityQueries {
     BinaryPipeline.decodeFeatures(spark, blobs, "doc_id", "blob", "n_chars")
   }
 
+  /** q95: REAL audio decode ([[BinaryPipeline.audioFeatures]]) — one
+    * deterministic PCM16 WAV per document ([[graft.operators.multimodal.Wav]]),
+    * decoded through javax.sound.sampled (the JVM's actual codec path),
+    * gated on the decoded-sample statistics: the oracle predicts
+    * n_samples, duration, Σs², peak and rms from the generator formula,
+    * so a malformed header, an endianness slip or a frame-accounting bug
+    * anywhere in encode→AudioSystem→features diverges the gate.
+    */
+  def q95Audio(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (coalesce(col("n_chars"), lit(0L)) % 300 + 50).as("n"),
+        lit(8000).as("rate"), col("doc_id").as("seed"))
+    val blobs = BinaryPipeline.encodeWav(spark, d, "doc_id", "n", "rate", "seed")
+    BinaryPipeline.audioFeatures(spark, blobs, "doc_id", "blob")
+  }
+
+  def q95Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, COALESCE(n_chars, 0) % 300 + 50 AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n, list_transform(range(n), i ->
+      |    ((((doc_id % 9973) * 2654435761 + i * 1103515245 + 12345) // 65536) % 65536) - 32768) AS smp
+      |  FROM p
+      |)
+      |SELECT doc_id, 'audio/wav' AS source,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+      |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+      |  sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n) AS rms
+      |FROM s""".stripMargin
+
   def q30Oracle: String =
     """WITH dims AS (
       |  SELECT doc_id,

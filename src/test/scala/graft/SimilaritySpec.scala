@@ -132,4 +132,28 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(cr.nonEmpty && cr.forall(_.getString(4) == "bytes-stub"))
   }
+
+  test("audioFeatures REAL-decodes WAV via AudioSystem; stats exact; stubs labeled") {
+    import spark.implicits._
+    import graft.operators.multimodal.{BinaryPipeline, Wav}
+    val n = 123
+    val wav = Wav.encode(n, 8000, seed = 7L)
+    val expectSamples = (0 until n).map(i => Wav.sampleValue(7L, i.toLong))
+    val expSumSq = expectSamples.map(s => s.toLong * s).sum
+    val expPeak = expectSamples.map(s => math.abs(s.toLong)).max
+    val out = BinaryPipeline.audioFeatures(spark,
+        Seq((1L, wav), (2L, "not audio at all".getBytes("UTF-8")),
+          (3L, "RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](20)(3)))
+          .toDF("doc_id", "blob"),
+        "doc_id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getString(1) == "audio/wav" && ok.getInt(2) == 8000)
+    assert(ok.getLong(3) == n && ok.getLong(4) == n * 1000L / 8000)
+    assert(ok.getLong(5) == expSumSq && ok.getLong(6) == expPeak)
+    assert(ok.getDouble(7) == math.sqrt(expSumSq.toDouble / n))
+    // non-audio and corrupt-RIFF payloads take the labeled stub row
+    assert(out(2L).getString(1) == "bytes-stub" && out(2L).isNullAt(5))
+    assert(out(3L).getString(1) == "bytes-stub")
+  }
 }
