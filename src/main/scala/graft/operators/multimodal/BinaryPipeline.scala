@@ -225,8 +225,12 @@ object BinaryPipeline {
   def encodeWav(spark: SparkSession, df: DataFrame, idCol: String,
                 nCol: String, rateCol: String, seedCol: String): DataFrame = {
     import spark.implicits._
+    // small compressed parquet arrives as ONE split; the per-row encode is
+    // CPU-bound and must spread first (same lesson as the shingle
+    // pipelines — the 10× probe measured 12× without this)
     df.select(col(idCol).cast("long"), col(nCol).cast("int"),
         col(rateCol).cast("int"), col(seedCol).cast("long"))
+      .repartition(col(idCol))
       .as[(Long, Int, Int, Long)]
       .mapPartitions(_.map { case (id, n, rate, seed) =>
         (id, Wav.encode(n, rate, seed))
