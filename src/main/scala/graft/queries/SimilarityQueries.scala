@@ -157,6 +157,59 @@ object SimilarityQueries {
     BinaryPipeline.audioFeatures(spark, blobs, "doc_id", "blob")
   }
 
+  /** q96: REAL video — one deterministic DIB-frames AVI per document
+    * ([[graft.operators.multimodal.Avi]]), demuxed by the RIFF chunk
+    * walker inside [[BinaryPipeline.frameSample]] (≤3 evenly spaced
+    * frames), each demuxed frame re-wrapped as BMP and REAL-decoded by
+    * [[BinaryPipeline.decodeFeatures]] (javax.imageio). Gate: the oracle
+    * predicts, per (doc, sampled frame), the source-frame index chosen by
+    * the even sampler AND the decoded-pixel checksum of that frame — a
+    * container-layout bug, demux slip or frame-indexing error diverges.
+    * (doc, frame) ride decodeFeatures' single id as a composite key.
+    */
+  def q96Video(spark: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val H = 12
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit(W).as("w"), lit(H).as("h"),
+        (coalesce(col("n_chars"), lit(0L)) % 6 + 2).as("nf"),
+        col("doc_id").as("seed"))
+    val blobs = BinaryPipeline.encodeAvi(spark, d, "doc_id", "w", "h", "nf", "seed")
+    val sampled = BinaryPipeline.frameSample(spark, blobs, "doc_id", "blob",
+      frames = 3)
+    val keyed = sampled.select(
+      (col("doc_id") * 100 + col("frame_no") * 10 + col("src_frame")).as("fkey"),
+      col("frame_bytes"), lit(0L).as("m"))
+    BinaryPipeline.decodeFeatures(spark, keyed, "fkey", "frame_bytes", "m")
+      .select((col("doc_id") / 100).cast("long").as("doc_id"),
+        ((col("doc_id") % 100) / 10).cast("int").as("frame_no"),
+        (col("doc_id") % 10).cast("int").as("src_frame"),
+        col("byte_len"), col("width"), col("height"), col("checksum"),
+        col("format"))
+  }
+
+  def q96Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, COALESCE(n_chars, 0) % 6 + 2 AS nf FROM documents
+      |), f AS (
+      |  SELECT doc_id, nf, unnest(range(LEAST(nf, 3))) AS frame_no FROM p
+      |), src AS (
+      |  SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+      |    CAST(CASE WHEN nf <= 3 THEN frame_no ELSE frame_no * nf // 3 END AS INTEGER) AS src_frame
+      |  FROM f
+      |)
+      |SELECT doc_id, frame_no, src_frame,
+      |  CAST(54 + 48 * 12 AS INTEGER) AS byte_len,
+      |  CAST(16 AS INTEGER) AS width,
+      |  CAST(12 AS INTEGER) AS height,
+      |  CAST(list_sum(list_transform(range(64), i ->
+      |    ((((doc_id + src_frame) % 9973) * 2654435761 + ((12-1 - i//16)*48 + 3*(i%16)) * 1103515245 + 12345) // 65536) % 256
+      |    + ((((doc_id + src_frame) % 9973) * 2654435761 + ((12-1 - i//16)*48 + 3*(i%16) + 1) * 1103515245 + 12345) // 65536) % 256
+      |    + ((((doc_id + src_frame) % 9973) * 2654435761 + ((12-1 - i//16)*48 + 3*(i%16) + 2) * 1103515245 + 12345) // 65536) % 256
+      |  )) % 9973 AS BIGINT) AS checksum,
+      |  'image/bmp' AS format
+      |FROM src""".stripMargin
+
   def q95Oracle: String =
     """WITH p AS (
       |  SELECT doc_id, COALESCE(n_chars, 0) % 300 + 50 AS n FROM documents

@@ -133,6 +133,39 @@ class SimilaritySpec extends SparkSpec {
     assert(cr.nonEmpty && cr.forall(_.getString(4) == "bytes-stub"))
   }
 
+  test("AVI round trip: demuxed frames are byte-identical BMPs, evenly sampled") {
+    import spark.implicits._
+    import graft.operators.multimodal.{Avi, BinaryPipeline, Bmp}
+    val (w, h) = (16, 12)
+    val avi = Avi.encode(w, h, frames = 7, seed = 5L)
+    // direct demux: every frame payload equals the deterministic DIB
+    val Some((dw, dh, all)) = Avi.demux(avi)
+    assert(dw == w && dh == h && all.length == 7)
+    all.zipWithIndex.foreach { case (p, f) =>
+      assert(java.util.Arrays.equals(p, Bmp.dibPayload(w, h, 5L + f)), s"frame $f")
+    }
+    // through the pipeline: k=3 of 7 → sources 0, 2, 4; wrapped frames
+    // are byte-identical to Bmp.encode and ImageIO-decodable
+    val out = BinaryPipeline.frameSample(spark,
+        Seq((1L, avi)).toDF("doc_id", "blob"), "doc_id", "blob", frames = 3)
+      .orderBy("frame_no").collect()
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getString(4))).toSeq ==
+      Seq((0, 0, "avi"), (1, 2, "avi"), (2, 4, "avi")))
+    out.foreach { r =>
+      val src = r.getInt(2)
+      val bytes = r.getAs[Array[Byte]]("frame_bytes")
+      assert(java.util.Arrays.equals(bytes, Bmp.encode(w, h, 5L + src)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+    // RIFF/AVI magic with a corrupt body: stub path, not a task failure
+    val corrupt = "RIFF????AVI ".getBytes("US-ASCII") ++ Array.fill[Byte](30)(9)
+    val cr = BinaryPipeline.frameSample(spark,
+        Seq((2L, corrupt)).toDF("doc_id", "blob"), "doc_id", "blob", frames = 2)
+      .collect()
+    assert(cr.nonEmpty && cr.forall(_.getString(4) == "bytes-stub"))
+  }
+
   test("audioFeatures REAL-decodes WAV via AudioSystem; stats exact; stubs labeled") {
     import spark.implicits._
     import graft.operators.multimodal.{BinaryPipeline, Wav}
