@@ -19,8 +19,14 @@ object Bmp {
     * external oracle (DuckDB int64, which errors on overflow instead of
     * wrapping) can reproduce every byte with plain integer ops.
     */
-  def pixelByte(seed: Long, i: Long): Int =
-    ((((seed % 9973L) * 2654435761L + i * 1103515245L + 12345L) / 65536L) % 256L).toInt
+  /** Shared LCG core for the deterministic media generators — ONE copy of
+    * the constants, which must stay in lockstep with every DuckDB oracle
+    * that replays them (q30/q95/q96).
+    */
+  private[multimodal] def lcg(seed: Long, i: Long): Long =
+    ((seed % 9973L) * 2654435761L + i * 1103515245L + 12345L) / 65536L
+
+  def pixelByte(seed: Long, i: Long): Int = (lcg(seed, i) % 256L).toInt
 
   /** Wrap a raw bottom-up BGR24 pixel array (rows padded to 4 bytes — the
     * DIB layout AVI '00db' frames carry verbatim) in a standard 54-byte
@@ -114,11 +120,17 @@ object Avi {
     b.array()
   }
 
-  /** RIFF chunk-walking demux: (width, height, frame payloads). None when
-    * the payload is not a parseable AVI — corrupt containers take the
-    * caller's stub path, never fail the task.
+  /** RIFF chunk-walking demux: (width, height, frame (offset, length)
+    * spans into the blob). Spans, not copies — callers sample a handful
+    * of frames, so the whole movi list must not be duplicated in memory.
+    * Only UNCOMPRESSED '00db' frames whose length matches the strf
+    * geometry exactly are accepted: a truncated frame or a compressed
+    * '00dc' payload wrapped as a DIB would be a malformed BMP crashing
+    * downstream decoders — the opposite of the stub contract. None when
+    * nothing validates; corrupt containers take the caller's stub path,
+    * never fail the task.
     */
-  def demux(blob: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+  def demux(blob: Array[Byte]): Option[(Int, Int, Vector[(Int, Int)])] = {
     def le32(p: Int): Int =
       (blob(p) & 0xff) | ((blob(p + 1) & 0xff) << 8) |
         ((blob(p + 2) & 0xff) << 16) | ((blob(p + 3) & 0xff) << 24)
@@ -127,7 +139,7 @@ object Avi {
     try {
       var w = -1
       var h = -1
-      val frames = Vector.newBuilder[Array[Byte]]
+      val frames = Vector.newBuilder[(Int, Int)]
       def walk(start: Int, end: Int): Unit = {
         var p = start
         while (p + 8 <= end) {
@@ -137,14 +149,16 @@ object Avi {
           if (id == "LIST") walk(p + 12, p + 8 + size)
           else if (id == "strf" && size >= 40) {
             w = le32(p + 8 + 4); h = le32(p + 8 + 8)
-          } else if (id == "00db" || id == "00dc")
-            frames += java.util.Arrays.copyOfRange(blob, p + 8, p + 8 + size)
+          } else if (id == "00db")
+            frames += ((p + 8, size))
           p += 8 + size + (size & 1) // chunks pad to even
         }
       }
       walk(12, math.min(blob.length, 8 + le32(4)))
-      val fs = frames.result()
-      if (w > 0 && h > 0 && fs.nonEmpty) Some((w, h, fs)) else None
+      if (w <= 0 || h <= 0) return None
+      val expected = (3 * w + 3) / 4 * 4 * h
+      val fs = frames.result().filter(_._2 == expected)
+      if (fs.nonEmpty) Some((w, h, fs)) else None
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
@@ -166,10 +180,11 @@ final case class AudioRow(doc_id: Long, source: String,
   * external oracle predicts every decoded sample with plain integer ops).
   */
 object Wav {
-  /** 16-bit signed sample i of the deterministic stream for `seed`. */
+  /** 16-bit signed sample i of the deterministic stream for `seed` (same
+    * LCG core as [[Bmp.pixelByte]], different reduction).
+    */
   def sampleValue(seed: Long, i: Long): Int =
-    (((((seed % 9973L) * 2654435761L + i * 1103515245L + 12345L) / 65536L)
-      % 65536L) - 32768L).toInt
+    ((Bmp.lcg(seed, i) % 65536L) - 32768L).toInt
 
   def encode(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
     require(nSamples > 0 && sampleRate > 0, s"bad shape $nSamples@$sampleRate")
@@ -255,14 +270,19 @@ object BinaryPipeline {
   // keep ImageIO off its disk cache: blobs are small in-memory arrays
   javax.imageio.ImageIO.setUseCache(false)
 
-  private def sniff(blob: Array[Byte]): Option[String] = {
+  /** ONE home for container detection — every stage branches off this. */
+  private[multimodal] def sniff(blob: Array[Byte]): Option[String] = {
     def at(i: Int) = blob(i) & 0xff
+    def riffType(t: String) = blob.length >= 12 && at(0) == 'R' && at(1) == 'I' &&
+      at(2) == 'F' && at(3) == 'F' && new String(blob, 8, 4, "US-ASCII") == t
     if (blob.length >= 4 && at(0) == 'B' && at(1) == 'M') Some("image/bmp")
     else if (blob.length >= 4 && at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
       Some("image/png")
     else if (blob.length >= 2 && at(0) == 0xff && at(1) == 0xd8) Some("image/jpeg")
     else if (blob.length >= 4 && at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8')
       Some("image/gif")
+    else if (riffType("AVI ")) Some("video/avi")
+    else if (riffType("WAVE")) Some("audio/wav")
     else None
   }
 
@@ -282,7 +302,10 @@ object BinaryPipeline {
     */
   private def decodeOne(docId: Long, blob: Array[Byte], nChars: Long): MediaFeatures =
     sniff(blob).flatMap { fmt =>
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+      // a decoder throwing on a magic-matching-but-malformed payload is
+      // the stub case, not a task failure
+      (try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+       catch { case scala.util.control.NonFatal(_) => None })
         .map { img =>
           val w = img.getWidth
           val h = img.getHeight
@@ -318,9 +341,12 @@ object BinaryPipeline {
                 wCol: String, hCol: String, seedCol: String,
                 metaCol: String): DataFrame = {
     import spark.implicits._
+    // spread before the CPU-bound per-row encode — same single-split trap
+    // the q95 probe measured at 12× (applies to every encode stage)
     df.select(col(idCol).cast("long"), col(wCol).cast("int"),
         col(hCol).cast("int"), col(seedCol).cast("long"),
         col(metaCol).cast("long"))
+      .repartition(col(idCol))
       .as[(Long, Int, Int, Long, Long)]
       .mapPartitions(_.map { case (id, w, h, seed, meta) =>
         (id, Bmp.encode(w, h, seed), meta)
@@ -400,10 +426,11 @@ object BinaryPipeline {
     df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
-        val real =
-          if (isAvi(blob)) aviFrames(id, blob, frames)
-          else if (sniff(blob).contains("image/gif")) gifFrames(id, blob, frames)
-          else None
+        val real = sniff(blob) match {
+          case Some("video/avi") => aviFrames(id, blob, frames)
+          case Some("image/gif") => gifFrames(id, blob, frames)
+          case _                 => None
+        }
         real.getOrElse {
           val window = math.max(1, blob.length / frames)
           (0 until math.min(frames, blob.length)).iterator.map { f =>
@@ -452,15 +479,16 @@ object BinaryPipeline {
     */
   private def wavFeatures(blob: Array[Byte])
       : Option[(Int, Long, Long, Long)] = {
-    if (blob.length < 12 ||
-      !(blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' && blob(3) == 'F'))
-      return None
+    if (!sniff(blob).contains("audio/wav")) return None
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(blob))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+        // rate guard: a header declaring 0/negative Hz would divide-by-
+        // zero the duration downstream — that is a corrupt payload, stub
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getSampleRate <= 0) return None
         val bytes = in.readAllBytes()
         val bb = java.nio.ByteBuffer.wrap(bytes).order(
           if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
@@ -482,23 +510,22 @@ object BinaryPipeline {
     }
   }
 
-  private def isAvi(blob: Array[Byte]): Boolean =
-    blob.length >= 12 && blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
-      blob(3) == 'F' && blob(8) == 'A' && blob(9) == 'V' && blob(10) == 'I'
-
   /** REAL video demux: walk the AVI container ([[Avi.demux]]), sample ≤ k
     * evenly spaced DIB frames, re-wrap each as a standalone BMP. Corrupt
     * containers fall back to the stub path.
     */
   private def aviFrames(id: Long, blob: Array[Byte], k: Int)
       : Option[Iterator[(Long, Int, Int, Array[Byte], String)]] =
-    Avi.demux(blob).map { case (w, h, all) =>
-      val n = all.length
+    Avi.demux(blob).map { case (w, h, spans) =>
+      val n = spans.length
       val srcIdxs =
         if (n <= k) 0 until n
         else (0 until k).map(f => (f.toLong * n / k).toInt)
       srcIdxs.zipWithIndex.map { case (src, ord) =>
-        (id, ord, src, Bmp.wrapDib(w, h, all(src)), "avi")
+        val (off, len) = spans(src) // copy ONLY the sampled frames
+        (id, ord, src,
+          Bmp.wrapDib(w, h, java.util.Arrays.copyOfRange(blob, off, off + len)),
+          "avi")
       }.iterator
     }
 

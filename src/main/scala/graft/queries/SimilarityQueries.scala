@@ -177,13 +177,19 @@ object SimilarityQueries {
     val blobs = BinaryPipeline.encodeAvi(spark, d, "doc_id", "w", "h", "nf", "seed")
     val sampled = BinaryPipeline.frameSample(spark, blobs, "doc_id", "blob",
       frames = 3)
+    // radix-100 packing: holds for frame_no/src_frame < 100, loudly
+    // asserted in-plan rather than silently digit-overlapping if the
+    // sampler width or frame-count formula is ever widened
     val keyed = sampled.select(
-      (col("doc_id") * 100 + col("frame_no") * 10 + col("src_frame")).as("fkey"),
+      when(col("frame_no") < 100 && col("src_frame") < 100,
+          col("doc_id") * 10000 + col("frame_no") * 100 + col("src_frame"))
+        .otherwise(raise_error(lit("q96 fkey packing overflow: widen the radix")))
+        .as("fkey"),
       col("frame_bytes"), lit(0L).as("m"))
     BinaryPipeline.decodeFeatures(spark, keyed, "fkey", "frame_bytes", "m")
-      .select((col("doc_id") / 100).cast("long").as("doc_id"),
-        ((col("doc_id") % 100) / 10).cast("int").as("frame_no"),
-        (col("doc_id") % 10).cast("int").as("src_frame"),
+      .select((col("doc_id") / 10000).cast("long").as("doc_id"),
+        ((col("doc_id") % 10000) / 100).cast("int").as("frame_no"),
+        (col("doc_id") % 100).cast("int").as("src_frame"),
         col("byte_len"), col("width"), col("height"), col("checksum"),
         col("format"))
   }

@@ -138,11 +138,13 @@ class SimilaritySpec extends SparkSpec {
     import graft.operators.multimodal.{Avi, BinaryPipeline, Bmp}
     val (w, h) = (16, 12)
     val avi = Avi.encode(w, h, frames = 7, seed = 5L)
-    // direct demux: every frame payload equals the deterministic DIB
-    val Some((dw, dh, all)) = Avi.demux(avi)
-    assert(dw == w && dh == h && all.length == 7)
-    all.zipWithIndex.foreach { case (p, f) =>
-      assert(java.util.Arrays.equals(p, Bmp.dibPayload(w, h, 5L + f)), s"frame $f")
+    // direct demux: every frame span equals the deterministic DIB
+    val Some((dw, dh, spans)) = Avi.demux(avi)
+    assert(dw == w && dh == h && spans.length == 7)
+    spans.zipWithIndex.foreach { case ((off, len), f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, off, off + len),
+        Bmp.dibPayload(w, h, 5L + f)), s"frame $f")
     }
     // through the pipeline: k=3 of 7 → sources 0, 2, 4; wrapped frames
     // are byte-identical to Bmp.encode and ImageIO-decodable
