@@ -299,4 +299,29 @@ object WarehouseQueries {
     """SELECT o_orderpriority, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** q97: date-dimension generator ([[graft.operators.DateDim]]) over the
+    * orders span — every attribute via engine-portable arithmetic (the
+    * day-of-week is anchor arithmetic from a known Monday, NOT either
+    * engine's dayofweek convention), so the oracle reproduces the
+    * calendar cell-for-cell.
+    */
+  def q97DateDim(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DateDim.build(spark, "1995-01-01", "2001-12-31")
+
+  def q97Oracle: String =
+    """WITH days AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |)
+      |SELECT day,
+      |  CAST(EXTRACT(year FROM day) AS INTEGER) AS year,
+      |  CAST(EXTRACT(quarter FROM day) AS INTEGER) AS quarter,
+      |  CAST(EXTRACT(month FROM day) AS INTEGER) AS month,
+      |  CAST(EXTRACT(day FROM day) AS INTEGER) AS day_of_month,
+      |  CAST(((day - DATE '1970-01-05') % 7 + 7) % 7 + 1 AS INTEGER) AS iso_dow,
+      |  ((day - DATE '1970-01-05') % 7 + 7) % 7 + 1 >= 6 AS is_weekend,
+      |  CAST(date_trunc('month', day) AS DATE) AS month_start,
+      |  CAST((day - DATE '1970-01-05') // 7 AS BIGINT) AS week_index
+      |FROM days""".stripMargin
 }

@@ -207,6 +207,20 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(out(("b", "y"))._2 - 196.0 / 36.0) < 1e-12)
   }
 
+  test("DateDim: anchor day-of-week is right on known dates; leap days present") {
+    import graft.operators.DateDim
+    val dim = DateDim.build(spark, "2000-02-27", "2000-03-02")
+      .collect().map(r => r.getDate(0).toString -> r).toMap
+    // 2000-02-28 was a Monday; leap day 2000-02-29 exists (div-400 year)
+    assert(dim("2000-02-28").getInt(5) == 1)
+    assert(dim.contains("2000-02-29") && dim("2000-02-29").getInt(5) == 2)
+    assert(dim("2000-03-01").getDate(7).toString == "2000-03-01") // month_start
+    val sunday = dim("2000-02-27")
+    assert(sunday.getInt(5) == 7 && sunday.getBoolean(6)) // weekend
+    // week_index increments at the Monday boundary
+    assert(dim("2000-02-28").getLong(8) == dim("2000-02-27").getLong(8) + 1)
+  }
+
   test("BloomFilter.mFor keeps false positives low where a fixed m saturates") {
     val n = 20000
     val dim = (1L to n.toLong).toDF("key")
