@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * The build's `collect()` is bounded by the BITMAP (m bits, ~2 KiB–2 MiB),
   * never by data volume — same bounded-driver-state argument as
   * [[Quantiles]]' P partition offsets. The probe side ships the bitmap as
-  * one array literal (a broadcast-variable analog), evaluated O(k) per row
-  * inside whole-stage codegen.
+  * a Spark broadcast variable referenced from the codegen'd
+  * [[graft.plans.BloomProbe]] expression, evaluated O(k) per row inside
+  * whole-stage codegen with a plan that stays O(1) in m.
   */
 object BloomFilter {
 
@@ -69,12 +70,21 @@ object BloomFilter {
   /** Probe predicate: true iff every one of the key's k positions is set.
     * No false negatives by construction; false positives are whatever the
     * load factor admits and are eliminated by the exact join downstream.
+    *
+    * Transport: the bitmap rides a Spark BROADCAST variable (packed words,
+    * m/8 bytes, fetched once per executor) referenced from the codegen'd
+    * [[graft.plans.BloomProbe]] expression — the plan itself stays O(1) in
+    * m. An array LITERAL here (the round-8 formulation) embeds m boxed
+    * Booleans in the Catalyst tree, bloating plan serialization and every
+    * task closure long before the 2^28 cap bites. Null key → null → the
+    * filter drops the row, as before.
     */
   def mightContain(key: Column, bits: Array[Boolean], m: Int, k: Int): Column = {
     require(bits.length == m, s"bitmap length ${bits.length} != m $m")
-    val lut = typedLit(bits.toSeq)
-    positions(key, m, k)
-      .map(p => element_at(lut, p.cast("int") + 1))
-      .reduce(_ && _)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val words = spark.sparkContext.broadcast(graft.plans.BloomProbe.pack(bits))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.toColumn(graft.plans.BloomProbe(
+      GraftColumnBridge.toExpression(key.cast("string")), words, m, k))
   }
 }

@@ -531,20 +531,23 @@ object MartQueries {
        |WHERE cumc >= CAST(CEIL(q * CAST(n AS DOUBLE)) AS BIGINT)
        |GROUP BY q""".stripMargin
 
-  /** q87: customer spend quartiles — ntile(4) over exact decimal lifetime
+  /** q87: customer spend quartiles — NTILE(4) over exact decimal lifetime
     * spend (totally ordered by (spend desc, custkey) so bucket boundaries
-    * are deterministic), then per-quartile stats. The per-customer agg is
-    * partial-agg friendly; the ntile window runs over the CUSTOMER frame
-    * (dim-sized), not the fact.
+    * are deterministic), then per-quartile stats. The customer frame grows
+    * with the fact, so the global ranking runs through
+    * [[graft.operators.GlobalRank.ntile]]'s two-phase prefix sum (range
+    * exchange + P driver offsets) — a `Window.orderBy` with no partition
+    * key would drag every customer into ONE task (`Exchange
+    * SinglePartition`), the scale trap the round-8 audit flagged here.
     */
   def q87SpendQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"),
         count(lit(1)).as("n_orders"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
-    spend.withColumn("quartile", ntile(4).over(w))
+    graft.operators.GlobalRank.ntile(
+        spend, Seq(col("spend").desc, col("o_custkey").asc), 4, "quartile",
+        partitions = 32)
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("n_orders")).as("n_orders"),
         min(col("spend")).cast(DoubleType).as("min_spend"),

@@ -85,6 +85,35 @@ class WarehouseSpec extends SparkSpec {
     assert(probed.count() < fact.count())
   }
 
+  test("BloomProbe: broadcast transport matches literal positions at m=2^20; plan O(1) in m") {
+    val dim = (1L to 500L by 2).toDF("key")
+    val fact = (1L to 5000L).toDF("key")
+    val m = 1 << 20
+    val k = 3
+    val bits = BloomFilter.build(dim, "key", m, k)
+    val viaBroadcast = fact
+      .filter(BloomFilter.mightContain(col("key"), bits, m, k))
+      .collect().map(_.getLong(0)).toSet
+    // reference: the same md5 positions probed through an inline array
+    // literal (the pre-broadcast formulation)
+    val lut = typedLit(bits.toSeq)
+    val viaLiteral = fact
+      .filter(BloomFilter.positions(col("key"), m, k)
+        .map(p => element_at(lut, p.cast("int") + 1)).reduce(_ && _))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBroadcast == viaLiteral)
+    // the plan carries the broadcast handle, not the bitmap: growing m
+    // 256x must not grow the plan text
+    def planLen(mm: Int): Int = {
+      val b = BloomFilter.build(dim, "key", mm, k)
+      fact.filter(BloomFilter.mightContain(col("key"), b, mm, k))
+        .queryExecution.executedPlan.toString.length
+    }
+    val small = planLen(1 << 12)
+    val large = planLen(1 << 20)
+    assert(math.abs(large - small) < 200, s"plan size grew with m: $small -> $large")
+  }
+
   test("coverageGaps: span vs active days, no calendar explode") {
     val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-01"), (1L, "2024-01-05"),
       (2L, "2024-01-03"))
