@@ -30,12 +30,11 @@ object Funnel {
                 typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct == stages, s"duplicate stage in $stages")
+    Funnel.requireIntegralId(df.schema(userCol).dataType, userCol)
     val spark: SparkSession = df.sparkSession
     import spark.implicits._
     // null users are droppable by definition (no identity to funnel) and
-    // would NPE the primitive-Long encoder below. The null test runs on
-    // the CAST result: a non-numeric id column nulls at the cast, after
-    // any pre-cast filter already passed
+    // would NPE the primitive-Long encoder below
     val ev = df
       .filter(col(tsCol).isNotNull && col(typeCol).isin(stages: _*))
       .select(col(userCol).cast("long").as("__u"), unix_micros(col(tsCol)),
@@ -82,5 +81,22 @@ object Funnel {
       .select(col("stage_no").cast("int").as("stage_no"),
         element_at(lit(stages.toArray), col("stage_no")).as("stage"),
         col("users"))
+  }
+
+  /** Loud schema guard shared with [[graft.streaming.StreamingFunnel]]: the
+    * funnel keys on `cast(user, long)`, so a string/UUID id column would
+    * cast to null row-by-row and the funnel would return EMPTY instead of
+    * failing — the silent-drop trap. Non-numeric ids must be hashed to
+    * long (e.g. `xxhash64`) by the caller, a deliberate identity decision.
+    */
+  private[graft] def requireIntegralId(dt: org.apache.spark.sql.types.DataType,
+                                       name: String): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"funnel user column '$name' must be integral, got ${t.catalogString}; " +
+          "hash non-numeric ids to long (e.g. xxhash64) before calling")
+    }
   }
 }

@@ -27,18 +27,26 @@ object IncrementalAgg {
   /** Merge two agg frames of identical schema on `keys`; every non-key
     * column must be additive (sum/count). Missing keys take the other
     * side's values.
+    *
+    * Keys join NULL-SAFELY (`<=>`): a GROUP BY emits one row for the null
+    * key group, so state and delta can both legitimately carry it — a
+    * plain equi-join (USING) would never match those rows and the null
+    * group would accumulate one extra row per merge instead of summing,
+    * breaking the monoid contract.
     */
   def merge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(state.columns.sameElements(delta.columns),
       s"agg schemas must match: ${state.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
     val valueCols = state.columns.filterNot(keys.contains).toSeq
-    val s = state.select(keys.map(col) ++
+    val s = state.select(keys.map(k => col(k).as(s"__sk_$k")) ++
       valueCols.map(c => col(c).as(s"__s_$c")): _*)
-    val d = delta.select(keys.map(col) ++
+    val d = delta.select(keys.map(k => col(k).as(s"__dk_$k")) ++
       valueCols.map(c => col(c).as(s"__d_$c")): _*)
-    s.join(d, keys, "full_outer")
-      .select(keys.map(col) ++ valueCols.map { c =>
+    val cond = keys.map(k => col(s"__sk_$k") <=> col(s"__dk_$k")).reduce(_ && _)
+    s.join(d, cond, "full_outer")
+      .select(keys.map(k =>
+        coalesce(col(s"__sk_$k"), col(s"__dk_$k")).as(k)) ++ valueCols.map { c =>
         // identity-coalesced addition: a key absent from one side keeps
         // the other side's value unchanged. The final cast pins the
         // output to the STATE's column type (decimal addition re-derives

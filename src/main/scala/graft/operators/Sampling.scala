@@ -84,7 +84,12 @@ object Sampling {
   def deterministicExactK(df: DataFrame, idCol: String, k: Int,
                           salt: String): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    df.withColumn("__h",
+    // null ids are excluded up front: a null id hashes to a null __h, and
+    // ascending NULLS FIRST ordering would let null-id rows preferentially
+    // fill the sample — with no id to tiebreak on, the "kept set is
+    // unique" contract would be void for exactly those rows
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__h",
         md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")))
       .orderBy(col("__h"), col(idCol))
       .limit(k)

@@ -208,6 +208,7 @@ object CurationQueries {
 
   def q79Oracle: String =
     """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IS NOT NULL
       |ORDER BY md5(CAST(doc_id AS VARCHAR) || ':x79'), doc_id
       |LIMIT 100""".stripMargin
 }

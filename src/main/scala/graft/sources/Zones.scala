@@ -90,8 +90,14 @@ object RawZone {
       read(spark, basePath, Some(schema), date))
     val corrupt = parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("value"))
-    // text sink: one original line per row; empty quarantine is fine
-    corrupt.write.mode(SaveMode.Append).text(quarantinePath)
+    // text sink: one original line per row; empty quarantine is fine.
+    // Deterministic per-date subdirectory + Overwrite keeps REPLAYS
+    // idempotent (an Append at the root would re-append the same corrupt
+    // lines on every re-run of the day, silently duplicating the audit
+    // trail) — the same idempotent-write discipline as CleanZone's
+    // dynamic partition overwrite.
+    val slot = date.getOrElse("all")
+    corrupt.write.mode(SaveMode.Overwrite).text(s"$quarantinePath/date=$slot")
     parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
   }
 }

@@ -35,6 +35,8 @@ object StreamingFunnel {
     */
   def track(events: DataFrame, stages: Seq[String]): Dataset[FunnelProgress] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    graft.operators.Funnel.requireIntegralId(
+      events.schema("user_id").dataType, "user_id")
     val spark = events.sparkSession
     import spark.implicits._
     val stageArr = stages.toArray

@@ -81,6 +81,13 @@ class SourcesSpec extends SparkSpec {
     val quarantined = spark.read.text(q).collect().map(_.getString(0))
     assert(quarantined.toSeq == Seq("{totally broken"),
       "the ORIGINAL bad line, verbatim")
+    // REPLAY idempotency: re-running the same day overwrites its
+    // quarantine slot instead of appending duplicate audit lines
+    RawZone.readWithQuarantine(spark, dir, schema, q,
+      date = Some("2026-02-01")).count()
+    val replayed = spark.read.text(q).collect().map(_.getString(0))
+    assert(replayed.toSeq == Seq("{totally broken"),
+      "replaying a day must not duplicate quarantined lines")
   }
 
   test("readMerged unions drifted partition schemas; absent columns read null") {

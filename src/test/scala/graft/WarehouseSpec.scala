@@ -359,6 +359,19 @@ class WarehouseSpec extends SparkSpec {
     assert(merged.schema == direct.schema) // types survive the merge
   }
 
+  test("IncrementalAgg.merge sums the null-key group instead of duplicating it") {
+    // GROUP BY emits one row for the null key; both sides carry it, and
+    // the merge must match them null-safely (a USING join never would)
+    val d1 = Seq((Option("a"), 1L), (Option.empty[String], 10L)).toDF("k", "n")
+    val d2 = Seq((Option("a"), 2L), (Option.empty[String], 5L)).toDF("k", "n")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("n").as("n"))
+    val merged = IncrementalAgg.merge(aggOf(d1), aggOf(d2), Seq("k"))
+    val direct = aggOf(d1.unionByName(d2))
+    assert(merged.count() == 2)
+    assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
   test("transitionMatrix counts ordered bigrams per user") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
@@ -421,5 +434,21 @@ class WarehouseSpec extends SparkSpec {
     val k50b = Sampling.deterministicExactK(df.repartition(7), "id", 50, ":t")
       .collect().map(_.getLong(0)).toSet
     assert(k50b == k50)
+    // null ids have no hash rank and no tiebreak identity — excluded, not
+    // NULLS-FIRST-preferred into the sample
+    val withNulls = (1L to 30L).map(Option(_)).toDF("id")
+      .unionByName(Seq(Option.empty[Long], Option.empty[Long]).toDF("id"))
+    val s20 = Sampling.deterministicExactK(withNulls, "id", 20, ":t").collect()
+    assert(s20.length == 20 && s20.forall(!_.isNullAt(0)))
+  }
+
+  test("Funnel.userReach fails loudly on a non-numeric user column") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(("u-1", ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Funnel.userReach(ev, "user_id", "ts", "event_type", Seq("view"))
+    }
+    assert(e.getMessage.contains("integral"))
   }
 }
