@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Physical-plan lint over the EXPLAINS.md dump (graft.Explain output).
+
+Scans every query's formatted plan for the scale anti-patterns that have
+bitten this repo before (a q87 single-partition ntile window shipped green
+for three rounds because nothing audited the plans):
+
+  1. `Exchange SinglePartition` feeding a Window or Sort — the global-window
+     trap: one task sorts data that grows with the input. A SinglePartition
+     exchange feeding a final scalar HashAggregate is fine (it carries P
+     partial rows, not data).
+  2. `CartesianProduct` anywhere.
+  3. `BroadcastNestedLoopJoin` whose broadcast side is not provably scalar
+     (a global aggregate with `Keys: []` producing one row).
+
+Bounded-by-construction exceptions are declared in ALLOW with the reason —
+the lint prints them as `allowed` so the judgment stays visible.
+
+Usage: python3 tools/lint_explains.py [EXPLAINS.md]
+Exit 1 if any un-allowed finding exists.
+"""
+import re
+import sys
+
+# query -> (pattern substring, reason the shape is bounded)
+ALLOW = {
+    "q24_cosine_topk": [
+        ("BNLJ-nonscalar",
+         "broadcast side is the QUERY vector set (bounded |Q|, filtered "
+         "before broadcast); corpus x queries with a non-equi self-exclusion "
+         "is the brute-force baseline's defining shape (Similarity.scala)"),
+    ],
+    "q37_fx_carry_forward": [
+        ("BNLJ-nonscalar",
+         "broadcast side is the DISTINCT currency-pair aggregate — bounded "
+         "by the currency-code domain (2 codes here), not data volume "
+         "(FxRates.scala)"),
+    ],
+    "q83_anomaly_days": [
+        ("SinglePartition->Window",
+         "documented: rollingZ runs on a calendar-bounded daily series "
+         "(<= a few thousand rows by construction; Stats.scala scaladoc)"),
+    ],
+    "q85_approx_quantiles": [
+        ("SinglePartition->Window",
+         "cumulative window over the histogram SKETCH (<= 1000 bucket "
+         "rows, bounded by sketch size, not data; Quantiles.scala)"),
+    ],
+}
+
+# Build-side subtrees made ONLY of these nodes are driver-created literal
+# frames (parallelize of a bounded list — quantile targets, prefix offsets):
+# bounded by construction, no file scan or exchange can hide under them.
+LITERAL_NODES = {
+    "Scan ExistingRDD", "LocalTableScan", "Project", "Filter",
+    "SerializeFromObject", "BroadcastExchange", "BroadcastQueryStage",
+    "ReusedExchange", "AQEShuffleRead", "ColumnarToRow", "InputAdapter",
+    "WholeStageCodegen",
+}
+
+
+def parse_sections(text):
+    """Split EXPLAINS.md into (query, body) sections."""
+    parts = re.split(r"^## (\S+)$", text, flags=re.M)
+    out = []
+    for i in range(1, len(parts), 2):
+        out.append((parts[i], parts[i + 1]))
+    return out
+
+
+NODE_RE = re.compile(r"([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$")
+
+
+def tree_lines(body):
+    """Yield (indent, node_name, node_id) for plan-tree lines."""
+    for line in body.splitlines():
+        m = NODE_RE.search(line)
+        if not m:
+            continue
+        # tree lines are drawn with ':' '+' '-' ' ' prefixes; detail
+        # headers start with '(' and reuse the same "(N) Name" shape
+        prefix = line[: m.start(1)]
+        if prefix.strip(" :+-*") != "":
+            continue
+        name = m.group(1).strip().lstrip("* ").strip()
+        yield len(prefix), name, m.group(2), line
+
+
+def detail_args(body):
+    """node id -> set of Arguments lines from the detail blocks."""
+    args = {}
+    cur = None
+    for line in body.splitlines():
+        m = re.match(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9_]*)", line)
+        if m:
+            cur = m.group(1)
+            args.setdefault(cur, {"name": m.group(2), "lines": []})
+            continue
+        if cur and line.strip():
+            args[cur]["lines"].append(line.strip())
+        elif not line.strip():
+            cur = None
+    return args
+
+
+def single_partition_ids(details):
+    ids = set()
+    for nid, d in details.items():
+        if d["name"] != "Exchange":
+            continue
+        if any(l.startswith("Arguments: SinglePartition") for l in d["lines"]):
+            ids.add(nid)
+    return ids
+
+
+def scalar_agg_under(lines, start_idx, details):
+    """True if the subtree rooted at lines[start_idx] contains a global
+    (Keys: []) HashAggregate — the one-row build side a scalar BNLJ uses."""
+    base_indent = lines[start_idx][0]
+    for indent, name, nid, _ in lines[start_idx + 1:]:
+        if indent <= base_indent:
+            break
+        if "HashAggregate" in name:
+            d = details.get(nid)
+            if d and any(re.match(r"Keys(?: \[\d+\])?: \[\]", l)
+                         for l in d["lines"]):
+                return True
+    return False
+
+
+def literal_subtree(lines, start_idx):
+    """True if every node under lines[start_idx] is a driver-literal node
+    (see LITERAL_NODES) — a bounded parallelize()d frame, not data."""
+    base_indent = lines[start_idx][0]
+    saw_any = False
+    for indent, name, nid, _ in lines[start_idx + 1:]:
+        if indent <= base_indent:
+            break
+        saw_any = True
+        if not any(name == n or name.startswith(n) for n in LITERAL_NODES):
+            return False
+    return saw_any
+
+
+def lint_section(query, body):
+    findings = []
+    lines = list(tree_lines(body))
+    details = detail_args(body)
+    sp_ids = single_partition_ids(details)
+
+    for i, (indent, name, nid, raw) in enumerate(lines):
+        if name == "Exchange" and nid in sp_ids:
+            # direct parent: nearest preceding line with smaller indent
+            parent = None
+            for j in range(i - 1, -1, -1):
+                if lines[j][0] < indent:
+                    parent = lines[j][1]
+                    break
+            if parent and ("Window" in parent or parent == "Sort"):
+                findings.append(("SinglePartition->Window",
+                                 f"Exchange SinglePartition ({nid}) feeds {parent}"))
+        if name == "CartesianProduct":
+            findings.append(("CartesianProduct", f"node ({nid})"))
+        if name.startswith("BroadcastNestedLoopJoin"):
+            # build side = the BroadcastExchange child subtree
+            ok = False
+            base = indent
+            for j in range(i + 1, len(lines)):
+                if lines[j][0] <= base:
+                    break
+                if "BroadcastExchange" in lines[j][1] or \
+                        "BroadcastQueryStage" in lines[j][1]:
+                    if scalar_agg_under(lines, j, details) or \
+                            literal_subtree(lines, j):
+                        ok = True
+            if not ok:
+                findings.append(("BNLJ-nonscalar",
+                                 f"BroadcastNestedLoopJoin ({nid}) without a "
+                                 "scalar (Keys: []) broadcast side"))
+    return findings
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "EXPLAINS.md"
+    text = open(path).read()
+    bad = 0
+    allowed = 0
+    for query, body in parse_sections(text):
+        for kind, msg in set(lint_section(query, body)):
+            reasons = [r for k, r in ALLOW.get(query, []) if k == kind]
+            if reasons:
+                allowed += 1
+                print(f"ALLOWED {query}: {kind} — {reasons[0]}")
+            else:
+                bad += 1
+                print(f"FAIL    {query}: {kind} — {msg}")
+    print(f"\n{bad} findings, {allowed} allowed")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
