@@ -138,4 +138,89 @@ object PipelineQueries {
       |  TIMESTAMP '$Date 16:30:00' AS extracted_at
       |FROM part
       |WHERE p_partkey % 97 <> 0""".stripMargin
+
+  private val q98Invocation = new AtomicInteger(0)
+
+  /** q98: PARTITION-PRUNED MERGE ([[graft.operators.Upsert.mergePruned]],
+    * ref load_to_bq.py:143 + :273) — orders land partitioned by year; a
+    * delta touching ONLY the latest year (10% price updates at +1.00,
+    * status 'U'; ~14% inserted keys at a non-colliding offset, status 'N')
+    * merges through the pruned path, which rewrites the one touched
+    * partition directory and never opens the others (byte-identity of
+    * untouched partitions is spec-asserted in SourcesSpec). The gated
+    * result is the WRITTEN table read back, aggregated per (year, status).
+    */
+  def q98MergePruned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val inv = q98Invocation.incrementAndGet()
+    val base = s"$scratch/q98_$inv/orders_by_year"
+
+    val o = Tables.orders(spark, dir)
+    val target = o.select(col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("total_price"),
+      col("o_orderstatus").as("status"))
+    target.write.mode("overwrite").partitionBy("o_year").parquet(base)
+
+    val maxYear = target.agg(max(col("o_year"))).head.getInt(0)
+    val latest = target.filter(col("o_year") === maxYear)
+    // +1.00 stays exact in DECIMAL(18,2) (a multiplicative bump would
+    // re-derive precision differently in Spark vs DuckDB — q05's lesson)
+    val updates = latest.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_year"),
+        (col("total_price") + lit(new java.math.BigDecimal("1.00")))
+          .cast(DecimalType(18, 2)).as("total_price"),
+        lit("U").as("status"))
+    val inserts = latest.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 1000000000000000L).as("o_orderkey"),
+        col("o_year"), col("total_price"), lit("N").as("status"))
+
+    graft.operators.Upsert.mergePruned(base, updates.unionByName(inserts),
+      keys = Seq("o_orderkey"), partitionCol = "o_year")
+
+    CleanZone.read(spark, base)
+      .groupBy(col("o_year"), col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("total_price")).cast(DoubleType).as("total"))
+  }
+
+  /** Independent replay: untouched years pass through; the latest year is
+    * a full-outer merge with the same delta derivation.
+    */
+  def q98Oracle: String =
+    """WITH my AS (SELECT MAX(year(o_orderdate)) AS y FROM orders),
+      |tgt AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+      |         o_orderstatus AS status
+      |  FROM orders
+      |), src AS (
+      |  SELECT o_orderkey, o_year,
+      |         CAST(total_price + CAST(1.00 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS total_price,
+      |         'U' AS status
+      |  FROM tgt, my WHERE o_year = y AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000000000, o_year, total_price, 'N'
+      |  FROM tgt, my WHERE o_year = y AND o_orderkey % 7 = 0
+      |), untouched AS (
+      |  SELECT o_orderkey, o_year, total_price, status FROM tgt, my
+      |  WHERE o_year <> y
+      |), touched AS (
+      |  SELECT o_orderkey, o_year, total_price, status FROM tgt, my
+      |  WHERE o_year = y
+      |), mrg AS (
+      |  SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |         COALESCE(t.o_year, s.o_year) AS o_year,
+      |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.total_price
+      |              ELSE t.total_price END AS total_price,
+      |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.status
+      |              ELSE t.status END AS status
+      |  FROM touched t FULL OUTER JOIN src s
+      |    ON t.o_orderkey = s.o_orderkey AND t.o_year = s.o_year
+      |), final AS (
+      |  SELECT * FROM untouched UNION ALL SELECT * FROM mrg
+      |)
+      |SELECT o_year, status, COUNT(*) AS n_orders,
+      |  CAST(SUM(total_price) AS DOUBLE) AS total
+      |FROM final GROUP BY 1, 2""".stripMargin
 }

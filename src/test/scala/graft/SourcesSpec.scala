@@ -162,4 +162,48 @@ class SourcesSpec extends SparkSpec {
     assert(melted.count() == 4)
     assert(melted.filter(col("score") === "<1").count() == 1)
   }
+
+  test("Upsert.mergePruned rewrites only touched partitions; others stay byte-identical") {
+    import graft.operators.Upsert
+    val base = Files.createTempDirectory("prunedmerge").toString + "/t"
+    Seq((1L, "2026-01-01", 10.0), (2L, "2026-01-01", 20.0),
+        (3L, "2026-01-02", 30.0), (4L, "2026-01-03", 40.0),
+        // key 3 also exists in an UNTOUCHED partition — must not merge
+        (3L, "2026-01-01", 99.0))
+      .toDF("k", "day", "v")
+      .write.partitionBy("day").parquet(base)
+
+    def files(day: String): Map[String, (Long, Array[Byte])] = {
+      val d = new java.io.File(s"$base/day=$day")
+      d.listFiles.filter(_.getName.endsWith(".parquet")).map { f =>
+        f.getName -> (f.length, Files.readAllBytes(f.toPath))
+      }.toMap
+    }
+    val before01 = files("2026-01-01")
+    val before03 = files("2026-01-03")
+
+    val delta = Seq((3L, "2026-01-02", 31.0), (5L, "2026-01-02", 50.0))
+      .toDF("k", "day", "v")
+    val touched = Upsert.mergePruned(base, delta, Seq("k"), "day")
+    assert(touched == Seq("2026-01-02"))
+
+    // untouched partitions: same file names, same bytes
+    val after01 = files("2026-01-01")
+    val after03 = files("2026-01-03")
+    assert(after01.keySet == before01.keySet && after03.keySet == before03.keySet)
+    assert(after01.forall { case (n, (len, bytes)) =>
+      before01(n)._1 == len && java.util.Arrays.equals(before01(n)._2, bytes) })
+    assert(after03.forall { case (n, (len, bytes)) =>
+      before03(n)._1 == len && java.util.Arrays.equals(before03(n)._2, bytes) })
+
+    // merged content: update applied, insert landed, cross-partition key 3
+    // rows in day 01 untouched
+    val back = spark.read.parquet(base)
+    assert(back.filter(col("day") === "2026-01-02").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((3L, 31.0), (5L, 50.0)))
+    assert(back.filter(col("k") === 3 && col("day") === "2026-01-01")
+      .head().getDouble(1) == 99.0)
+    assert(back.count() == 6)
+  }
 }
