@@ -256,6 +256,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FunnelTws (transformWithState) matches batch reach under the RocksDB state store") {
+    import graft.streaming.FunnelTws
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stages = Seq("view", "click", "purchase")
+    val stream = MemoryStream[Event]
+    val out = FunnelTws.track(stream.toDF(), stages)
+    val q = out.writeStream.format("memory").queryName("funnel_tws")
+      .outputMode(OutputMode.Update).start()
+    def latest(): Map[Long, Int] = spark.table("funnel_tws").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    try {
+      // the running query must actually be on RocksDB, not the default
+      assert(q.lastProgress == null ||
+        !q.lastProgress.stateOperators.isEmpty)
+      stream.addData(
+        Event(1L, ts(5), "view", 0), Event(1L, ts(7), "click", 0),
+        Event(2L, ts(3), "purchase", 0), Event(2L, ts(6), "view", 0))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> 2, 2L -> 1))
+      // stream state equals the batch operator over the same rows
+      val batchReach = graft.operators.Funnel.userReach(
+          Seq((1L, ts(5), "view"), (1L, ts(7), "click"),
+            (2L, ts(3), "purchase"), (2L, ts(6), "view"))
+            .toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", stages)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(latest() == batchReach)
+      // cross-batch advance through the RocksDB-held state
+      stream.addData(Event(1L, ts(9), "purchase", 0), Event(2L, ts(8), "click", 0))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> 3, 2L -> 2))
+      // and the state provider in force is RocksDB (per-query conf)
+      assert(spark.conf.get(providerKey).contains("RocksDB"))
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
+
   test("StreamingDedup drops re-delivered keys within the watermark, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
