@@ -223,4 +223,55 @@ object PipelineQueries {
       |SELECT o_year, status, COUNT(*) AS n_orders,
       |  CAST(SUM(total_price) AS DOUBLE) AS total
       |FROM final GROUP BY 1, 2""".stripMargin
+
+  private val q99Invocation = new AtomicInteger(0)
+
+  /** q99: the DataSource V2 raw-JSON connector
+    * ([[graft.sources.dsv2.RawJsonSource]]) driven through the oracle
+    * gate — crawler-shaped JSONL (including corrupt lines every ~101st
+    * product, skipped at the source per the permissive contract) is
+    * generated deterministically from `part`, read back through the DSv2
+    * scan with a pushed `price > 200000 AND active = true` predicate and
+    * column pruning, and aggregated per brand. The DuckDB oracle replays
+    * the generator arithmetic — an independent check that source-side
+    * line skipping + filter pushdown lose and invent nothing.
+    */
+  def q99Dsv2Read(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q99Invocation.incrementAndGet()
+    val base = s"$scratch/q99_$inv/raw"
+    val pk = col("p_partkey")
+    def s(c: Column): Column = c.cast("string")
+    val line = when(pk % 101 === 0, lit("{broken"))
+      .otherwise(concat(lit("{\"product_id\": "), s(pk),
+        lit(", \"price\": "), s((pk % 800 + 150) * 1000),
+        lit(", \"brand\": \"Brand "), s(pk % 50),
+        lit("\", \"active\": "), s(pk % 3 === 0), lit("}")))
+    Tables.part(spark, dir).select(line.as("value"))
+      .coalesce(4).write.mode("overwrite").text(base)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("product_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("brand",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("active",
+        org.apache.spark.sql.types.BooleanType)))
+    spark.read.format("graft.sources.dsv2.RawJsonSource")
+      .schema(schema).option("path", base).load()
+      .filter(col("price") > 200000L && col("active") === true)
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total_price"))
+  }
+
+  def q99Oracle: String =
+    """SELECT 'Brand ' || CAST(p_partkey % 50 AS VARCHAR) AS brand,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM((p_partkey % 800 + 150) * 1000) AS BIGINT) AS total_price
+      |FROM part
+      |WHERE p_partkey % 101 <> 0
+      |  AND (p_partkey % 800 + 150) * 1000 > 200000
+      |  AND p_partkey % 3 = 0
+      |GROUP BY 1""".stripMargin
 }
