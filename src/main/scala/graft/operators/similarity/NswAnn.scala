@@ -1,0 +1,164 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph ANN: greedy BEAM SEARCH over a deterministic navigable-small-world
+  * style neighbor graph — the known answer where banding/IVF stay
+  * candidate-volume-bound (dense-cluster corpora: q31's 10× probe showed
+  * intrinsic similar-pair mass dominating any bucketing; a graph walk pays
+  * per-query O(rounds · beam · degree) regardless of cluster density).
+  *
+  * The graph is NSW-shaped but built deterministically (no sequential
+  * random insertion — that would serialize construction AND be
+  * irreproducible across engines):
+  *   - short-range edges: each node's top-M cosine neighbors WITHIN its
+  *     IVF-style cell (nearest-hub assignment; per-cell self-join, the
+  *     same bounded-block pair generation as the dedup family);
+  *   - long-range edges: each node links to its 2 nearest hubs — the
+  *     navigable shortcuts that let a walk cross cells.
+  *
+  * Search: seed the beam with the query's top-B hubs, then `Rounds` rounds
+  * of expand-neighbors → exact-cosine score → keep top-B (ties by node id,
+  * so every step is deterministic and an external engine can replay the
+  * walk EXACTLY — the q100 DuckDB oracle rebuilds graph and beam
+  * bit-for-bit).
+  *
+  * Scale shape: construction is one broadcast hub fold (zero corpus-side
+  * shuffle, IvfAnn's argmax pattern) + one per-cell bounded self-join; the
+  * edge list is O(n·(M+2)) ids. Each search round is one shuffle join of
+  * the (|Q|·B)-row beam against the edge list (degree-bounded fan-out) and
+  * a per-query window over ≤ B·(M+3) rows — never a corpus-wide sort. At
+  * 100 TB the edge list partitions by src and the beam broadcasts.
+  */
+object NswAnn {
+  /** Hub count (first `Hubs` vector ids, the IvfAnn "training" convention —
+    * swap in k-means or reservoir sampling offline; contract unchanged). */
+  val Hubs = 16
+  /** Short-range out-degree (top-M in-cell neighbors). */
+  val M = 6
+  /** Long-range out-degree (nearest hubs per node). */
+  val HubLinks = 2
+  /** Beam width per query. */
+  val Beam = 16
+  /** Fixed expansion rounds — fixed so the oracle can unroll the walk. */
+  val Rounds = 3
+
+  private def projected(vectors: DataFrame, idCol: String, vecCol: String) =
+    vectors.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"),
+      VectorFns.norm(col(vecCol)).as("nrm"))
+
+  /** One-row broadcastable struct array of all hubs, cid ascending. */
+  private def hubArray(v: DataFrame): DataFrame =
+    v.filter(col("vid") < Hubs)
+      .select(struct(col("vid").as("cid"), col("vec").as("cvec"),
+        col("nrm").as("cnrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("hubs"))
+
+  private def cosTo(vec: Column, nrm: Column, c: Column): Column =
+    VectorFns.cosine(VectorFns.dot(vec, c.getField("cvec")),
+      nrm, c.getField("cnrm"))
+
+  /** Per-node hub ranking via the broadcast fold: (vid, vec, nrm, cell,
+    * hub_links[]) where cell = nearest hub, hub_links = top-`HubLinks`
+    * hubs (cos desc, cid asc — the exact order the oracle's row_number
+    * replays).
+    */
+  private def withHubs(v: DataFrame, hubs: DataFrame): DataFrame =
+    v.join(broadcast(hubs), lit(true))
+      .withColumn("scored", transform(col("hubs"), c =>
+        struct(cosTo(col("vec"), col("nrm"), c).as("cos"),
+          c.getField("cid").as("cid"))))
+      .withColumn("ranked", array_sort(col("scored"), (l, r) =>
+        when(l.getField("cos") > r.getField("cos"), lit(-1))
+          .when(l.getField("cos") < r.getField("cos"), lit(1))
+          .when(l.getField("cid") < r.getField("cid"), lit(-1))
+          .when(l.getField("cid") > r.getField("cid"), lit(1))
+          .otherwise(lit(0))))
+      .select(col("vid"), col("vec"), col("nrm"),
+        col("ranked").getItem(0).getField("cid").as("cell"),
+        slice(col("ranked"), 1, HubLinks).getField("cid").as("hub_links"))
+
+  /** Directed edge list (src, dst): per-cell top-M short-range edges plus
+    * the long-range hub links. Distinct — a hub can also be an in-cell
+    * neighbor.
+    */
+  def edges(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = projected(vectors, idCol, vecCol)
+    val h = withHubs(v, hubArray(v))
+    val a = h.select(col("vid").as("src"), col("vec").as("svec"),
+      col("nrm").as("snrm"), col("cell"))
+    val b = h.select(col("vid").as("dst"), col("vec").as("dvec"),
+      col("nrm").as("dnrm"), col("cell"))
+    val inCell = a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VectorFns.cosine(VectorFns.dot(col("svec"), col("dvec")),
+          col("snrm"), col("dnrm")).as("cosine"))
+    val short = graft.operators.TopK.perGroup(inCell, Seq("src"),
+        sortCol = "cosine", idCol = "dst", k = M)
+      .select(col("src"), col("dst"))
+    val long = h.select(col("vid").as("src"),
+        explode(col("hub_links")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    short.unionByName(long).distinct()
+  }
+
+  /** Approximate top-k per query (same output shape as [[CosineTopK]]):
+    * (query_id, neighbor_id, cosine, rank).
+    */
+  def search(vectors: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column => Column, k: Int): DataFrame = {
+    val v = graft.operators.OpCache.cache(
+      projected(vectors, idCol, vecCol))
+    val e = graft.operators.OpCache.cache(edges(v, "vid", "vec"))
+    val queries = v.filter(queryPred(col("vid")))
+      .select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"))
+
+    def topB(beam: DataFrame): DataFrame = {
+      // per-query candidate set is ≤ B·(M+3) rows by construction — the
+      // window is bounded by beam/degree knobs, not data
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("node").asc)
+      beam.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= Beam).drop("__r")
+    }
+
+    // seed: the query's top-B hubs
+    val hubFrame = v.filter(col("vid") < Hubs)
+      .select(col("vid").as("node"), col("vec").as("nvec"), col("nrm").as("nnrm"))
+    var beam = topB(queries.join(broadcast(hubFrame), lit(true))
+      .select(col("query_id"),
+        col("node"),
+        VectorFns.cosine(VectorFns.dot(col("qvec"), col("nvec")),
+          col("qnrm"), col("nnrm")).as("cosine")))
+
+    var round = 0
+    while (round < Rounds) {
+      val frontier = beam.select(col("query_id"), col("node"))
+        .join(e, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .join(v, col("node") === col("vid"))
+        .join(queries.select(col("query_id"), col("qvec"), col("qnrm")),
+          Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          VectorFns.cosine(VectorFns.dot(col("qvec"), col("vec")),
+            col("qnrm"), col("nrm")).as("cosine"))
+      beam = topB(beam.unionByName(frontier)
+        .dropDuplicates("query_id", "node"))
+      // checkpoint the lineage each round (tiny frame): Rounds-fold nested
+      // plans otherwise re-plan/re-execute the whole prefix per round
+      beam = graft.operators.OpCache.cache(beam)
+      round += 1
+    }
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node").asc)
+    beam.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+}

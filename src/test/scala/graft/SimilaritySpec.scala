@@ -28,6 +28,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
   }
 
+  test("NSW graph ANN recall@10 vs brute force beats the bucketed paths' floor") {
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val exact = CosineTopK.search(vecs, "vec_id", "embedding", _ < 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nsw = graft.operators.similarity.NswAnn.search(
+        vecs, "vec_id", "embedding", _ < 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nsw.size == 100, s"expected 10 queries x 10 neighbors, got ${nsw.size}")
+    val recall = exact.intersect(nsw).size.toDouble / exact.size
+    info(s"NSW recall@10 = $recall")
+    assert(recall >= 0.3, s"NSW recall collapsed: $recall")
+    // determinism: a second run (fresh plan) reproduces the identical set
+    val again = graft.operators.similarity.NswAnn.search(
+        vecs, "vec_id", "embedding", _ < 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == nsw)
+  }
+
   test("multimodal pipeline REAL-decodes a BMP per document") {
     val out = queries.SimilarityQueries.q30Multimodal(spark, sf("0.001"))
     val n = Tables.documents(spark, sf("0.001")).count()
