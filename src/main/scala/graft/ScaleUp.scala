@@ -87,9 +87,13 @@ object ScaleUp {
     write(replicate(tbl("embeddings"), Map("vec_id" -> vecOff)) { (d, rep) =>
       val e = col("embedding")
       val n = size(e)
+      // rotate by rep MOD dims: factors beyond the dimension count wrap
+      // (slice with rep >= n would otherwise compute a negative length);
+      // replicas rep and rep+dims share a rotation but remain key-disjoint
+      val r = rep % n
       d.withColumn("embedding",
-        when(rep === 0, e).otherwise(
-          concat(slice(e, rep + lit(1), n - rep), slice(e, lit(1), rep))))
+        when(r === 0, e).otherwise(
+          concat(slice(e, r + lit(1), n - r), slice(e, lit(1), r))))
     }, "embeddings")
 
     spark.stop()

@@ -81,10 +81,30 @@ object BloomFilter {
     */
   def mightContain(key: Column, bits: Array[Boolean], m: Int, k: Int): Column = {
     require(bits.length == m, s"bitmap length ${bits.length} != m $m")
-    val spark = org.apache.spark.sql.SparkSession.active
-    val words = spark.sparkContext.broadcast(graft.plans.BloomProbe.pack(bits))
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.toColumn(graft.plans.BloomProbe(
-      GraftColumnBridge.toExpression(key.cast("string")), words, m, k))
+      GraftColumnBridge.toExpression(key.cast("string")), broadcastFor(bits), m, k))
+  }
+
+  // One broadcast per bitmap ARRAY (weak identity keys): probing the same
+  // filter from several plan branches (q78's candidate-count + exact-join
+  // consumers, bench re-runs over a held bits array) reuses one torrent
+  // transfer instead of re-broadcasting per call. Lifecycle is Spark's
+  // standard broadcast contract: when the last plan (and this weak entry)
+  // drops the handle, ContextCleaner reclaims the executor blocks — the
+  // same GC-tied lifetime the old plan-literal had, minus the plan bloat.
+  private val bcastCache =
+    new java.util.WeakHashMap[Array[Boolean],
+      org.apache.spark.broadcast.Broadcast[Array[Long]]]()
+
+  private def broadcastFor(bits: Array[Boolean]) = bcastCache.synchronized {
+    val hit = bcastCache.get(bits)
+    if (hit != null) hit
+    else {
+      val b = org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(graft.plans.BloomProbe.pack(bits))
+      bcastCache.put(bits, b)
+      b
+    }
   }
 }

@@ -48,6 +48,9 @@ object GlobalRank {
     require(sortExprs.nonEmpty, "rowNumber needs at least one sort expression")
     require(!df.columns.contains(rankCol),
       s"rank column '$rankCol' collides with an input column; rename it")
+    Seq("__pid", "__idx", "__offset").foreach(c => require(
+      !df.columns.contains(c),
+      s"input column '$c' collides with rowNumber's internal bookkeeping; rename it"))
     val spark = df.sparkSession
 
     val ranged = df.repartitionByRange(partitions, sortExprs: _*)

@@ -84,8 +84,14 @@ object NswAnn {
     * the long-range hub links. Distinct — a hub can also be an in-cell
     * neighbor.
     */
-  def edges(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = projected(vectors, idCol, vecCol)
+  def edges(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    edgesFrom(projected(vectors, idCol, vecCol))
+
+  /** Same, from an already-projected (vid, vec, nrm) frame — [[search]]
+    * passes its cached projection so the corpus norms are computed once,
+    * not re-folded by a second projection.
+    */
+  private def edgesFrom(v: DataFrame): DataFrame = {
     val h = withHubs(v, hubArray(v))
     val a = h.select(col("vid").as("src"), col("vec").as("svec"),
       col("nrm").as("snrm"), col("cell"))
@@ -111,7 +117,7 @@ object NswAnn {
              queryPred: Column => Column, k: Int): DataFrame = {
     val v = graft.operators.OpCache.cache(
       projected(vectors, idCol, vecCol))
-    val e = graft.operators.OpCache.cache(edges(v, "vid", "vec"))
+    val e = graft.operators.OpCache.cache(edgesFrom(v))
     val queries = v.filter(queryPred(col("vid")))
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"))

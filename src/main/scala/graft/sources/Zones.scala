@@ -94,10 +94,19 @@ object RawZone {
     // Deterministic per-date subdirectory + Overwrite keeps REPLAYS
     // idempotent (an Append at the root would re-append the same corrupt
     // lines on every re-run of the day, silently duplicating the audit
-    // trail) — the same idempotent-write discipline as CleanZone's
-    // dynamic partition overwrite.
-    val slot = date.getOrElse("all")
-    corrupt.write.mode(SaveMode.Overwrite).text(s"$quarantinePath/date=$slot")
+    // trail): the discovery-visible slot always MIRRORS the day's current
+    // corrupt set. Superseded evidence is retired into a dot-dir first
+    // (invisible to discovery, recoverable) — a replay after an upstream
+    // fix must not silently destroy the captured bad lines, the same
+    // retire-then-swap discipline as CleanZone.writePartitionedIsolated.
+    val slot = new org.apache.hadoop.fs.Path(s"$quarantinePath/date=${date.getOrElse("all")}")
+    val fs = slot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(slot)) {
+      val retired = new org.apache.hadoop.fs.Path(quarantinePath,
+        s".retired-${slot.getName}-${java.util.UUID.randomUUID}")
+      require(fs.rename(slot, retired), s"retire $slot failed")
+    }
+    corrupt.write.mode(SaveMode.Overwrite).text(slot.toString)
     parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
   }
 }

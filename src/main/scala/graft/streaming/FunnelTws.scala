@@ -66,25 +66,10 @@ private[streaming] final class FunnelProcessor(stages: Array[String])
   override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
                                timerValues: TimerValues): Iterator[FunnelProgress] = {
     val prior = if (state.exists()) state.get() else FunnelState(0, Long.MinValue)
-    var reach = prior.reach
-    var last = prior.lastStageMicros
-    val evs = rows.toArray // this user's batch slice only
-    var advanced = true
-    while (advanced && reach < stages.length) {
-      val stage = stages(reach)
-      var best = Long.MaxValue
-      var i = 0
-      while (i < evs.length) {
-        val t = evs(i)._2
-        if (evs(i)._3 == stage && t > last && t < best) best = t
-        i += 1
-      }
-      if (best == Long.MaxValue) advanced = false
-      else { last = best; reach += 1 }
-    }
-    if (reach != prior.reach) {
-      state.update(FunnelState(reach, last))
-      Iterator.single(FunnelProgress(user, reach))
+    val next = FunnelCore.advance(prior, rows.toArray, stages)
+    if (next.reach != prior.reach) {
+      state.update(next)
+      Iterator.single(FunnelProgress(user, next.reach))
     } else Iterator.empty
   }
 }

@@ -12,6 +12,36 @@ final case class FunnelState(reach: Int, lastStageMicros: Long)
 /** One (user, reach) progression emission. */
 final case class FunnelProgress(user_id: Long, reach: Int)
 
+/** The min-chain state advance shared by BOTH streaming funnel APIs
+  * ([[StreamingFunnel]] on flatMapGroupsWithState, [[FunnelTws]] on
+  * transformWithState): from prior state and one batch slice of (user,
+  * micros, type) events, advance reach while each next stage has an event
+  * strictly after the last reach time, taking the minimum such time. ONE
+  * definition — a tie-break or strictness fix cannot drift between the
+  * two state backends.
+  */
+private[streaming] object FunnelCore {
+  def advance(prior: FunnelState, evs: Array[(Long, Long, String)],
+              stages: Array[String]): FunnelState = {
+    var reach = prior.reach
+    var last = prior.lastStageMicros
+    var advanced = true
+    while (advanced && reach < stages.length) {
+      val stage = stages(reach)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < evs.length) {
+        val t = evs(i)._2
+        if (evs(i)._3 == stage && t > last && t < best) best = t
+        i += 1
+      }
+      if (best == Long.MaxValue) advanced = false
+      else { last = best; reach += 1 }
+    }
+    FunnelState(reach, last)
+  }
+}
+
 /** CONTINUOUS ordered-funnel tracking — the streaming twin of
   * [[graft.operators.Funnel]] (as [[AggMaintenanceSink]] is of
   * IncrementalAgg): each user's stage progression is maintained as
@@ -51,25 +81,10 @@ object StreamingFunnel {
         (user: Long, it: Iterator[(Long, Long, String)],
          state: GroupState[FunnelState]) =>
           val prior = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          var reach = prior.reach
-          var last = prior.lastStageMicros
-          val evs = it.toArray // this user's batch slice only
-          var advanced = true
-          while (advanced && reach < stageArr.length) {
-            val stage = stageArr(reach)
-            var best = Long.MaxValue
-            var i = 0
-            while (i < evs.length) {
-              val t = evs(i)._2
-              if (evs(i)._3 == stage && t > last && t < best) best = t
-              i += 1
-            }
-            if (best == Long.MaxValue) advanced = false
-            else { last = best; reach += 1 }
-          }
-          if (reach != prior.reach) {
-            state.update(FunnelState(reach, last))
-            Iterator.single(FunnelProgress(user, reach))
+          val next = FunnelCore.advance(prior, it.toArray, stageArr)
+          if (next.reach != prior.reach) {
+            state.update(next)
+            Iterator.single(FunnelProgress(user, next.reach))
           } else Iterator.empty
       }
   }

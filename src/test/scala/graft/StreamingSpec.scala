@@ -272,9 +272,6 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1)))
       .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
     try {
-      // the running query must actually be on RocksDB, not the default
-      assert(q.lastProgress == null ||
-        !q.lastProgress.stateOperators.isEmpty)
       stream.addData(
         Event(1L, ts(5), "view", 0), Event(1L, ts(7), "click", 0),
         Event(2L, ts(3), "purchase", 0), Event(2L, ts(6), "view", 0))
@@ -292,8 +289,15 @@ class StreamingSpec extends SparkSpec {
       stream.addData(Event(1L, ts(9), "purchase", 0), Event(2L, ts(8), "click", 0))
       q.processAllAvailable()
       assert(latest() == Map(1L -> 3, 2L -> 2))
-      // and the state provider in force is RocksDB (per-query conf)
-      assert(spark.conf.get(providerKey).contains("RocksDB"))
+      // the RUNNING query's state operator must actually be on RocksDB:
+      // the provider publishes rocksdb* custom metrics in query progress
+      // (re-reading the conf we set above would prove nothing)
+      import scala.jdk.CollectionConverters._
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.nonEmpty, "expected a stateful operator in progress")
+      assert(stateOps.head.customMetrics.keySet.asScala
+        .exists(_.toLowerCase.contains("rocksdb")),
+        s"state metrics show no RocksDB provider: ${stateOps.head.customMetrics.keySet}")
     } finally {
       q.stop()
       prior.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))

@@ -113,18 +113,31 @@ def single_partition_ids(details):
     return ids
 
 
+# nodes that pass one row through unchanged between the exchange and the
+# aggregate that proves scalar-ness
+PASSTHROUGH = {
+    "Project", "Filter", "ColumnarToRow", "InputAdapter",
+    "WholeStageCodegen", "AQEShuffleRead", "ShuffleQueryStage",
+    "ResultQueryStage", "BroadcastQueryStage", "ReusedExchange",
+}
+
+
 def scalar_agg_under(lines, start_idx, details):
-    """True if the subtree rooted at lines[start_idx] contains a global
-    (Keys: []) HashAggregate — the one-row build side a scalar BNLJ uses."""
+    """True if the FIRST non-passthrough node under lines[start_idx] is a
+    global (Keys: []) HashAggregate — the one-row build side a scalar BNLJ
+    uses. A Keys:[] aggregate buried deeper (e.g. under a join against a
+    fact table) does NOT make the broadcast side one-row."""
     base_indent = lines[start_idx][0]
     for indent, name, nid, _ in lines[start_idx + 1:]:
         if indent <= base_indent:
             break
+        if any(name == n or name.startswith(n) for n in PASSTHROUGH):
+            continue
         if "HashAggregate" in name:
             d = details.get(nid)
-            if d and any(re.match(r"Keys(?: \[\d+\])?: \[\]", l)
-                         for l in d["lines"]):
-                return True
+            return bool(d and any(re.match(r"Keys(?: \[\d+\])?: \[\]", l)
+                                  for l in d["lines"]))
+        return False
     return False
 
 
@@ -162,12 +175,19 @@ def lint_section(query, body):
         if name == "CartesianProduct":
             findings.append(("CartesianProduct", f"node ({nid})"))
         if name.startswith("BroadcastNestedLoopJoin"):
-            # build side = the BroadcastExchange child subtree
+            # build side = a BroadcastExchange that is a DIRECT child of the
+            # BNLJ (scanning the whole subtree would also hit broadcasts on
+            # the streamed side and whitelist an unbounded join)
             ok = False
             base = indent
+            child_indent = None
             for j in range(i + 1, len(lines)):
                 if lines[j][0] <= base:
                     break
+                if child_indent is None:
+                    child_indent = lines[j][0]
+                if lines[j][0] != child_indent:
+                    continue
                 if "BroadcastExchange" in lines[j][1] or \
                         "BroadcastQueryStage" in lines[j][1]:
                     if scalar_agg_under(lines, j, details) or \
