@@ -33,9 +33,27 @@ import org.apache.spark.sql.functions._
   * 100 TB the edge list partitions by src and the beam broadcasts.
   */
 object NswAnn {
-  /** Hub count (first `Hubs` vector ids, the IvfAnn "training" convention —
-    * swap in k-means or reservoir sampling offline; contract unchanged). */
-  val Hubs = 16
+  /** Base hub count (first-N-ids "training", the IvfAnn convention — swap
+    * in k-means or reservoir sampling offline; contract unchanged). */
+  val BaseHubs = 16
+  /** Hub-count cap (beam0 scores every hub per query — keep it bounded). */
+  val MaxHubs = 4096
+  /** Target cell occupancy: hubs grow with the corpus so the per-cell
+    * self-join stays ~TargetCell² per cell. A FIXED hub count saturates
+    * quadratically — the 100× probe measured exactly that (200k vectors /
+    * 16 hubs = 12.5k-node cells = 2.5B candidate pairs; the same
+    * occupancy cliff LshAnn.adaptivePlanes exists to avoid). Integer
+    * doubling ladder, NOT a float log: the DuckDB oracle must pick the
+    * identical count on every engine. n ≤ 8192 keeps the historical 16
+    * hubs, so all driver-tested scale factors are unchanged.
+    */
+  val TargetCell = 512
+
+  def adaptiveHubs(n: Long): Int = {
+    var h = BaseHubs
+    while (n > h.toLong * TargetCell && h < MaxHubs) h <<= 1
+    h
+  }
   /** Short-range out-degree (top-M in-cell neighbors). */
   val M = 6
   /** Long-range out-degree (nearest hubs per node). */
@@ -50,8 +68,8 @@ object NswAnn {
       VectorFns.norm(col(vecCol)).as("nrm"))
 
   /** One-row broadcastable struct array of all hubs, cid ascending. */
-  private def hubArray(v: DataFrame): DataFrame =
-    v.filter(col("vid") < Hubs)
+  private def hubArray(v: DataFrame, nHubs: Int): DataFrame =
+    v.filter(col("vid") < nHubs)
       .select(struct(col("vid").as("cid"), col("vec").as("cvec"),
         col("nrm").as("cnrm")).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("hubs"))
@@ -61,38 +79,56 @@ object NswAnn {
       nrm, c.getField("cnrm"))
 
   /** Per-node hub ranking via the broadcast fold: (vid, vec, nrm, cell,
-    * hub_links[]) where cell = nearest hub, hub_links = top-`HubLinks`
-    * hubs (cos desc, cid asc — the exact order the oracle's row_number
-    * replays).
+    * hub_links[]) where cell = nearest hub, hub_links = top-2 hubs
+    * (cos desc, cid asc — the exact order the oracle's row_number
+    * replays). A TWO-SLOT argmax fold, O(H) per row like IvfAnn's
+    * assignment — a full `array_sort` with an interpreted struct
+    * comparator costs O(H log H) comparator frames per row and dominated
+    * the 100× probe once the hub ladder grew H to 512.
+    *
+    * Strict `>` with cids scanned ascending keeps the LOWEST cid on ties,
+    * which is exactly row_number over (cos DESC, cid ASC) = 1, 2.
     */
-  private def withHubs(v: DataFrame, hubs: DataFrame): DataFrame =
+  private def withHubs(v: DataFrame, hubs: DataFrame): DataFrame = {
+    require(HubLinks == 2, s"the two-slot hub fold encodes HubLinks=2, got $HubLinks")
+    val init = struct(
+      lit(Double.NegativeInfinity).as("c1"), lit(-1L).as("i1"),
+      lit(Double.NegativeInfinity).as("c2"), lit(-1L).as("i2"))
     v.join(broadcast(hubs), lit(true))
-      .withColumn("scored", transform(col("hubs"), c =>
-        struct(cosTo(col("vec"), col("nrm"), c).as("cos"),
-          c.getField("cid").as("cid"))))
-      .withColumn("ranked", array_sort(col("scored"), (l, r) =>
-        when(l.getField("cos") > r.getField("cos"), lit(-1))
-          .when(l.getField("cos") < r.getField("cos"), lit(1))
-          .when(l.getField("cid") < r.getField("cid"), lit(-1))
-          .when(l.getField("cid") > r.getField("cid"), lit(1))
-          .otherwise(lit(0))))
+      .withColumn("best2", aggregate(
+        col("hubs"), init,
+        (acc, c) => {
+          val cc = cosTo(col("vec"), col("nrm"), c)
+          val cid = c.getField("cid")
+          when(cc > acc.getField("c1"),
+            struct(cc.as("c1"), cid.as("i1"),
+              acc.getField("c1").as("c2"), acc.getField("i1").as("i2")))
+            .when(cc > acc.getField("c2"),
+              struct(acc.getField("c1").as("c1"), acc.getField("i1").as("i1"),
+                cc.as("c2"), cid.as("i2")))
+            .otherwise(acc)
+        }))
       .select(col("vid"), col("vec"), col("nrm"),
-        col("ranked").getItem(0).getField("cid").as("cell"),
-        slice(col("ranked"), 1, HubLinks).getField("cid").as("hub_links"))
+        col("best2").getField("i1").as("cell"),
+        array(col("best2").getField("i1"), col("best2").getField("i2"))
+          .as("hub_links"))
+  }
 
   /** Directed edge list (src, dst): per-cell top-M short-range edges plus
     * the long-range hub links. Distinct — a hub can also be an in-cell
     * neighbor.
     */
-  def edges(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    edgesFrom(projected(vectors, idCol, vecCol))
+  def edges(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = projected(vectors, idCol, vecCol)
+    edgesFrom(v, adaptiveHubs(v.count()))
+  }
 
   /** Same, from an already-projected (vid, vec, nrm) frame — [[search]]
     * passes its cached projection so the corpus norms are computed once,
     * not re-folded by a second projection.
     */
-  private def edgesFrom(v: DataFrame): DataFrame = {
-    val h = withHubs(v, hubArray(v))
+  private def edgesFrom(v: DataFrame, nHubs: Int): DataFrame = {
+    val h = withHubs(v, hubArray(v, nHubs))
     val a = h.select(col("vid").as("src"), col("vec").as("svec"),
       col("nrm").as("snrm"), col("cell"))
     val b = h.select(col("vid").as("dst"), col("vec").as("dvec"),
@@ -106,7 +142,8 @@ object NswAnn {
       .select(col("src"), col("dst"))
     val long = h.select(col("vid").as("src"),
         explode(col("hub_links")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      // -1 = an unfilled fold slot (corpus with fewer hubs than HubLinks)
+      .filter(col("src") =!= col("dst") && col("dst") >= 0)
     short.unionByName(long).distinct()
   }
 
@@ -117,7 +154,8 @@ object NswAnn {
              queryPred: Column => Column, k: Int): DataFrame = {
     val v = graft.operators.OpCache.cache(
       projected(vectors, idCol, vecCol))
-    val e = graft.operators.OpCache.cache(edgesFrom(v))
+    val nHubs = adaptiveHubs(v.count()) // bounded driver scalar
+    val e = graft.operators.OpCache.cache(edgesFrom(v, nHubs))
     val queries = v.filter(queryPred(col("vid")))
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"))
@@ -132,7 +170,7 @@ object NswAnn {
     }
 
     // seed: the query's top-B hubs
-    val hubFrame = v.filter(col("vid") < Hubs)
+    val hubFrame = v.filter(col("vid") < nHubs)
       .select(col("vid").as("node"), col("vec").as("nvec"), col("nrm").as("nnrm"))
     var beam = topB(queries.join(broadcast(hubFrame), lit(true))
       .select(col("query_id"),

@@ -21,10 +21,18 @@ object NswQueries {
       _ < 10, k = SimilarityQueries.K)
 
   def q100Oracle: String = {
-    val H = NswAnn.Hubs
     val M = NswAnn.M
     val L = NswAnn.HubLinks
     val B = NswAnn.Beam
+    // hub-count ladder replaying NswAnn.adaptiveHubs bit-for-bit: integer
+    // comparisons only, so every engine picks the identical count
+    val hubLadder = {
+      val steps = Iterator.iterate(NswAnn.BaseHubs)(_ << 1)
+        .takeWhile(_ < NswAnn.MaxHubs)
+        .map(h => s"WHEN count(*) <= ${h.toLong * NswAnn.TargetCell} THEN $h")
+        .mkString(" ")
+      s"SELECT CASE $steps ELSE ${NswAnn.MaxHubs} END AS h FROM embeddings"
+    }
     def dot(a: String, b: String) = (1 to SimilarityQueries.Dims)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
@@ -58,11 +66,12 @@ object NswQueries {
 
     s"""WITH n AS MATERIALIZED (
        |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
+       |), nh AS MATERIALIZED ($hubLadder
        |), hubrank AS MATERIALIZED (
        |  SELECT c.vec_id AS node, h.vec_id AS hub,
        |    row_number() OVER (PARTITION BY c.vec_id
        |      ORDER BY (${dot("c.e", "h.e")}) / (c.nrm * h.nrm) DESC, h.vec_id ASC) AS rnk
-       |  FROM n c JOIN n h ON h.vec_id < $H
+       |  FROM n c JOIN n h ON h.vec_id < (SELECT h FROM nh)
        |), cells AS (
        |  SELECT node, hub AS cell FROM hubrank WHERE rnk = 1
        |), short_edges AS (
@@ -90,7 +99,7 @@ object NswQueries {
        |      (${dot("q.qe", "h.e")}) / (q.qnrm * h.nrm) AS cosine,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY (${dot("q.qe", "h.e")}) / (q.qnrm * h.nrm) DESC, h.vec_id ASC) AS rnk
-       |    FROM queries q JOIN n h ON h.vec_id < $H
+       |    FROM queries q JOIN n h ON h.vec_id < (SELECT h FROM nh)
        |  ) t WHERE rnk <= $B
        |),
        |$rounds

@@ -274,4 +274,44 @@ object PipelineQueries {
       |  AND (p_partkey % 800 + 150) * 1000 > 200000
       |  AND p_partkey % 3 = 0
       |GROUP BY 1""".stripMargin
+
+  private val q101Invocation = new AtomicInteger(0)
+
+  /** q101: the continuous incremental-agg SINK driven end-to-end through
+    * the oracle gate (SURVEY 44e — the streaming family's last all-spec
+    * surface): events split into 5 deterministic micro-batches
+    * (event_id % 5) fold one at a time through
+    * [[graft.streaming.AggMaintenanceSink.maintainBatch]]'s swap-write
+    * protocol into a running parquet mart; the LATEST batch is then
+    * RE-APPLIED — foreachBatch's actual retry surface (Spark re-runs the
+    * current batch after a sink failure, never an older one after newer
+    * commits) — and must no-op via the applied-batch marker. The
+    * gated result is the final WRITTEN state read back; the DuckDB oracle
+    * aggregates all events directly — the merge(agg(B0..B4)) ==
+    * agg(B0∪..∪B4) monoid contract plus retry idempotency, checked
+    * against an engine that never saw the batching.
+    */
+  def q101AggMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val inv = q101Invocation.incrementAndGet()
+    val target = s"$scratch/q101_$inv/mart"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).as("total_value"))
+    val sink = graft.streaming.AggMaintenanceSink
+      .maintainBatch(target, Seq("user_id"), aggOf) _
+    (0 to 4).foreach(b => sink(ev.filter(col("event_id") % 5 === b), b.toLong))
+    sink(ev.filter(col("event_id") % 5 === 4), 4L) // retry of the latest batch
+    CleanZone.read(spark, target)
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast(DoubleType).as("total_value"))
+  }
+
+  def q101Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1""".stripMargin
 }
