@@ -67,47 +67,51 @@ object NswAnn {
     vectors.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
 
-  /** One-row broadcastable struct array of all hubs, cid ascending. */
-  private def hubArray(v: DataFrame, nHubs: Int): DataFrame =
-    v.filter(col("vid") < nHubs)
-      .select(struct(col("vid").as("cid"), col("vec").as("cvec"),
-        col("nrm").as("cnrm")).as("c"))
-      .agg(array_sort(collect_list(col("c"))).as("hubs"))
-
-  private def cosTo(vec: Column, nrm: Column, c: Column): Column =
-    VectorFns.cosine(VectorFns.dot(vec, c.getField("cvec")),
-      nrm, c.getField("cnrm"))
-
-  /** Per-node hub ranking via the broadcast fold: (vid, vec, nrm, cell,
-    * hub_links[]) where cell = nearest hub, hub_links = top-2 hubs
-    * (cos desc, cid asc — the exact order the oracle's row_number
-    * replays). A TWO-SLOT argmax fold, O(H) per row like IvfAnn's
-    * assignment — a full `array_sort` with an interpreted struct
-    * comparator costs O(H log H) comparator frames per row and dominated
-    * the 100× probe once the hub ladder grew H to 512.
-    *
-    * Strict `>` with cids scanned ascending keeps the LOWEST cid on ties,
-    * which is exactly row_number over (cos DESC, cid ASC) = 1, 2.
+  /** Collect the hub set driver-side (bounded: ≤ MaxHubs rows, ~2 MB of
+    * doubles at the cap) and broadcast it once — the [[graft.plans
+    * .BloomProbe]] transport. cid-ascending so the scan order equals the
+    * oracle's cid tiebreak.
     */
-  private def withHubs(v: DataFrame, hubs: DataFrame): DataFrame = {
-    require(HubLinks == 2, s"the two-slot hub fold encodes HubLinks=2, got $HubLinks")
-    val init = struct(
-      lit(Double.NegativeInfinity).as("c1"), lit(-1L).as("i1"),
-      lit(Double.NegativeInfinity).as("c2"), lit(-1L).as("i2"))
-    v.join(broadcast(hubs), lit(true))
-      .withColumn("best2", aggregate(
-        col("hubs"), init,
-        (acc, c) => {
-          val cc = cosTo(col("vec"), col("nrm"), c)
-          val cid = c.getField("cid")
-          when(cc > acc.getField("c1"),
-            struct(cc.as("c1"), cid.as("i1"),
-              acc.getField("c1").as("c2"), acc.getField("i1").as("i2")))
-            .when(cc > acc.getField("c2"),
-              struct(acc.getField("c1").as("c1"), acc.getField("i1").as("i1"),
-                cc.as("c2"), cid.as("i2")))
-            .otherwise(acc)
-        }))
+  private def collectHubs(v: DataFrame, nHubs: Int): graft.plans.HubSet = {
+    val rows = v.filter(col("vid") < nHubs)
+      .select(col("vid"), col("vec"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+    val dim = if (rows.isEmpty) 0
+      else rows.head.getSeq[Any](1).length
+    val vecs = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, h) =>
+      val s = r.getSeq[Any](1)
+      var i = 0
+      while (i < dim) {
+        vecs(h * dim + i) = s(i) match {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d
+          case x => throw new IllegalArgumentException(s"bad element $x")
+        }
+        i += 1
+      }
+    }
+    graft.plans.HubSet(rows.map(_.getLong(0)), rows.map(_.getDouble(2)),
+      vecs, dim)
+  }
+
+  /** Per-node hub ranking via the codegen'd [[graft.plans.HubTopTwo]]
+    * broadcast probe: (vid, vec, nrm, cell, hub_links[]) where cell =
+    * nearest hub, hub_links = top-2 hubs under strict `>` with cids
+    * scanned ascending — exactly row_number over (cos DESC, cid ASC)
+    * = 1, 2, the order the oracle replays. An `aggregate()` HOF fold
+    * here runs interpreted per hub and dominated the 100× probe (108 s)
+    * once the ladder grew H to 512; the native expression is two tight
+    * loops inside whole-stage codegen.
+    */
+  private def withHubs(v: DataFrame,
+                       hubSet: org.apache.spark.broadcast.Broadcast[graft.plans.HubSet]): DataFrame = {
+    require(HubLinks == 2, s"the two-slot hub probe encodes HubLinks=2, got $HubLinks")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val best2 = ColumnBridge.column(graft.plans.HubTopTwo(
+      ColumnBridge.expression(col("vec")),
+      ColumnBridge.expression(col("nrm")), hubSet))
+    v.withColumn("best2", best2)
       .select(col("vid"), col("vec"), col("nrm"),
         col("best2").getField("i1").as("cell"),
         array(col("best2").getField("i1"), col("best2").getField("i2"))
@@ -128,7 +132,8 @@ object NswAnn {
     * not re-folded by a second projection.
     */
   private def edgesFrom(v: DataFrame, nHubs: Int): DataFrame = {
-    val h = withHubs(v, hubArray(v, nHubs))
+    val hubSet = v.sparkSession.sparkContext.broadcast(collectHubs(v, nHubs))
+    val h = withHubs(v, hubSet)
     val a = h.select(col("vid").as("src"), col("vec").as("svec"),
       col("nrm").as("snrm"), col("cell"))
     val b = h.select(col("vid").as("dst"), col("vec").as("dvec"),
@@ -137,9 +142,15 @@ object NswAnn {
       .select(col("src"), col("dst"),
         VectorFns.cosine(VectorFns.dot(col("svec"), col("dvec")),
           col("snrm"), col("dnrm")).as("cosine"))
-    val short = graft.operators.TopK.perGroup(inCell, Seq("src"),
-        sortCol = "cosine", idCol = "dst", k = M)
-      .select(col("src"), col("dst"))
+    // per-src groups are BOUNDED by cell occupancy (~TargetCell, a knob),
+    // so a window is safe here and its codegen'd sort beats TopK's
+    // object-hash aggregation by ~5x at this row mass (the hot-group risk
+    // TopK.perGroup exists for cannot occur: no cell, hence no src group,
+    // can exceed the occupancy the hub ladder maintains)
+    val wShort = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val short = inCell.withColumn("__r", row_number().over(wShort))
+      .filter(col("__r") <= M).select(col("src"), col("dst"))
     val long = h.select(col("vid").as("src"),
         explode(col("hub_links")).as("dst"))
       // -1 = an unfilled fold slot (corpus with fewer hubs than HubLinks)
