@@ -30,6 +30,12 @@ ALLOW = {
          "before broadcast); corpus x queries with a non-equi self-exclusion "
          "is the brute-force baseline's defining shape (Similarity.scala)"),
     ],
+    "q100_nsw_ann": [
+        ("BNLJ-nonscalar",
+         "beam seed: query set x hub set, BOTH knob-bounded (|Q| queries; "
+         "hubs capped at NswAnn.MaxHubs=4096 by the occupancy ladder) — "
+         "the walk's entry points, not a data-volume join (NswAnn.scala)"),
+    ],
     "q37_fx_carry_forward": [
         ("BNLJ-nonscalar",
          "broadcast side is the DISTINCT currency-pair aggregate — bounded "
