@@ -50,6 +50,12 @@ object NswAnn {
   val TargetCell = 512
 
   def adaptiveHubs(n: Long): Int = {
+    // MaxHubs must sit ON the doubling ladder or the loop could overshoot
+    // it while the oracle's ELSE clause pins exactly MaxHubs — divergent
+    // graphs, gate failure. Pin the invariant, don't trust tuning.
+    require(MaxHubs >= BaseHubs && (MaxHubs & (MaxHubs - 1)) == 0 &&
+      (BaseHubs & (BaseHubs - 1)) == 0,
+      s"MaxHubs=$MaxHubs must be a power-of-2 multiple of BaseHubs=$BaseHubs")
     var h = BaseHubs
     while (n > h.toLong * TargetCell && h < MaxHubs) h <<= 1
     h
@@ -86,6 +92,7 @@ object NswAnn {
         vecs(h * dim + i) = s(i) match {
           case f: java.lang.Float  => f.toDouble
           case d: java.lang.Double => d
+          case null => 0.0d // null element = 0 contribution (DotProduct's skip)
           case x => throw new IllegalArgumentException(s"bad element $x")
         }
         i += 1
@@ -123,7 +130,10 @@ object NswAnn {
     * neighbor.
     */
   def edges(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = projected(vectors, idCol, vecCol)
+    // cached like search()'s projection: the ladder count, the hub
+    // collect, and both self-join sides would otherwise each re-fold the
+    // per-row norms from the source
+    val v = graft.operators.OpCache.cache(projected(vectors, idCol, vecCol))
     edgesFrom(v, adaptiveHubs(v.count()))
   }
 
@@ -132,7 +142,13 @@ object NswAnn {
     * not re-folded by a second projection.
     */
   private def edgesFrom(v: DataFrame, nHubs: Int): DataFrame = {
-    val hubSet = v.sparkSession.sparkContext.broadcast(collectHubs(v, nHubs))
+    val hs = collectHubs(v, nHubs)
+    // no hubs (e.g. a corpus whose ids all exceed nHubs — the first-N-ids
+    // convention found nothing): no graph, empty edge list — not a
+    // per-row length-mismatch crash in the probe expression
+    if (hs.size == 0)
+      return v.limit(0).select(col("vid").as("src"), col("vid").as("dst"))
+    val hubSet = v.sparkSession.sparkContext.broadcast(hs)
     val h = withHubs(v, hubSet)
     val a = h.select(col("vid").as("src"), col("vec").as("svec"),
       col("nrm").as("snrm"), col("cell"))
@@ -142,11 +158,16 @@ object NswAnn {
       .select(col("src"), col("dst"),
         VectorFns.cosine(VectorFns.dot(col("svec"), col("dvec")),
           col("snrm"), col("dnrm")).as("cosine"))
-    // per-src groups are BOUNDED by cell occupancy (~TargetCell, a knob),
-    // so a window is safe here and its codegen'd sort beats TopK's
-    // object-hash aggregation by ~5x at this row mass (the hot-group risk
-    // TopK.perGroup exists for cannot occur: no cell, hence no src group,
-    // can exceed the occupancy the hub ladder maintains)
+    // Ranking choice, stated honestly: the hub ladder bounds MEAN cell
+    // occupancy (~TargetCell); a heavily clustered corpus can still
+    // concentrate mass in one cell, and that cliff lives in the per-cell
+    // JOIN above (pair mass ~occupancy² — the same intrinsic-cluster
+    // residual q31 documents), which neither ranking strategy changes.
+    // Given the join's output, the window's codegen'd sort beat TopK's
+    // object-hash aggregation ~5x at the 100x probe; TopK's remaining
+    // advantage (k-per-src-per-mapper shuffle reduction) only matters
+    // once a cell is already pathologically hot — at which point re-split
+    // the cell (finer hubs / salting) rather than rank its n² pairs.
     val wShort = Window.partitionBy("src")
       .orderBy(col("cosine").desc, col("dst").asc)
     val short = inCell.withColumn("__r", row_number().over(wShort))

@@ -93,7 +93,8 @@ object HubTopTwo {
       var i = 0
       val base = h * d
       while (i < d) {
-        // null elements contribute 0, matching DotProduct's skip
+        // null elements (either side) contribute 0, matching DotProduct's
+        // skip; hub-side nulls were zeroed at collection
         if (!vec.isNullAt(i)) {
           val xv = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
           dot += xv * hs.vecs(base + i)
@@ -101,8 +102,15 @@ object HubTopTwo {
         i += 1
       }
       val cc = dot / (nrm * hs.nrms(h))
-      if (cc > c1) { c2 = c1; i2 = i1; c1 = cc; i1 = hs.cids(h) }
-      else if (cc > c2) { c2 = cc; i2 = hs.cids(h) }
+      // Double.compare, NOT primitive `>`: Spark SQL (and DuckDB) order
+      // NaN as the LARGEST double, so a zero-norm vector's NaN cosine
+      // must outrank real scores here too or the graph diverges from the
+      // oracle's row_number replay; primitive NaN > x is always false
+      if (java.lang.Double.compare(cc, c1) > 0) {
+        c2 = c1; i2 = i1; c1 = cc; i1 = hs.cids(h)
+      } else if (java.lang.Double.compare(cc, c2) > 0) {
+        c2 = cc; i2 = hs.cids(h)
+      }
       h += 1
     }
     new GenericInternalRow(Array[Any](i1, i2))
