@@ -46,6 +46,24 @@ class SimilaritySpec extends SparkSpec {
     assert(again == nsw)
   }
 
+  test("PQ ANN recall@10 vs brute force is usable; codes compress 64 floats to one int") {
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val exact = CosineTopK.search(vecs, "vec_id", "embedding", _ < 10, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.operators.similarity.PqAnn.search(
+        vecs, "vec_id", "embedding", _ < 10, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == 100, s"expected 10 queries x 10 neighbors, got ${pq.size}")
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.3, s"PQ recall collapsed: $recall")
+    // determinism across fresh plans
+    val again = graft.operators.similarity.PqAnn.search(
+        vecs, "vec_id", "embedding", _ < 10, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pq)
+  }
+
   test("multimodal pipeline REAL-decodes a BMP per document") {
     val out = queries.SimilarityQueries.q30Multimodal(spark, sf("0.001"))
     val n = Tables.documents(spark, sf("0.001")).count()
