@@ -86,17 +86,10 @@ object NswAnn {
       else rows.head.getSeq[Any](1).length
     val vecs = new Array[Double](rows.length * dim)
     rows.zipWithIndex.foreach { case (r, h) =>
-      val s = r.getSeq[Any](1)
+      // null element = 0 contribution (DotProduct's skip convention)
+      val e = VectorFns.collectElems(r, 1, nullAsZero = true)
       var i = 0
-      while (i < dim) {
-        vecs(h * dim + i) = s(i) match {
-          case f: java.lang.Float  => f.toDouble
-          case d: java.lang.Double => d
-          case null => 0.0d // null element = 0 contribution (DotProduct's skip)
-          case x => throw new IllegalArgumentException(s"bad element $x")
-        }
-        i += 1
-      }
+      while (i < dim) { vecs(h * dim + i) = e(i); i += 1 }
     }
     graft.plans.HubSet(rows.map(_.getLong(0)), rows.map(_.getDouble(2)),
       vecs, dim)

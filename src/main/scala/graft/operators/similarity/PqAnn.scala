@@ -40,13 +40,11 @@ object PqAnn {
     vectors.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
 
+  // nulls rejected loudly: an L2 distance to a codeword has no
+  // skip-consistent null semantics (zero-filling would diverge from the
+  // oracle's NULL propagation) — PQ requires dense vectors
   private def elemsOf(r: Row, i: Int): IndexedSeq[Double] =
-    r.getSeq[Any](i).map {
-      case f: java.lang.Float  => f.doubleValue()
-      case d: java.lang.Double => d.doubleValue()
-      case null => 0.0d
-      case x => throw new IllegalArgumentException(s"bad element $x")
-    }.toIndexedSeq
+    VectorFns.collectElems(r, i, nullAsZero = false)
 
   /** Approximate top-k per query, same output shape as [[CosineTopK]]:
     * (query_id, neighbor_id, cosine, rank) — cosines are EXACT (computed
@@ -130,7 +128,15 @@ object PqAnn {
     val scored = codes.select(col("vid"), col("codes"))
       .join(broadcast(lutDf), col("vid") =!= col("query_id"))
       .select(col("query_id"), col("vid"), adc.as("adc"))
-      .withColumn("neg_adc", negate(col("adc"))) // TopK ranks desc; -adc desc = adc asc
+      // TopK ranks desc; -adc desc = adc asc. NaN adc (a NaN element that
+      // slipped past the dense-vector guards) maps to +Inf first: negated
+      // NaN would sort FIRST under Spark's NaN-largest desc while the
+      // oracle's `adc ASC` sorts NaN last — worst-candidate, not best.
+      // (Residual: a cut boundary straddling genuine +Inf and NaN rows
+      // can still order differently — both are sentinel garbage.)
+      .withColumn("neg_adc", negate(
+        when(isnan(col("adc")), lit(Double.PositiveInfinity))
+          .otherwise(col("adc"))))
     val cand = graft.operators.TopK.perGroup(scored, Seq("query_id"),
         sortCol = "neg_adc", idCol = "vid", k = rerank)
       .select(col("query_id"), col("vid"))

@@ -44,6 +44,26 @@ object VectorFns {
     */
   def scale(vec: Column, divisor: Column): Column =
     transform(vec, x => x.cast("double") / divisor)
+
+  /** Driver-side coercion of a collected embedding field (index `i` of
+    * `r`) to doubles — shared by the ANN operators that collect bounded
+    * hub/codebook/query sets. `nullAsZero = true` gives a null element 0
+    * contribution (DotProduct's skip convention, [[graft.operators
+    * .similarity.NswAnn]]); `false` rejects nulls loudly for operators
+    * whose math has no skip-consistent analog ([[PqAnn]]'s L2 codeword
+    * distances).
+    */
+  private[similarity] def collectElems(r: org.apache.spark.sql.Row, i: Int,
+                                       nullAsZero: Boolean): IndexedSeq[Double] =
+    r.getSeq[Any](i).map {
+      case f: java.lang.Float  => f.doubleValue()
+      case d: java.lang.Double => d.doubleValue()
+      case null if nullAsZero => 0.0d
+      case null => throw new IllegalArgumentException(
+        "embedding contains a null element; this operator requires dense " +
+          "vectors — impute or drop upstream")
+      case x => throw new IllegalArgumentException(s"bad element $x")
+    }.toIndexedSeq
 }
 
 /** Brute-force exact cosine top-k: the correctness baseline. O(|Q|·N·D) —

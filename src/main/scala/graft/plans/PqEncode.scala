@@ -84,9 +84,15 @@ object PqEncode {
         val vecBase = s * cb.subDim
         val cwBase = ((s * cb.k) + c) * cb.subDim
         while (i < cb.subDim) {
+          // loud on null elements: an L2 codeword distance has no
+          // skip-consistent null analog (zero-filling silently diverges
+          // from an engine that NULL-propagates) — PQ needs dense vectors
+          if (vec.isNullAt(vecBase + i))
+            throw new IllegalArgumentException(
+              "pq_encode: embedding contains a null element; PQ requires " +
+                "dense vectors — impute or drop upstream")
           val xv =
-            if (vec.isNullAt(vecBase + i)) 0.0d
-            else if (isFloat) vec.getFloat(vecBase + i).toDouble
+            if (isFloat) vec.getFloat(vecBase + i).toDouble
             else vec.getDouble(vecBase + i)
           val diff = xv - cb.codewords(cwBase + i)
           dist += diff * diff
