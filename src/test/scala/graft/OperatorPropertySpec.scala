@@ -137,4 +137,30 @@ class OperatorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("GlobalRank.rowNumber/ntile equal the window formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GlobalRank
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      // duplicate sort values force the id tiebreak; id is unique
+      val n = 40 + trial * 37
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(12).toLong))
+      val df = rows.toDF("id", "v").repartition(5)
+      val sortExprs = Seq(col("v").desc, col("id").asc)
+      val w = Window.orderBy(sortExprs: _*)
+      val expected = df.withColumn("rank", row_number().over(w).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val got = GlobalRank.rowNumber(df, sortExprs, partitions = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == expected, s"trial $trial: distributed rank != window rank")
+      (1 to 7).foreach { k =>
+        val expTile = df.withColumn("t", ntile(k).over(w))
+          .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+        val gotTile = GlobalRank.ntile(df, sortExprs, k, partitions = 7)
+          .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+        assert(gotTile == expTile, s"trial $trial k=$k: ntile mismatch")
+      }
+    }
+  }
 }
