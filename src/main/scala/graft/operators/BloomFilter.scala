@@ -71,6 +71,13 @@ object BloomFilter {
     * No false negatives by construction; false positives are whatever the
     * load factor admits and are eliminated by the exact join downstream.
     *
+    * The `bits` array must be treated as IMMUTABLE once probed: the packed
+    * broadcast is cached per array identity, so mutating the array between
+    * probes would silently reuse the stale broadcast (the probe would keep
+    * answering for the OLD filter). Rebuild into a fresh array instead —
+    * or call [[invalidate]] first, which also releases the executor-side
+    * broadcast blocks for long-lived sessions.
+    *
     * Transport: the bitmap rides a Spark BROADCAST variable (packed words,
     * m/8 bytes, fetched once per executor) referenced from the codegen'd
     * [[graft.plans.BloomProbe]] expression — the plan itself stays O(1) in
@@ -106,5 +113,18 @@ object BloomFilter {
       bcastCache.put(bits, b)
       b
     }
+  }
+
+  /** Drop the cached broadcast for `bits` and release its executor blocks.
+    * For long-lived sessions that hold a bitmap reference past its last
+    * probe (the weak cache entry would otherwise pin executor memory until
+    * the ARRAY is collected), or before mutating/rebuilding a filter
+    * in place. Safe to call with an array that was never probed. Plans
+    * still holding the broadcast keep working — destroy is deferred to
+    * blocking=false semantics via unpersist, not a hard destroy.
+    */
+  def invalidate(bits: Array[Boolean]): Unit = bcastCache.synchronized {
+    val hit = bcastCache.remove(bits)
+    if (hit != null) hit.unpersist(blocking = false)
   }
 }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * use requires anyway.
   *
   * Reference semantics: the spend-quartile mart's NTILE(4) customer ranking
-  * (transform_load.py:214-233 ranks the customer dim globally); at 100 TB
+  * (load_to_bq.py:214-233 ranks the customer dim globally); at 100 TB
   * the customer frame is fact-proportional, so the rank must be computed
   * with a range exchange, never a single-partition window.
   */
@@ -106,10 +106,17 @@ object GlobalRank {
     val nDf = broadcast(ranked.agg(count(lit(1)).as("__gr_n")))
     val r = col(rankCol)
     val n = col("__gr_n")
-    // exact integer division: a - a%d is a multiple of d, so the true-div
-    // quotient is an integer ≤ 2^53 — exactly representable as double, and
-    // the cast is lossless (plain floor(a/d) could misround near 2^53)
-    def intDiv(a: Column, d: Column): Column = ((a - (a % d)).divide(d)).cast(LongType)
+    // exact integer division via Catalyst's IntegralDivide (SQL `div`):
+    // pure long arithmetic end-to-end. The previous (a - a%d)/d form
+    // routed through a double divide, whose exactness claim only held for
+    // n < 2^53 — real for no row count we reach, but wrong as a guarantee.
+    def intDiv(a: Column, d: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.toColumn(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(d)))
+        .cast(LongType)
+    }
     val base = intDiv(n, lit(k.toLong))
     val rem = n % lit(k.toLong)
     val bigSpan = rem * (base + lit(1L))

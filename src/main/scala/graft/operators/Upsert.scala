@@ -92,20 +92,30 @@ object Upsert {
     require(source.columns.contains(partitionCol),
       s"delta must carry partition column '$partitionCol'")
     val spark = source.sparkSession
-    val touched = source.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq // bounded: partitions in ONE delta
-    require(!touched.contains(null),
-      s"delta has null '$partitionCol' values — partition-pruned merge " +
-        "needs every row routed to a concrete partition")
-    if (touched.isEmpty) return Nil
-    val full = spark.read.parquet(tablePath)
-    val slice = full.filter(col(partitionCol).isin(touched: _*))
-    val mergeKeys = if (keys.contains(partitionCol)) keys
-                    else keys :+ partitionCol
-    val merged = merge(slice, source, mergeKeys, keepCols, preserveCols)
-      .select(full.columns.map(col).toSeq: _*) // table column order
-    graft.sources.CleanZone.writePartitionedIsolated(
-      merged, tablePath, Seq(partitionCol))
-    touched
+    // Cache the delta BEFORE deriving `touched`: the delta executes twice
+    // (distinct-collect here, then inside the staged merge write). Without
+    // pinning it, a non-deterministic delta — or one reading a concurrently
+    // changing source — could emit a partition value on the second run that
+    // `touched` never saw, and the partition-dir swap would then replace
+    // that target partition with delta-only rows, silently dropping the
+    // existing target rows.
+    val pinned = source.cache()
+    try {
+      val touched = pinned.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSeq // bounded: partitions in ONE delta
+      require(!touched.contains(null),
+        s"delta has null '$partitionCol' values — partition-pruned merge " +
+          "needs every row routed to a concrete partition")
+      if (touched.isEmpty) return Nil
+      val full = spark.read.parquet(tablePath)
+      val slice = full.filter(col(partitionCol).isin(touched: _*))
+      val mergeKeys = if (keys.contains(partitionCol)) keys
+                      else keys :+ partitionCol
+      val merged = merge(slice, pinned, mergeKeys, keepCols, preserveCols)
+        .select(full.columns.map(col).toSeq: _*) // table column order
+      graft.sources.CleanZone.writePartitionedIsolated(
+        merged, tablePath, Seq(partitionCol))
+      touched
+    } finally { pinned.unpersist(): Unit }
   }
 }

@@ -101,6 +101,22 @@ object RawZone {
     // retire-then-swap discipline as CleanZone.writePartitionedIsolated.
     val slot = new org.apache.hadoop.fs.Path(s"$quarantinePath/date=${date.getOrElse("all")}")
     val fs = slot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A dateless replay captures EVERY date's corrupt lines under date=all,
+    // so mixing it with per-date slots in one quarantine root would hold
+    // overlapping copies of the same lines — a reader unioning the root
+    // would double-count. Refuse the mix instead of documenting it away.
+    val root = new org.apache.hadoop.fs.Path(quarantinePath)
+    if (fs.exists(root)) {
+      val other = fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("date=") && n != slot.getName)
+      val mixed =
+        if (date.isDefined) other.filter(_ == "date=all")
+        else other
+      require(mixed.isEmpty,
+        s"quarantine root $quarantinePath already holds ${mixed.mkString(", ")} — " +
+          "dated and dateless (date=all) quarantine slots overlap and must " +
+          "not share one root; use a separate quarantinePath for full replays")
+    }
     if (fs.exists(slot)) {
       val retired = new org.apache.hadoop.fs.Path(quarantinePath,
         s".retired-${slot.getName}-${java.util.UUID.randomUUID}")
