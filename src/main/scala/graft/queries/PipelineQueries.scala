@@ -44,6 +44,65 @@ object PipelineQueries {
 
   private val Date = "2024-03-15"
 
+  /** Crawler-shaped snapshot record derived from `p_partkey`; `late` is the
+    * dedup winner. Shared by q68 (tiki_dag) and q103 (analytics_dag), which
+    * differ only in how the category path/url derive from the key.
+    */
+  private def snapRecord(late: Boolean, path: Column, catUrl: Column): Column = {
+    val pk = col("p_partkey")
+    def s(c: Column): Column = c.cast("string")
+    val price =
+      if (!late) concat(s(pk % 800 + 151), lit(".000 đ"))
+      // the winner for every ~97th product is unparseable → cleanPrice
+      // null → dropNullKeys removes the product from the day's fact
+      else when(pk % 97 === 0, lit("khuyến mãi"))
+        .otherwise(concat(s(pk % 800 + 150), lit(".000 VND")))
+    // keep the integer part <= 999: "1000.000 VND" is not a valid
+    // VN-thousand-separated literal and cleanPrice would read it as 1000
+    val origPrice = concat(s(pk % 700 + (if (late) 250 else 300)), lit(".000 VND"))
+    val discount = concat(lit("-"), s(pk % 80 + (if (late) 0 else 1)), lit("%"))
+    val sold =
+      if (late) concat(lit("Đã bán "), s(pk % 500), lit("k"))
+      else concat(lit("Đã bán "), s(pk % 500))
+    val rating =
+      if (late) concat(s(pk % 4 + 1), lit("."), s(pk % 10)) else lit("1.0")
+    val reviews = if (late) s(pk % 1000) else s(pk % 1000 + 5)
+    val badges = when(pk % 2 === 0, array(lit("tiki_now"), lit("freeship")))
+      .otherwise(array(lit("freeship")))
+    val extractedAt =
+      lit(if (late) s"${Date}T16:30:00.000Z" else s"${Date}T08:00:00.000Z")
+    struct(
+      s(pk).as("product_id"),
+      concat(lit("SKU-"), s(pk), lit(if (late) "-1" else "-0")).as("sku"),
+      concat(lit("Product "), s(pk)).as("name"),
+      price.as("price"),
+      origPrice.as("original_price"),
+      discount.as("discount_rate"),
+      sold.as("quantity_sold"),
+      rating.as("rating"),
+      reviews.as("review_count"),
+      concat(lit("Brand "), s(pk % 50)).as("brand"),
+      concat(lit("Seller "), s(pk % 30)).as("seller"),
+      s(pk % 30).as("seller_id"),
+      concat(lit("http://t/"), s(pk), lit(".jpg")).as("thumbnail_url"),
+      concat(lit("https://tiki.vn/p/"), s(pk)).as("product_url"),
+      path.as("category_path"),
+      catUrl.as("_category_url"),
+      badges.as("badges"),
+      extractedAt.as("_extracted_at"))
+  }
+
+  /** Write two JSON snapshots per product under `snapshot_date=<Date>/`. */
+  private def writeRawSnapshots(spark: SparkSession, dir: String, base: String,
+                                path: Column, catUrl: Column): Unit =
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .select(explode(array(
+        snapRecord(late = false, path, catUrl),
+        snapRecord(late = true, path, catUrl))).as("r"))
+      .select("r.*")
+      .coalesce(4)
+      .write.mode("overwrite").json(s"$base/raw/snapshot_date=$Date")
+
   /** q68: tiki_dag end-to-end (ref dags/tiki_dag.py task chain:
     * transform_tiki.py:411 transform_data → load_to_bq.py:143 fact
     * WRITE_TRUNCATE → :273 dim MERGE → analytics_dag.py:172 ASSERT gate).
@@ -54,61 +113,13 @@ object PipelineQueries {
 
     val pk = col("p_partkey")
     def s(c: Column): Column = c.cast("string")
-
-    // crawler-shaped snapshot record; `late` is the dedup winner
-    def snap(late: Boolean): Column = {
-      val price =
-        if (!late) concat(s(pk % 800 + 151), lit(".000 đ"))
-        // the winner for every ~97th product is unparseable → cleanPrice
-        // null → dropNullKeys removes the product from the day's fact
-        else when(pk % 97 === 0, lit("khuyến mãi"))
-          .otherwise(concat(s(pk % 800 + 150), lit(".000 VND")))
-      // keep the integer part <= 999: "1000.000 VND" is not a valid
-      // VN-thousand-separated literal and cleanPrice would read it as 1000
-      val origPrice = concat(s(pk % 700 + (if (late) 250 else 300)), lit(".000 VND"))
-      val discount = concat(lit("-"), s(pk % 80 + (if (late) 0 else 1)), lit("%"))
-      val sold =
-        if (late) concat(lit("Đã bán "), s(pk % 500), lit("k"))
-        else concat(lit("Đã bán "), s(pk % 500))
-      val rating =
-        if (late) concat(s(pk % 4 + 1), lit("."), s(pk % 10)) else lit("1.0")
-      val reviews = if (late) s(pk % 1000) else s(pk % 1000 + 5)
-      val path = when(pk % 3 === 0, s(pk % 25))
-        .when(pk % 3 === 1, concat(s(pk % 25), lit(" > "), s(pk % 100 + 100)))
-        .otherwise(concat(s(pk % 25), lit(" > "), s(pk % 100 + 100),
-          lit(" > "), s(pk % 7 + 7)))
-      val badges = when(pk % 2 === 0, array(lit("tiki_now"), lit("freeship")))
-        .otherwise(array(lit("freeship")))
-      val extractedAt =
-        lit(if (late) s"${Date}T16:30:00.000Z" else s"${Date}T08:00:00.000Z")
-      struct(
-        s(pk).as("product_id"),
-        concat(lit("SKU-"), s(pk), lit(if (late) "-1" else "-0")).as("sku"),
-        concat(lit("Product "), s(pk)).as("name"),
-        price.as("price"),
-        origPrice.as("original_price"),
-        discount.as("discount_rate"),
-        sold.as("quantity_sold"),
-        rating.as("rating"),
-        reviews.as("review_count"),
-        concat(lit("Brand "), s(pk % 50)).as("brand"),
-        concat(lit("Seller "), s(pk % 30)).as("seller"),
-        s(pk % 30).as("seller_id"),
-        concat(lit("http://t/"), s(pk), lit(".jpg")).as("thumbnail_url"),
-        concat(lit("https://tiki.vn/p/"), s(pk)).as("product_url"),
-        path.as("category_path"),
-        concat(lit("https://tiki.vn/slug-"), s(pk % 25), lit("/c"), s(pk % 25))
-          .as("_category_url"),
-        badges.as("badges"),
-        extractedAt.as("_extracted_at"))
-    }
-
-    // raw zone: two JSON snapshots per product under snapshot_date=<day>/
-    Tables.part(spark, dir).select(pk)
-      .select(explode(array(snap(late = false), snap(late = true))).as("r"))
-      .select("r.*")
-      .coalesce(4)
-      .write.mode("overwrite").json(s"$base/raw/snapshot_date=$Date")
+    val path = when(pk % 3 === 0, s(pk % 25))
+      .when(pk % 3 === 1, concat(s(pk % 25), lit(" > "), s(pk % 100 + 100)))
+      .otherwise(concat(s(pk % 25), lit(" > "), s(pk % 100 + 100),
+        lit(" > "), s(pk % 7 + 7)))
+    val catUrl = concat(lit("https://tiki.vn/slug-"), s(pk % 25),
+      lit("/c"), s(pk % 25))
+    writeRawSnapshots(spark, dir, base, path, catUrl)
 
     TikiDailyPipeline.run(spark, s"$base/raw", s"$base/wh", Date)
 
@@ -314,4 +325,119 @@ object PipelineQueries {
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1""".stripMargin
+
+  private val q103Invocation = new AtomicInteger(0)
+
+  /** q103: analytics_dag end-to-end — the reference's CENTERPIECE DAG
+    * (dags/analytics_dag.py:97-240: 5-way Golden Join over the warehouse
+    * the tiki_dag wrote, VND→USD normalization with exact cent rounding,
+    * trend-signal CASE, delete-write idempotent mart partition, ASSERT
+    * gate) driven through [[graft.pipelines.AnalyticsPipeline.run]] on a
+    * warehouse BUILT BY [[graft.pipelines.TikiDailyPipeline.run]] from raw
+    * crawler JSON — two reference DAGs composed, storage round-trip
+    * included. The gated result is the WRITTEN
+    * `analytics_product_market_daily` partition read back.
+    *
+    * The raw snapshots reuse q68's generator with one change: every
+    * category attribute (path shape, url slug) derives from the LEAF id
+    * (pk % 40 + 10), so dim_categories rows are pure functions of
+    * category_id and the oracle needs no dedup-tiebreak replay. The
+    * keyword map activates 3 of every 4 categories (leaf % 4 != 1 →
+    * otherwise 'Unmapped'), and the trends table scores 4 of every 5
+    * mapped keywords (leaf % 5 == 2 → 'No Trend Data'), so all three
+    * trend-signal arms appear. The DuckDB oracle replays the whole
+    * composition — parse arithmetic, dedup winner, null-key drop, joins,
+    * the exact integer half-up USD division — from `part` alone.
+    */
+  def q103AnalyticsDag(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q103Invocation.incrementAndGet()
+    val base = s"$scratch/q103_$inv"
+    val wh = s"$base/wh"
+
+    val pk = col("p_partkey")
+    def s(c: Column): Column = c.cast("string")
+    val leaf = pk % 40 + 10
+    // path ARM keyed off the leaf too: products sharing a category emit
+    // identical (name, root, depth) tuples — dim dedup has nothing to break
+    val path = when(leaf % 3 === 0, s(leaf))
+      .when(leaf % 3 === 1, concat(s(leaf % 7), lit(" > "), s(leaf)))
+      .otherwise(concat(s(leaf % 7), lit(" > "), s(leaf % 11 + 100),
+        lit(" > "), s(leaf)))
+    val catUrl = concat(lit("https://tiki.vn/slug-"), s(leaf), lit("/c"), s(leaf))
+    writeRawSnapshots(spark, dir, base, path, catUrl)
+
+    // DAG 1: tiki_dag builds fact_daily_snapshot + dim_products +
+    // dim_categories in the warehouse
+    TikiDailyPipeline.run(spark, s"$base/raw", wh, Date)
+
+    // DAG 3 (fx_rate_dag): the day's validated rate lands in
+    // dim_exchange_rate through the real pipeline entry
+    graft.pipelines.FxPipeline.run(spark, Some(25432.5), Date,
+      s"$wh/dim_exchange_rate")
+
+    // fact_google_trends: deterministic per-keyword scores for the day
+    // (trends_dag's OUTPUT contract; the CSV→melt→merge path itself is
+    // q104's gate)
+    val cats = spark.range(10, 50).select(col("id").as("cat"))
+    cats.filter(col("cat") % 5 =!= 2)
+      .select(to_date(lit(Date)).as("date"),
+        concat(lit("kw-"), col("cat").cast("string")).as("keyword"),
+        (col("cat") * 3 + 7).as("score"),
+        lit(false).as("is_partial"))
+      .write.mode("overwrite").parquet(s"$wh/fact_google_trends")
+
+    // dim_keyword_mapping: category → trend keyword, 1-in-4 inactive
+    val keywordMap = cats.select(
+      col("cat").as("tiki_category_id"),
+      concat(lit("kw-"), col("cat").cast("string")).as("trend_keyword"),
+      (col("cat") % 4 =!= 1).as("is_active"))
+
+    // DAG 4: the analytics mart build + ASSERT gate
+    val (_, quality) = graft.pipelines.AnalyticsPipeline.run(
+      spark, wh, Date, keywordMap)
+    val failed = quality.filter(col("passed") === false).count()
+    require(failed == 0, s"analytics_dag quality gate failed $failed checks")
+
+    CleanZone.read(spark, s"$wh/analytics_product_market_daily")
+      .select(col("date"), col("product_id"), col("product_name"),
+        col("category_name"), col("price_vnd_real"), col("price_vnd_list"),
+        col("discount_percentage"), col("price_usd_real"), col("fx_rate"),
+        col("trend_keyword"), col("google_trend_score"),
+        col("trend_signal_status"))
+  }
+
+  /** Independent replay of BOTH composed DAGs from `part`: winner-snapshot
+    * parse arithmetic (q68's lesson), the leaf-keyed category slug, the
+    * keyword/trends arm conditions, and the exact integer half-up USD
+    * division (q02's formula) at rate 25432.50.
+    */
+  def q103Oracle: String =
+    s"""WITH enr AS (
+      |  SELECT p_partkey AS pk, (p_partkey % 40 + 10) AS leaf,
+      |    (p_partkey % 800 + 150) * 1000 AS current_price,
+      |    (p_partkey % 700 + 250) * 1000 AS original_price,
+      |    p_partkey % 80 AS discount_rate
+      |  FROM part WHERE p_partkey % 97 <> 0
+      |), arms AS (
+      |  SELECT pk, leaf, current_price, original_price, discount_rate,
+      |    CASE WHEN leaf % 4 <> 1 THEN 'kw-' || CAST(leaf AS VARCHAR) END AS trend_keyword,
+      |    CASE WHEN leaf % 4 <> 1 AND leaf % 5 <> 2 THEN leaf * 3 + 7 END AS score
+      |  FROM enr
+      |)
+      |SELECT DATE '$Date' AS date,
+      |  CAST(pk AS VARCHAR) AS product_id,
+      |  'Product ' || CAST(pk AS VARCHAR) AS product_name,
+      |  'slug-' || CAST(leaf AS VARCHAR) AS category_name,
+      |  CAST(current_price AS DOUBLE) AS price_vnd_real,
+      |  CAST(original_price AS DOUBLE) AS price_vnd_list,
+      |  CAST(discount_rate AS DOUBLE) AS discount_percentage,
+      |  ((2 * 100 * (current_price * 100) + 2543250)
+      |    // (2 * 2543250)) / 100.0 AS price_usd_real,
+      |  CAST(25432.5 AS DOUBLE) AS fx_rate,
+      |  trend_keyword,
+      |  CAST(score AS BIGINT) AS google_trend_score,
+      |  CASE WHEN trend_keyword IS NULL THEN 'Unmapped'
+      |       WHEN score IS NULL THEN 'No Trend Data'
+      |       ELSE 'Full Data' END AS trend_signal_status
+      |FROM arms""".stripMargin
 }
