@@ -440,4 +440,100 @@ object PipelineQueries {
       |       WHEN score IS NULL THEN 'No Trend Data'
       |       ELSE 'Full Data' END AS trend_signal_status
       |FROM arms""".stripMargin
+
+  private val q104Invocation = new AtomicInteger(0)
+
+  /** q104: trends_dag end-to-end (ref dags/trends_dag.py:595-687: pytrends
+    * wide CSV → melt → "<1"/null cleaning → dedup-aggregate → staging
+    * MERGE on (date, keyword)) driven through
+    * [[graft.pipelines.TrendsPipeline.run]] TWICE with overlapping date
+    * windows — run 1 covers days 1-10, run 2 re-fetches days 8-14 with
+    * shifted scores — so the staging MERGE's both arms execute: days 1-7
+    * survive from run 1, days 8-14 take run 2's updates. Each CSV also
+    * carries a duplicate all-"<1" row per date (the dedup-aggregate must
+    * fold it away) and renders score 0 as the literal "<1" (the cleaning
+    * rule's real input). The gated result is the merged table read back
+    * from disk; the oracle recomputes every cell from the closed-form
+    * score formula, picking the winning run per day.
+    */
+  def q104TrendsDag(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q104Invocation.incrementAndGet()
+    val base = s"$scratch/q104_$inv"
+    new java.io.File(base).mkdirs()
+    val table = s"$base/fact_google_trends"
+
+    val keywords = (0 until 12).map(k => s"kw$k")
+    def score(run: Int, d: Int, k: Int): Int = (d * 7 + k * 13 + run * 3) % 100
+    def cell(s: Int): String = if (s == 0) "<1" else s.toString
+    def csv(run: Int, days: Range): String = {
+      val header = ("date" +: keywords :+ "isPartial").mkString(",")
+      val rows = days.flatMap { d =>
+        val date = f"2024-03-$d%02d"
+        val partial = run == 1 && d == 10 || run == 2 && d == 14
+        val main = (date +: keywords.indices.map(k => cell(score(run, d, k)))
+          :+ (if (partial) "True" else "False")).mkString(",")
+        // duplicate fetch row for the same date: all "<1", never partial —
+        // the groupBy(date, keyword).max dedup-aggregate must fold it away
+        val dup = (date +: keywords.indices.map(_ => "<1") :+ "False").mkString(",")
+        Seq(main, dup)
+      }
+      (header +: rows).mkString("\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/run1.csv"), csv(1, 1 to 10))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/run2.csv"), csv(2, 8 to 14))
+
+    graft.pipelines.TrendsPipeline.run(spark, s"$base/run1.csv", table)
+    graft.pipelines.TrendsPipeline.run(spark, s"$base/run2.csv", table)
+
+    CleanZone.read(spark, table)
+      .select(col("date"), col("keyword"), col("score"), col("is_partial"))
+  }
+
+  /** Closed-form replay: day < 8 keeps run 1's scores, day >= 8 takes run
+    * 2's MERGE update; only run 2's day 14 stays partial (run 1's partial
+    * day 10 is overwritten by run 2's complete re-fetch).
+    */
+  def q104Oracle: String =
+    """SELECT DATE '2024-02-29' + CAST(d AS INTEGER) AS date,
+      |  'kw' || CAST(k AS VARCHAR) AS keyword,
+      |  CAST((d * 7 + k * 13 + (CASE WHEN d >= 8 THEN 2 ELSE 1 END) * 3) % 100
+      |    AS BIGINT) AS score,
+      |  (d = 14) AS is_partial
+      |FROM range(1, 15) t(d), range(0, 12) u(k)""".stripMargin
+
+  private val q105Invocation = new AtomicInteger(0)
+
+  /** q105: fx_rate_dag end-to-end (ref dags/fx_rate_dag.py:74-129: one
+    * validated daily rate row — fetched or fallback — MERGEd into
+    * dim_exchange_rate) driven through [[graft.pipelines.FxPipeline.run]]
+    * once per day for 14 days: every 4th day's fetch "fails" (rate=None →
+    * FallbackRate, source='Fallback'), then day 5 RE-RUNS with a corrected
+    * rate — the MERGE update arm on a composite (date, from, to) key. The
+    * gated result is the accumulated dim read back from disk.
+    */
+  def q105FxRateDag(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q105Invocation.incrementAndGet()
+    val table = s"$scratch/q105_$inv/dim_exchange_rate"
+    (1 to 14).foreach { d =>
+      val rate = if (d % 4 == 0) None else Some(25000.0 + d * 10 + 0.5)
+      graft.pipelines.FxPipeline.run(spark, rate, f"2024-03-$d%02d", table)
+    }
+    // corrected re-fetch for day 5: MERGE must UPDATE, not duplicate
+    graft.pipelines.FxPipeline.run(spark, Some(26001.25), "2024-03-05", table)
+    CleanZone.read(spark, table)
+      .select(col("date"), col("from_currency"), col("to_currency"),
+        col("rate"), col("source"))
+  }
+
+  def q105Oracle: String =
+    """SELECT DATE '2024-02-29' + CAST(d AS INTEGER) AS date,
+      |  'USD' AS from_currency, 'VND' AS to_currency,
+      |  CAST(CASE WHEN d = 5 THEN 26001.25
+      |            WHEN d % 4 = 0 THEN 25400.0
+      |            ELSE 25000 + d * 10 + 0.5 END AS DOUBLE) AS rate,
+      |  CASE WHEN d % 4 = 0 THEN 'Fallback'
+      |       ELSE 'open.er-api.com' END AS source
+      |FROM range(1, 15) t(d)""".stripMargin
 }
