@@ -74,7 +74,47 @@ object IvfAnn {
              nCentroids: Int, probes: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
-    val cents = centroidArray(v, nCentroids)
+    searchWith(v, centroidArray(v, nCentroids), queryPred, k, probes)
+  }
+
+  /** [[search]] with TRAINED centroids: `trainIters` exact-integer Lloyd
+    * iterations ([[KMeansExact]]) replace the first-K-ids convention, so
+    * recall survives corpora whose early ids are unrepresentative (the
+    * seeds still start there, but the refinement walks them onto the real
+    * cluster structure). Every training step is oracle-replayable — q33
+    * gates this path end-to-end, training included.
+    */
+  def searchTrained(vectors: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column => Column, k: Int, nCentroids: Int,
+                    probes: Int, trainIters: Int, dims: Int): DataFrame = {
+    val v = graft.operators.OpCache.cache(
+      vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        VectorFns.norm(col(vecCol)).as("nrm")))
+    val qz = graft.operators.OpCache.cache(
+      KMeansExact.quantized(v, "vid", "vec"))
+    val trained = KMeansExact.train(qz, nCentroids, trainIters, dims)
+    searchWith(v, trainedCentroidRow(v, trained), queryPred, k, probes)
+  }
+
+  /** One-row cents frame from trained quantized centroids: cvec/cnrm are
+    * the exact dequantized doubles both engines derive from the int64
+    * training state (k·dims literals — centroid-count-bounded, the same
+    * plan-size argument as the probe knobs).
+    */
+  private def trainedCentroidRow(v: DataFrame,
+                                 cents: Array[Array[Long]]): DataFrame = {
+    val structs = cents.zipWithIndex.map { case (c, j) =>
+      val (w, nrm) = KMeansExact.dequantize(c)
+      struct(lit(j.toLong).as("cid"),
+        array(w.toIndexedSeq.map(lit): _*).as("cvec"),
+        lit(nrm).as("cnrm"))
+    }
+    v.sparkSession.range(1).select(array(structs.toIndexedSeq: _*).as("cents"))
+  }
+
+  private def searchWith(v: DataFrame, cents: DataFrame,
+                         queryPred: Column => Column, k: Int,
+                         probes: Int): DataFrame = {
     val assigned = assignFrom(v, cents).cache()
     val queries = assigned.filter(queryPred(col("vid")))
       .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))

@@ -3,36 +3,48 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.similarity.IvfAnn
+import graft.operators.similarity.{IvfAnn, KMeansExact}
 
 /** q33: IVF ANN — the partition-prunable similarity-search scale path
-  * (SURVEY §2 item 36, complementing LSH q25). Fully oracle-checked: the
-  * deterministic centroid choice + in-order dot folds make every stage
-  * reproducible in DuckDB.
+  * (SURVEY §2 item 36, complementing LSH q25), now with TRAINED centroids:
+  * 3 exact-integer Lloyd iterations ([[KMeansExact]]) refine the first-K
+  * seeds before assignment/probing. Fully oracle-checked INCLUDING the
+  * training: the DuckDB oracle replays quantization, every assignment,
+  * every integer floor-mean update, the dequantized centroid weights, and
+  * then the search's argmax-assign/probe/re-rank — bit-for-bit.
   */
 object IvfQueries {
 
   val NCentroids = 8
   val Probes = 2
+  val TrainIters = 3
 
   def q33IvfAnn(spark: SparkSession, dir: String): DataFrame =
-    IvfAnn.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      _ < 10, k = SimilarityQueries.K, nCentroids = NCentroids, probes = Probes)
+    IvfAnn.searchTrained(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      _ < 10, k = SimilarityQueries.K, nCentroids = NCentroids,
+      probes = Probes, trainIters = TrainIters, dims = SimilarityQueries.Dims)
 
   def q33Oracle: String = {
-    def dot(a: String, b: String) = (1 to SimilarityQueries.Dims)
+    val dims = SimilarityQueries.Dims
+    def dot(a: String, b: String) = (1 to dims)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
+    // corpus-vector · trained-centroid dot, element order, centroid side
+    // already double (w columns)
+    def dotW(a: String, c: String) = (0 until dims)
+      .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*$c.w$i")
+      .mkString(" + ")
     val sumsq = dot("embedding", "embedding")
-    s"""WITH n AS (
+    val training = KMeansExact.oracleCtes("km", "embeddings", "vec_id",
+      "embedding", NCentroids, TrainIters, dims)
+    s"""WITH $training
+       |n AS MATERIALIZED (
        |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
-       |), cents AS (
-       |  SELECT vec_id AS cid, e AS cvec, nrm AS cnrm FROM n WHERE vec_id < $NCentroids
        |), asgscore AS (
-       |  SELECT v.vec_id AS vid, v.e, v.nrm, cents.cid,
-       |    (${dot("v.e", "cents.cvec")}) / (v.nrm * cents.cnrm) AS ccos
-       |  FROM n v CROSS JOIN cents
-       |), asg AS (
+       |  SELECT v.vec_id AS vid, v.e, v.nrm, c.cid,
+       |    (${dotW("v.e", "c")}) / (v.nrm * c.cnrm) AS ccos
+       |  FROM n v CROSS JOIN kmcw c
+       |), asg AS MATERIALIZED (
        |  SELECT vid, e, nrm, cid AS cluster_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crank
        |    FROM asgscore) t
@@ -40,9 +52,9 @@ object IvfQueries {
        |), queries AS (
        |  SELECT vid AS query_id, e AS qe, nrm AS qnrm FROM asg WHERE vid < 10
        |), probescore AS (
-       |  SELECT q.query_id, q.qe, q.qnrm, cents.cid,
-       |    (${dot("q.qe", "cents.cvec")}) / (q.qnrm * cents.cnrm) AS ccos
-       |  FROM queries q CROSS JOIN cents
+       |  SELECT q.query_id, q.qe, q.qnrm, c.cid,
+       |    (${dotW("q.qe", "c")}) / (q.qnrm * c.cnrm) AS ccos
+       |  FROM queries q CROSS JOIN kmcw c
        |), probes AS (
        |  SELECT query_id, qe, qnrm, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS prank
