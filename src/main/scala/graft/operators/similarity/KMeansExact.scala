@@ -127,14 +127,17 @@ object KMeansExact {
     * `{p}it0..{p}it{iters}` (quantized int64 centroids c0..c{dims-1}) and
     * `{p}cw` (dequantized double weights w0..w{dims-1} + `cnrm`), reading
     * vectors from `fromSql` (must expose `{idExpr}` and the 1-based array
-    * `{vecExpr}`). Returned WITHOUT a leading WITH and WITH a trailing
-    * comma, so callers splice it into their own chain.
+    * `{vecExpr}`). `offset` trains on the sub-vector starting at that
+    * 0-based element (the [[PqAnn]] per-subspace slices; slicing before or
+    * after quantization is the same elementwise floor). Returned WITHOUT a
+    * leading WITH and WITH a trailing comma, so callers splice it into
+    * their own chain.
     */
   def oracleCtes(p: String, fromSql: String, idExpr: String, vecExpr: String,
-                 k: Int, iters: Int, dims: Int): String = {
+                 k: Int, iters: Int, dims: Int, offset: Int = 0): String = {
     val ds = 0 until dims
     val qCols = ds.map(i =>
-      s"CAST(FLOOR(CAST($vecExpr[${i + 1}] AS DOUBLE) * ${Scale}.0) AS BIGINT) AS q$i")
+      s"CAST(FLOOR(CAST($vecExpr[${offset + i + 1}] AS DOUBLE) * ${Scale}.0) AS BIGINT) AS q$i")
       .mkString(",\n    ")
     val sb = new StringBuilder
     sb ++= s"""${p}qz AS MATERIALIZED (

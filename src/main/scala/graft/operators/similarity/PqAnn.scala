@@ -17,11 +17,13 @@ import graft.plans.{PqCodebook, PqEncode}
   * scan never touches a float vector until the exact re-rank of the
   * top-`rerank` survivors.
   *
-  * Deterministic "training": codewords are the first-k vector ids'
-  * sub-vectors (the IvfAnn/NswAnn convention — swap in k-means offline;
-  * encode/ADC/re-rank contract unchanged), so the q102 DuckDB oracle
-  * rebuilds codebook, assignments, ADC scores and the final ranking
-  * bit-for-bit (all distance sums written in explicit dim order).
+  * Deterministic training, two paths sharing one encode/ADC/re-rank
+  * contract: [[search]] takes the first-k vector ids' sub-vectors as
+  * codewords (the zero-cost convention), [[searchTrained]] refines them
+  * per subspace with [[KMeansExact]]'s exact-integer Lloyd iterations. In
+  * both, the q102 DuckDB oracle rebuilds codebook (training iterations
+  * included), assignments, ADC scores and the final ranking bit-for-bit
+  * (all distance sums written in explicit dim order).
   *
   * Scale shape: encoding is one codegen'd corpus pass ([[PqEncode]],
   * broadcast codebook); the scored scan carries (vid, codes=4 B) — the
@@ -53,9 +55,6 @@ object PqAnn {
     */
   def search(vectors: DataFrame, idCol: String, vecCol: String,
              queryPred: Column => Column, k: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val spark = vectors.sparkSession
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val v = graft.operators.OpCache.cache(projected(vectors, idCol, vecCol))
 
     // deterministic codebook: first-K ids' sub-vectors, driver-side
@@ -80,6 +79,62 @@ object PqAnn {
         s += 1
       }
     }
+    searchWith(v, codewords, kEff, subDim, dim, queryPred, k, rerank)
+  }
+
+  /** [[search]] with TRAINED codewords: per subspace, `trainIters` exact
+    * Lloyd iterations ([[KMeansExact]]) over the quantized sub-vectors
+    * replace the first-K convention — the codeword set tracks the actual
+    * sub-vector distribution instead of whatever the first 16 ids happened
+    * to contain, which is what PQ's recall@rerank lives on. Quantization
+    * happens ONCE on the full vector; subspace slices commute with the
+    * elementwise floor. Dequantized codewords are exact multiples of 2^-20
+    * (power-of-two divide), so encode/ADC run in plain double arithmetic
+    * that the q102 oracle replays bitwise, training included.
+    */
+  def searchTrained(vectors: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column => Column, k: Int, rerank: Int,
+                    trainIters: Int, dims: Int): DataFrame = {
+    require(dims % Subs == 0, s"dims $dims must divide into $Subs subspaces")
+    val subDim = dims / Subs
+    val v = graft.operators.OpCache.cache(projected(vectors, idCol, vecCol))
+    val qz = graft.operators.OpCache.cache(
+      KMeansExact.quantized(v, "vid", "vec"))
+    // one small train job per subspace over the shared cached quantized
+    // corpus (k·subDim-bounded driver state each); K=16 codewords fit the
+    // 4-bit packing by construction
+    val perSub = (0 until Subs).map { s =>
+      KMeansExact.train(
+        qz.select(col("vid"),
+          slice(col("qvec"), s * subDim + 1, subDim).as("qvec")),
+        K, trainIters, subDim)
+    }
+    val kEff = perSub.head.length
+    require(perSub.forall(_.length == kEff), "subspace codebook sizes diverge")
+    val codewords = new Array[Double](Subs * kEff * subDim)
+    var s = 0
+    while (s < Subs) {
+      var c = 0
+      while (c < kEff) {
+        val (w, _) = KMeansExact.dequantize(perSub(s)(c))
+        var d = 0
+        while (d < subDim) {
+          codewords(((s * kEff) + c) * subDim + d) = w(d)
+          d += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    searchWith(v, codewords, kEff, subDim, dims, queryPred, k, rerank)
+  }
+
+  private def searchWith(v: DataFrame, codewords: Array[Double], kEff: Int,
+                         subDim: Int, dim: Int, queryPred: Column => Column,
+                         k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val spark = v.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val cb = spark.sparkContext.broadcast(
       PqCodebook(codewords, Subs, kEff, subDim))
 

@@ -3,11 +3,15 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.similarity.PqAnn
+import graft.operators.similarity.{KMeansExact, PqAnn}
 
 /** q102: product-quantization ANN ([[PqAnn]]) — the compressed-domain
-  * fourth ANN path (LSH q25 / IVF q33 / NSW q100). FULLY oracle-checked:
-  * the DuckDB oracle rebuilds the codebook, every per-subspace codeword
+  * fourth ANN path (LSH q25 / IVF q33 / NSW q100), with TRAINED codewords:
+  * per subspace, [[KMeansExact]] refines the first-16 seeds with exact
+  * Lloyd iterations over the quantized sub-vectors. FULLY oracle-checked
+  * INCLUDING training: the DuckDB oracle replays all 8 subspace training
+  * chains (quantize, every assignment, every integer floor-mean update),
+  * dequantizes the codewords, then rebuilds every per-subspace codeword
   * assignment, the packed codes, every ADC score (all distance sums
   * written as explicit dim-ordered terms so the doubles match bitwise),
   * the top-`Rerank` compressed cut, and the exact-cosine re-rank.
@@ -15,10 +19,12 @@ import graft.operators.similarity.PqAnn
 object PqQueries {
 
   val Rerank = 50
+  val TrainIters = 3
 
   def q102PqAnn(spark: SparkSession, dir: String): DataFrame =
-    PqAnn.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      _ < 10, k = SimilarityQueries.K, rerank = Rerank)
+    PqAnn.searchTrained(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      _ < 10, k = SimilarityQueries.K, rerank = Rerank,
+      trainIters = TrainIters, dims = SimilarityQueries.Dims)
 
   def q102Oracle: String = {
     val subs = PqAnn.Subs
@@ -29,33 +35,41 @@ object PqQueries {
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
     val sumsq = dot("embedding", "embedding")
-    // explicit dim-ordered squared distance between sub-vectors, with the
-    // subspace as a COLUMN (assignment) or a LITERAL (ADC)
-    def subDist(a: String, b: String, sExpr: String) = (1 to subDim).map { d =>
+    // one exact-integer training chain per subspace, offset into the full
+    // vector — identical to PqAnn's quantize-once-then-slice
+    val training = (0 until subs).map { s =>
+      KMeansExact.oracleCtes(s"km$s", "embeddings", "vec_id", "embedding",
+        kCb, TrainIters, subDim, offset = s * subDim)
+    }.mkString
+    // explicit dim-ordered squared distance between a full-vector slice
+    // (subspace as expression sExpr) and a trained codeword's w columns
+    def subDistW(a: String, cb: String, sExpr: String) = (1 to subDim).map { d =>
       val ix = s"$sExpr*$subDim+$d"
-      s"(CAST($a[$ix] AS DOUBLE) - CAST($b[$ix] AS DOUBLE)) * " +
-        s"(CAST($a[$ix] AS DOUBLE) - CAST($b[$ix] AS DOUBLE))"
+      s"(CAST($a[$ix] AS DOUBLE) - $cb.w${d - 1}) * " +
+        s"(CAST($a[$ix] AS DOUBLE) - $cb.w${d - 1})"
     }.mkString(" + ")
+    val cbnUnion = (0 until subs).map { s =>
+      val ws = (0 until subDim).map(d => s"w$d").mkString(", ")
+      s"SELECT $s AS s, cid AS c, $ws FROM km${s}cw"
+    }.mkString("\n  UNION ALL ")
     val codeCols = (0 until subs)
       .map(s => s"MAX(CASE WHEN s = $s THEN c END) AS c$s").mkString(",\n    ")
     val cbJoins = (0 until subs)
-      .map(s => s"JOIN cbn cb$s ON cb$s.c = t.c$s").mkString("\n  ")
+      .map(s => s"JOIN km${s}cw cb$s ON cb$s.cid = t.c$s").mkString("\n  ")
     // ADC: left-associated chain in subspace order, each term dim-ordered —
     // the exact accumulation PqAnn's driver-built lookup table performs
     val adcExpr = (0 until subs)
-      .map(s => s"(${subDist("q.qe", s"cb$s.e", s.toString)})")
+      .map(s => s"(${subDistW("q.qe", s"cb$s", s.toString)})")
       .mkString(" + ")
-    val sList = (0 until subs).mkString(", ")
-    s"""WITH n AS MATERIALIZED (
+    s"""WITH $training
+       |n AS MATERIALIZED (
        |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
        |), cbn AS MATERIALIZED (
-       |  SELECT vec_id AS c, e FROM n WHERE vec_id < $kCb
+       |  $cbnUnion
        |), dist AS MATERIALIZED (
-       |  SELECT v.vec_id AS vid, s.s, cb.c,
-       |    (${subDist("v.e", "cb.e", "s.s")}) AS dist
-       |  FROM n v
-       |  CROSS JOIN (SELECT unnest([$sList]) AS s) s
-       |  JOIN cbn cb ON TRUE
+       |  SELECT v.vec_id AS vid, cb.s, cb.c,
+       |    (${subDistW("v.e", "cb", "cb.s")}) AS dist
+       |  FROM n v CROSS JOIN cbn cb
        |), assign AS MATERIALIZED (
        |  SELECT vid, s, c FROM (
        |    SELECT vid, s, c,
