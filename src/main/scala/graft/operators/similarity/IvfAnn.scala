@@ -91,7 +91,7 @@ object IvfAnn {
       vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
         VectorFns.norm(col(vecCol)).as("nrm")))
     val qz = graft.operators.OpCache.cache(
-      KMeansExact.quantized(v, "vid", "vec"))
+      KMeansExact.quantized(v, "vid", "vec", dims))
     val trained = KMeansExact.train(qz, nCentroids, trainIters, dims)
     searchWith(v, trainedCentroidRow(v, trained), queryPred, k, probes)
   }

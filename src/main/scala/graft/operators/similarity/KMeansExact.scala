@@ -26,34 +26,48 @@ import graft.plans.{CentroidSet, KMeansAssign}
   * Scale shape: one quantized-corpus cache; per iteration one codegen'd
   * scan + a k-row aggregate collect (bounded by k·dims longs, a knob —
   * the [[graft.operators.GlobalRank]] bounded-driver-state argument). The
-  * int64 distance bound (|q| < 2^27, checked at quantization) covers any
-  * |x| ≤ 128 input at dims ≤ 4096 — every embedding family this library
-  * targets; louder inputs must pre-scale.
+  * quantization bound is DIMS-AWARE ([[maxQFor]]): the largest power-of-2
+  * per-element magnitude keeping the worst-case Σ diff² inside int64 —
+  * 2^27 at dims 64 (|x| up to 128), shrinking one bit per dims doubling;
+  * louder inputs must pre-scale, and the check is loud, not clamping.
   */
 object KMeansExact {
 
   val ScaleBits = 20
   val Scale: Long = 1L << ScaleBits
-  /** |q| bound keeping Σ diff² inside int64 (2·2^27 diff, squared, ×4096
-    * dims < 2^63). */
-  val MaxQ: Long = 1L << 27
+
+  /** Largest power-of-2 bound B on quantized |q| such that the worst-case
+    * squared distance dims · (2B)² stays ≤ 2^62 (headroom bit under
+    * Long.Max): exact BigInt check, no float edge. DuckDB errors on BIGINT
+    * overflow while Java wraps — the loud quantize-time bound is what
+    * keeps the two engines in the same arithmetic domain.
+    */
+  def maxQFor(dims: Int): Long = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    var b = 1L << 30
+    while (b > 1 && BigInt(dims) * 4 * b * b > (BigInt(1) << 62)) b >>= 1
+    b
+  }
 
   /** (vid, qvec array<long>): `floor(x · 2^20)` per element, loud on
-    * overflow-risk magnitudes and on null elements (squared distance has
-    * no skip-consistent null semantics — the [[PqAnn]] dense-vector
-    * discipline).
+    * overflow-risk magnitudes (the dims-aware [[maxQFor]] bound) and on
+    * null elements (squared distance has no skip-consistent null
+    * semantics — the [[PqAnn]] dense-vector discipline).
     */
-  def quantized(v: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def quantized(v: DataFrame, idCol: String, vecCol: String,
+                dims: Int): DataFrame = {
+    val maxQ = maxQFor(dims)
     v.select(col(idCol).cast("long").as("vid"),
       transform(col(vecCol), x => {
         val q = floor(x.cast("double") * lit(Scale.toDouble)).cast("long")
         when(q.isNull, raise_error(lit(
           "kmeans quantize: null element — training requires dense vectors")))
-          .when(abs(q) >= lit(MaxQ), raise_error(concat(
+          .when(abs(q) >= lit(maxQ), raise_error(concat(
             lit("kmeans quantize: |x| too large for exact int64 distance: "),
             x.cast("string"))))
           .otherwise(q)
       }).as("qvec"))
+  }
 
   /** `iters` exact Lloyd iterations over a quantized corpus, seeded from
     * the k LOWEST vids (deterministic total order). Returns the k
@@ -105,6 +119,32 @@ object KMeansExact {
     cents
   }
 
+  /** MEDOID per cluster: assign the quantized corpus to the trained
+    * centroids one last time and take, per cid, the row with the least
+    * (dist, vid) — `min(struct(dist, vid))` is a plain aggregate (no
+    * single-partition window) and the lexicographic struct order IS the
+    * (dist ASC, vid ASC) rank-1 the oracle replays. Returns the medoid
+    * vids ascending (≤ k — clusters that attracted no rows have none).
+    * Medoids turn virtual centroids back into REAL corpus rows — what
+    * [[NswAnn]] hubs must be, since beam nodes are graph vertices.
+    */
+  def medoids(qz: DataFrame, cents: Array[Array[Long]]): Array[Long] = {
+    val spark = qz.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bc = spark.sparkContext.broadcast(
+      CentroidSet(cents.flatten, cents.length, cents.head.length))
+    val asg = ColumnBridge.column(KMeansAssign(
+      ColumnBridge.expression(col("qvec")), bc))
+    val rows = qz.select(col("vid"), asg.as("a"))
+      .groupBy(col("a").getField("cid").as("cid"))
+      .agg(min(struct(col("a").getField("dist").as("dist"),
+        col("vid").as("vid"))).as("m"))
+      .select(col("m").getField("vid"))
+      .collect() // bounded: ≤ k rows
+    bc.destroy()
+    rows.map(_.getLong(0)).sorted
+  }
+
   /** Dequantize one centroid: weights `c / 2^20` (EXACT — power-of-two
     * divide) and the L2 norm accumulated left-associated in element order
     * (the [[VectorFns]] discipline, = the oracle's `sqrt(w0*w0 + …)`).
@@ -132,10 +172,19 @@ object KMeansExact {
     * after quantization is the same elementwise floor). Returned WITHOUT a
     * leading WITH and WITH a trailing comma, so callers splice it into
     * their own chain.
+    *
+    * `kSql` overrides the seed count with an SQL scalar expression (e.g. a
+    * `(SELECT h FROM ladder)` adaptive-knob subquery — [[NswAnn]]'s hub
+    * count); `withMedoids` appends `{p}fasg` (final assignment of every
+    * {p}qz row to the trained centroids, with its integer distance) and
+    * `{p}med` (per-cid medoid vid under (dist ASC, vid ASC) — the
+    * [[medoids]] replay).
     */
   def oracleCtes(p: String, fromSql: String, idExpr: String, vecExpr: String,
-                 k: Int, iters: Int, dims: Int, offset: Int = 0): String = {
+                 k: Int, iters: Int, dims: Int, offset: Int = 0,
+                 kSql: String = null, withMedoids: Boolean = false): String = {
     val ds = 0 until dims
+    val kExpr = if (kSql == null) k.toString else kSql
     val qCols = ds.map(i =>
       s"CAST(FLOOR(CAST($vecExpr[${offset + i + 1}] AS DOUBLE) * ${Scale}.0) AS BIGINT) AS q$i")
       .mkString(",\n    ")
@@ -146,9 +195,11 @@ object KMeansExact {
       |  FROM $fromSql
       |),
       |${p}it0 AS MATERIALIZED (
-      |  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid,
-      |    ${ds.map(i => s"q$i AS c$i").mkString(", ")}
-      |  FROM (SELECT * FROM ${p}qz ORDER BY vid LIMIT $k)
+      |  SELECT cid, ${ds.map(i => s"q$i AS c$i").mkString(", ")} FROM (
+      |    SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid,
+      |      ${ds.map(i => s"q$i").mkString(", ")}
+      |    FROM ${p}qz) t
+      |  WHERE cid < ($kExpr)
       |),
       |""".stripMargin
     for (t <- 0 until iters) {
@@ -183,6 +234,24 @@ object KMeansExact {
       |  FROM (SELECT cid, $ws FROM ${p}it$iters)
       |),
       |""".stripMargin
+    if (withMedoids) {
+      val dist = ds.map(i => s"(z.q$i - c.c$i) * (z.q$i - c.c$i)").mkString(" + ")
+      sb ++= s"""${p}fasg AS MATERIALIZED (
+        |  SELECT vid, cid, dist FROM (
+        |    SELECT z.vid, c.cid, ($dist) AS dist,
+        |      row_number() OVER (PARTITION BY z.vid ORDER BY ($dist) ASC, c.cid ASC) AS rn
+        |    FROM ${p}qz z CROSS JOIN ${p}it$iters c) t
+        |  WHERE rn = 1
+        |),
+        |${p}med AS MATERIALIZED (
+        |  SELECT cid, vid FROM (
+        |    SELECT cid, vid,
+        |      row_number() OVER (PARTITION BY cid ORDER BY dist ASC, vid ASC) AS rn
+        |    FROM ${p}fasg) t
+        |  WHERE rn = 1
+        |),
+        |""".stripMargin
+    }
     sb.result()
   }
 }

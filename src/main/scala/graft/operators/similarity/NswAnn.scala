@@ -73,13 +73,29 @@ object NswAnn {
     vectors.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
 
+  /** Deterministic training-sample modulus: vid % m == 0 keeps roughly
+    * n/m rows, m doubling until the sample fits TrainCap — bounds the
+    * k-means training cost (sample · hubs · dims) regardless of corpus
+    * size, mirrored as a CASE ladder in the oracle like [[adaptiveHubs]].
+    * MaxModulus covers ~10^11 rows at the cap before the sample grows
+    * again (by then hub training is the least of the plan's knobs).
+    */
+  val TrainCap = 65536
+  val MaxModulus = 1 << 20
+
+  def trainModulus(n: Long): Int = {
+    var m = 1
+    while (n > m.toLong * TrainCap && m < MaxModulus) m <<= 1
+    m
+  }
+
   /** Collect the hub set driver-side (bounded: ≤ MaxHubs rows, ~2 MB of
     * doubles at the cap) and broadcast it once — the [[graft.plans
     * .BloomProbe]] transport. cid-ascending so the scan order equals the
     * oracle's cid tiebreak.
     */
-  private def collectHubs(v: DataFrame, nHubs: Int): graft.plans.HubSet = {
-    val rows = v.filter(col("vid") < nHubs)
+  private def collectHubs(v: DataFrame, hubPred: Column): graft.plans.HubSet = {
+    val rows = v.filter(hubPred)
       .select(col("vid"), col("vec"), col("nrm"))
       .collect().sortBy(_.getLong(0))
     val dim = if (rows.isEmpty) 0
@@ -127,15 +143,15 @@ object NswAnn {
     // collect, and both self-join sides would otherwise each re-fold the
     // per-row norms from the source
     val v = graft.operators.OpCache.cache(projected(vectors, idCol, vecCol))
-    edgesFrom(v, adaptiveHubs(v.count()))
+    edgesFrom(v, col("vid") < adaptiveHubs(v.count()))
   }
 
   /** Same, from an already-projected (vid, vec, nrm) frame — [[search]]
     * passes its cached projection so the corpus norms are computed once,
     * not re-folded by a second projection.
     */
-  private def edgesFrom(v: DataFrame, nHubs: Int): DataFrame = {
-    val hs = collectHubs(v, nHubs)
+  private def edgesFrom(v: DataFrame, hubPred: Column): DataFrame = {
+    val hs = collectHubs(v, hubPred)
     // no hubs (e.g. a corpus whose ids all exceed nHubs — the first-N-ids
     // convention found nothing): no graph, empty edge list — not a
     // per-row length-mismatch crash in the probe expression
@@ -180,7 +196,39 @@ object NswAnn {
     val v = graft.operators.OpCache.cache(
       projected(vectors, idCol, vecCol))
     val nHubs = adaptiveHubs(v.count()) // bounded driver scalar
-    val e = graft.operators.OpCache.cache(edgesFrom(v, nHubs))
+    searchWhere(v, col("vid") < nHubs, queryPred, k)
+  }
+
+  /** [[search]] with TRAINED hubs: k-means over a deterministic
+    * vid-modulus sample ([[trainModulus]] — bounds training cost at any
+    * corpus size), then the per-cluster MEDOIDS become the hub set —
+    * hubs must be real graph vertices, so the virtual centroids are
+    * snapped back onto corpus rows ([[KMeansExact.medoids]]). Cells,
+    * edges and every beam round then run the unchanged graph contract
+    * with `vid ∈ medoids` replacing `vid < nHubs`; the q100 oracle
+    * replays sample ladder, every training iteration, the medoid pick,
+    * and the walk bit-for-bit. Empty clusters surface no medoid, so the
+    * hub count can land under the ladder target — an accepted trade
+    * (the ladder bounds MEAN occupancy either way).
+    */
+  def searchTrained(vectors: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column => Column, k: Int, trainIters: Int,
+                    dims: Int): DataFrame = {
+    val v = graft.operators.OpCache.cache(
+      projected(vectors, idCol, vecCol))
+    val n = v.count() // bounded driver scalar
+    val nHubs = adaptiveHubs(n)
+    val m = trainModulus(n)
+    val qzs = graft.operators.OpCache.cache(KMeansExact.quantized(
+      v.filter(col("vid") % m === 0), "vid", "vec", dims))
+    val cents = KMeansExact.train(qzs, nHubs, trainIters, dims)
+    val hubVids = KMeansExact.medoids(qzs, cents) // bounded: ≤ nHubs ids
+    searchWhere(v, col("vid").isin(hubVids.toIndexedSeq: _*), queryPred, k)
+  }
+
+  private def searchWhere(v: DataFrame, hubPred: Column,
+                          queryPred: Column => Column, k: Int): DataFrame = {
+    val e = graft.operators.OpCache.cache(edgesFrom(v, hubPred))
     val queries = v.filter(queryPred(col("vid")))
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"))
@@ -195,7 +243,7 @@ object NswAnn {
     }
 
     // seed: the query's top-B hubs
-    val hubFrame = v.filter(col("vid") < nHubs)
+    val hubFrame = v.filter(hubPred)
       .select(col("vid").as("node"), col("vec").as("nvec"), col("nrm").as("nnrm"))
     var beam = topB(queries.join(broadcast(hubFrame), lit(true))
       .select(col("query_id"),

@@ -99,7 +99,7 @@ object PqAnn {
     val subDim = dims / Subs
     val v = graft.operators.OpCache.cache(projected(vectors, idCol, vecCol))
     val qz = graft.operators.OpCache.cache(
-      KMeansExact.quantized(v, "vid", "vec"))
+      KMeansExact.quantized(v, "vid", "vec", dims))
     // one small train job per subspace over the shared cached quantized
     // corpus (k·subDim-bounded driver state each); K=16 codewords fit the
     // 4-bit packing by construction

@@ -3,22 +3,28 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.similarity.NswAnn
+import graft.operators.similarity.{KMeansExact, NswAnn}
 
 /** q100: graph ANN ([[NswAnn]]) — beam search over the deterministic
   * NSW-style neighbor graph, the third ANN path beside LSH (q25) and IVF
-  * (q33) for corpora where both stay candidate-volume-bound. FULLY
-  * oracle-checked like its siblings: hub ranking, cell assignment, the
-  * per-cell top-M short edges, the hub shortcuts, and every one of the
-  * `Rounds` beam expansions are replayed in DuckDB with the identical
-  * in-order dot folds and (cosine DESC, id ASC) tiebreaks, so the entire
-  * WALK — not just the final ranking — is checked bit-for-bit.
+  * (q33) for corpora where both stay candidate-volume-bound, with TRAINED
+  * hubs: exact-integer k-means over a deterministic vid-modulus sample,
+  * per-cluster medoids as the hub set. FULLY oracle-checked like its
+  * siblings AND including training: sample ladder, every Lloyd iteration,
+  * the medoid pick, hub ranking, cell assignment, the per-cell top-M
+  * short edges, the hub shortcuts, and every one of the `Rounds` beam
+  * expansions are replayed in DuckDB with the identical in-order dot
+  * folds and (cosine DESC, id ASC) tiebreaks, so the entire WALK — not
+  * just the final ranking — is checked bit-for-bit.
   */
 object NswQueries {
 
+  val TrainIters = 2
+
   def q100NswAnn(spark: SparkSession, dir: String): DataFrame =
-    NswAnn.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      _ < 10, k = SimilarityQueries.K)
+    NswAnn.searchTrained(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      _ < 10, k = SimilarityQueries.K, trainIters = TrainIters,
+      dims = SimilarityQueries.Dims)
 
   def q100Oracle: String = {
     val M = NswAnn.M
@@ -33,6 +39,18 @@ object NswQueries {
         .mkString(" ")
       s"SELECT CASE $steps ELSE ${NswAnn.MaxHubs} END AS h FROM embeddings"
     }
+    // sample-modulus ladder replaying NswAnn.trainModulus the same way
+    val modLadder = {
+      val steps = Iterator.iterate(1)(_ << 1)
+        .takeWhile(_ < NswAnn.MaxModulus)
+        .map(m => s"WHEN count(*) <= ${m.toLong * NswAnn.TrainCap} THEN $m")
+        .mkString(" ")
+      s"SELECT CASE $steps ELSE ${NswAnn.MaxModulus} END AS m FROM embeddings"
+    }
+    val training = KMeansExact.oracleCtes("km",
+      s"(SELECT * FROM embeddings WHERE vec_id % (SELECT m FROM smod) = 0)",
+      "vec_id", "embedding", NswAnn.MaxHubs, TrainIters,
+      SimilarityQueries.Dims, kSql = "SELECT h FROM nh", withMedoids = true)
     def dot(a: String, b: String) = (1 to SimilarityQueries.Dims)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
@@ -67,11 +85,12 @@ object NswQueries {
     s"""WITH n AS MATERIALIZED (
        |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
        |), nh AS MATERIALIZED ($hubLadder
-       |), hubrank AS MATERIALIZED (
+       |), smod AS MATERIALIZED ($modLadder
+       |), $training hubrank AS MATERIALIZED (
        |  SELECT c.vec_id AS node, h.vec_id AS hub,
        |    row_number() OVER (PARTITION BY c.vec_id
        |      ORDER BY (${dot("c.e", "h.e")}) / (c.nrm * h.nrm) DESC, h.vec_id ASC) AS rnk
-       |  FROM n c JOIN n h ON h.vec_id < (SELECT h FROM nh)
+       |  FROM n c JOIN n h ON h.vec_id IN (SELECT vid FROM kmmed)
        |), cells AS (
        |  SELECT node, hub AS cell FROM hubrank WHERE rnk = 1
        |), short_edges AS (
@@ -99,7 +118,7 @@ object NswQueries {
        |      (${dot("q.qe", "h.e")}) / (q.qnrm * h.nrm) AS cosine,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY (${dot("q.qe", "h.e")}) / (q.qnrm * h.nrm) DESC, h.vec_id ASC) AS rnk
-       |    FROM queries q JOIN n h ON h.vec_id < (SELECT h FROM nh)
+       |    FROM queries q JOIN n h ON h.vec_id IN (SELECT vid FROM kmmed)
        |  ) t WHERE rnk <= $B
        |),
        |$rounds
