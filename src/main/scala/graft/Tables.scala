@@ -18,13 +18,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * reads only as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong,
-    * set by Verify/Bench/specs). Normalize to a proper timestamp here with
-    * integer division (a double division would lose precision above 2^53 ns).
+  /** events.parquet has shipped `ts` in three physical layouts across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (readable only as a
+    * nanosecond long via spark.sql.legacy.parquet.nanosAsLong), naive
+    * timestamp[us] (read as TIMESTAMP_NTZ), and proper TIMESTAMP. Normalize
+    * all three to session-zoned TimestampType here so downstream timestamp
+    * arithmetic (unix_micros, casts to double) is layout-independent. The
+    * session timezone is pinned UTC (GraftSession), so the NTZ cast is
+    * value-preserving; the nanos path uses integer division (a double
+    * division would lose precision above 2^53 ns).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // runtime-settable: callers' sessions (e.g. the driver's smoke check)
     // may not have configured this at build time
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,6 +37,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -134,7 +134,7 @@ object Analytics {
   def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
                       valueCol: Column, tieCols: Seq[String]): DataFrame = {
     val base = df.filter(col(tsCol).isNotNull)
-      .select(col(keyCol) +: unix_micros(col(tsCol)).as("__t") +:
+      .select(col(keyCol) +: TimeCols.micros(df, tsCol).as("__t") +:
         valueCol.cast("decimal(18,2)").as("__v") +: tieCols.map(col): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t") +: tieCols.map(col): _*)

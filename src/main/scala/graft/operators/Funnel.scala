@@ -37,7 +37,7 @@ object Funnel {
     // would NPE the primitive-Long encoder below
     val ev = df
       .filter(col(tsCol).isNotNull && col(typeCol).isin(stages: _*))
-      .select(col(userCol).cast("long").as("__u"), unix_micros(col(tsCol)),
+      .select(col(userCol).cast("long").as("__u"), TimeCols.micros(df, tsCol),
         col(typeCol))
       .filter(col("__u").isNotNull)
       .as[(Long, Long, String)]

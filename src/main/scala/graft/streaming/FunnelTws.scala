@@ -40,7 +40,8 @@ object FunnelTws {
     import spark.implicits._
     events
       .filter(col("ts").isNotNull && col("event_type").isin(stages: _*))
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+      .select(col("user_id").cast("long"),
+        graft.operators.TimeCols.micros(events, "ts"),
         col("event_type"))
       .filter(col("user_id").isNotNull)
       .as[(Long, Long, String)]

@@ -55,11 +55,14 @@ object Sessionize {
     // an event without a time cannot be placed in any session, and engines
     // disagree on where nulls sort — exclude them as a defined contract
     // (the streaming path's watermark drops them the same way)
+    val tsType = events.schema("ts").dataType
+    def secs(c: org.apache.spark.sql.Column) =
+      graft.operators.TimeCols.secondsOf(c, tsType)
     val marked = events.filter(col("ts").isNotNull)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSeconds.toDouble,
+          (secs(col("ts")) - secs(col("prev_ts"))) > gapSeconds.toDouble,
           1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

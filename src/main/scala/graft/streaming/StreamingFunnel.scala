@@ -72,7 +72,8 @@ object StreamingFunnel {
     val stageArr = stages.toArray
     events
       .filter(col("ts").isNotNull && col("event_type").isin(stages: _*))
-      .select(col("user_id").cast("long").as("__u"), unix_micros(col("ts")),
+      .select(col("user_id").cast("long").as("__u"),
+        graft.operators.TimeCols.micros(events, "ts"),
         col("event_type"))
       .filter(col("__u").isNotNull)
       .as[(Long, Long, String)]
