@@ -304,6 +304,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("FunnelTws idle TTL evicts users in event time; they re-emit from scratch and state drains") {
+    import graft.streaming.FunnelTws
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stages = Seq("view", "click", "purchase")
+    val stream = MemoryStream[Event]
+    // 10-minute idle TTL in EVENT time, 1-minute lateness horizon —
+    // eviction is driven by the watermark, so the test is deterministic
+    // (no wall-clock sleeps)
+    val out = FunnelTws.track(stream.toDF(), stages,
+      idleTtl = Some(java.time.Duration.ofMinutes(10)),
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("funnel_tws_ttl")
+      .outputMode(OutputMode.Update).start()
+    def emitted(): Seq[(Long, Int)] = spark.table("funnel_tws_ttl").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    try {
+      stream.addData(Event(1L, ts(5), "view", 0))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, 1)))
+      // another user's events push the watermark past 10:05 + TTL → user 1
+      // evicts (their last event is 10+ min idle in event time)
+      stream.addData(Event(2L, ts(20), "view", 0))
+      q.processAllAvailable()
+      stream.addData(Event(2L, ts(25), "click", 0))
+      q.processAllAvailable()
+      // without TTL this second view would NOT re-emit (reach already 1);
+      // the evicted user's fresh state fires the emit-on-change contract
+      // again — the "re-emit from scratch" price of bounding idle state
+      stream.addData(Event(1L, ts(27), "view", 0))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, 1), (2L, 1), (2L, 2), (1L, 1)),
+        s"expired user must restart from scratch, got ${emitted()}")
+      // and the pre-eviction click is forgotten: a fresh click advances the
+      // restarted funnel to 2, not 3
+      stream.addData(Event(1L, ts(28), "click", 0))
+      q.processAllAvailable()
+      assert(emitted().last == ((1L, 2)))
+      // eviction must DRAIN state: user 1's re-created rows (funnel+wake)
+      // and user 2's are live; nothing from before user 1's eviction
+      // lingers. 2 users × 2 value-states = 4 rows ceiling.
+      val rows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rows <= 4, s"evicted state not drained: $rows rows for 2 users")
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
+
   test("StreamingDedup drops re-delivered keys within the watermark, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
