@@ -95,4 +95,91 @@ object Sampling {
       .limit(k)
       .drop("__h")
   }
+
+  /** Exactly `kBySource(s)` rows per source, chosen by ascending salted
+    * md5 rank (id tiebreak) — the per-stratum EXACT-COUNT twin of
+    * [[stratifiedSample]]'s percentages, and the mechanism under the
+    * source-mixing samplers below. Sources absent from the map contribute
+    * nothing. Same reproducibility story as [[deterministicExactK]]: the
+    * kept set is unique, engine-independent, and grows monotonically in k.
+    *
+    * Scale shape: per-group rank rides [[TopK.perGroup]]'s partial
+    * aggregator (map-side k-row buffers, k rows per group per mapper in
+    * the shuffle), NOT a row_number window — a window would sort every
+    * row of the hottest source through one reducer. The hash keeps 13 hex
+    * digits (52 bits) so it is EXACT in the double the aggregator sorts
+    * by; 15+ digits would overflow the 2^53 mantissa and break ties
+    * nondeterministically.
+    */
+  def mixExactPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                        kBySource: Map[String, Long],
+                        salt: String = ":mix"): DataFrame = {
+    require(kBySource.nonEmpty, "need at least one source count")
+    kBySource.values.foreach(k =>
+      require(k >= 0 && k <= Int.MaxValue, s"per-source k out of range: $k"))
+    val maxK = kBySource.values.max
+    if (maxK == 0L) return df.filter(lit(false))
+    val hash = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 13),
+      16, 10).cast("long")
+    val kExpr = kBySource.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col(sourceCol) === s, lit(k)).otherwise(acc)
+    }
+    TopK.perGroup(df.filter(col(idCol).isNotNull).withColumn("__mixh", -hash),
+        Seq(sourceCol), "__mixh", idCol, maxK.toInt)
+      .filter(col("rank") <= kExpr)
+      .drop("__mixh", "rank")
+  }
+
+  /** WEIGHTED source mixing: a `totalK`-row budget split across sources
+    * proportionally to explicit integer weights — "3 parts web to 1 part
+    * code" — with floor division (the delivered total may undershoot
+    * `totalK` by < #sources; exact integer arithmetic is what keeps the
+    * allocation replayable in any engine). Each source's quota then fills
+    * by deterministic hash rank via [[mixExactPerSource]].
+    */
+  def weightedMix(df: DataFrame, idCol: String, sourceCol: String,
+                  weights: Map[String, Long], totalK: Long,
+                  salt: String = ":mix"): DataFrame = {
+    require(totalK > 0, s"budget must be positive: $totalK")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val sw = weights.values.sum
+    mixExactPerSource(df, idCol, sourceCol,
+      weights.map { case (s, w) => s -> totalK * w / sw }, salt)
+  }
+
+  /** TEMPERATURE source mixing (the multilingual-LM sampling exponent):
+    * per-source quotas ∝ n_s^alpha, so alpha = 1 reproduces the natural
+    * distribution and alpha → 0 flattens toward uniform — the knob that
+    * keeps a 100:1 web/code corpus from drowning the minority source in
+    * training. Quotas derive from exact per-source counts (one k-row
+    * aggregate collect — sources are an operational taxonomy, never
+    * data-sized) through integer weights `max(floor(n^alpha · 1024), 1)`.
+    *
+    * alpha = 0.5 (the default) computes n^alpha via `sqrt`, which IEEE
+    * requires correctly rounded — the weight is bit-replayable in any
+    * engine, which is what lets q107's DuckDB oracle recompute the whole
+    * allocation. Other alphas go through `pow` (1-ulp, engine-dependent
+    * at the floor boundary) — fine operationally, not oracle-exact.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     totalK: Long, alpha: Double = 0.5,
+                     salt: String = ":mix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    val counts = df
+      .filter(col(idCol).isNotNull && col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per source
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null sources to mix")
+    val weights = counts.map { case (s, n) =>
+      val raw =
+        if (alpha == 0.5) math.sqrt(n.toDouble)
+        else if (alpha == 1.0) n.toDouble
+        else math.pow(n.toDouble, alpha)
+      s -> math.max(math.floor(raw * 1024.0).toLong, 1L)
+    }
+    weightedMix(df, idCol, sourceCol, weights, totalK, salt)
+  }
 }

@@ -211,4 +211,49 @@ object CurationQueries {
       |WHERE doc_id IS NOT NULL
       |ORDER BY md5(CAST(doc_id AS VARCHAR) || ':x79'), doc_id
       |LIMIT 100""".stripMargin
+
+  /** q107: TEMPERATURE source mixing ([[Sampling.temperatureMix]], the
+    * multilingual-LM sampling exponent) over a deterministic 9:1
+    * web/code skew derived from doc_id: per-source quotas ∝ n^0.5 from a
+    * 120-row budget, filled by salted-hash rank. The sqrt path makes the
+    * integer weights bit-replayable (IEEE sqrt is correctly rounded in
+    * every engine), so the oracle recomputes counts → weights → floor
+    * quotas → per-source hash rank with never a shared intermediate.
+    * The flattening is visible in the gate: code holds 10% of the corpus
+    * but ≈25% of the sample.
+    */
+  def q107TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("src_class",
+        when(col("doc_id") % 10 =!= 0, "web").otherwise("code"))
+      .select(col("doc_id"), col("src_class"), col("lang"))
+    Sampling.temperatureMix(docs, "doc_id", "src_class", totalK = 120L)
+  }
+
+  def q107Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 <> 0 THEN 'web' ELSE 'code' END AS src_class,
+      |    lang
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), counts AS (
+      |  SELECT src_class, COUNT(*) AS n FROM docs GROUP BY 1
+      |), w AS (
+      |  SELECT src_class,
+      |    GREATEST(CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1024.0) AS BIGINT), 1) AS w
+      |  FROM counts
+      |), ks AS (
+      |  SELECT src_class,
+      |    (120 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM w) AS k
+      |  FROM w
+      |), ranked AS (
+      |  SELECT doc_id, src_class, lang,
+      |    row_number() OVER (PARTITION BY src_class ORDER BY
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 13) AS BIGINT) ASC,
+      |      doc_id ASC) AS rn
+      |  FROM docs
+      |)
+      |SELECT r.doc_id, r.src_class, r.lang
+      |FROM ranked r JOIN ks USING (src_class)
+      |WHERE r.rn <= ks.k""".stripMargin
 }

@@ -536,4 +536,51 @@ object PipelineQueries {
       |  CASE WHEN d % 4 = 0 THEN 'Fallback'
       |       ELSE 'open.er-api.com' END AS source
       |FROM range(1, 15) t(d)""".stripMargin
+
+  private val q106Invocation = new AtomicInteger(0)
+
+  /** q106: the streaming UPSERT sink (SURVEY 44) driven end-to-end through
+    * the oracle gate, the q101 protocol applied to keep-latest state:
+    * events split into 5 deterministic micro-batches (event_id % 5), each
+    * pre-reduced to its per-user winner by (ts, event_id) — the
+    * deterministic shape a CDC feed hands foreachBatch — then folded
+    * through [[graft.streaming.UpsertSink.mergeBatch]]'s swap-write MERGE
+    * into a running parquet mart, LATEST batch re-applied (foreachBatch's
+    * retry surface) and no-opped by the applied-batch marker. Final state:
+    * each user's row from the HIGHEST batch that saw them, that batch's
+    * (ts, event_id) winner — i.e. argmax by (batch, ts, event_id), which
+    * the DuckDB oracle replays with one window over raw events, having
+    * never seen the batching or the merges.
+    */
+  def q106UpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q106Invocation.incrementAndGet()
+    val target = s"$scratch/q106_$inv/state"
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val sink = graft.streaming.UpsertSink.mergeBatch(target, Seq("user_id")) _
+    (0 to 4).foreach { b =>
+      val batch = graft.operators.Dedup.latestByKey(
+        ev.filter(col("event_id") % 5 === b),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      sink(batch, b.toLong)
+    }
+    // retry of the applied latest batch must no-op via the marker
+    sink(graft.operators.Dedup.latestByKey(
+      ev.filter(col("event_id") % 5 === 4),
+      Seq("user_id"), Seq(col("ts").desc, col("event_id").desc)), 4L)
+    CleanZone.read(spark, target)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("value"))
+  }
+
+  def q106Oracle: String =
+    """SELECT user_id, event_id, ts, event_type, value
+      |FROM (SELECT user_id, event_id, ts, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY event_id % 5 DESC, ts DESC, event_id DESC) AS rn
+      |      FROM events WHERE ts IS NOT NULL) t
+      |WHERE rn = 1""".stripMargin
 }

@@ -166,4 +166,54 @@ class CurationSpec extends SparkSpec {
       .filter(col("err") > 1e-12).count()
     assert(offenders == 0)
   }
+
+  test("mixExactPerSource: exact per-source counts, deterministic, monotone in k") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf("0.001"))
+      .select(col("doc_id"), col("source"))
+    val quotas = Map("src0" -> 7L, "src1" -> 3L, "src2" -> 0L)
+    val got = Sampling.mixExactPerSource(docs, "doc_id", "source", quotas)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySource = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource == Map("src0" -> 7, "src1" -> 3), s"got $bySource")
+    // deterministic: a fresh plan reproduces the identical row set
+    val again = Sampling.mixExactPerSource(docs, "doc_id", "source", quotas)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSet == got.toSet)
+    // monotone: growing a quota only ADDS rows (hash rank is a fixed order)
+    val grown = Sampling.mixExactPerSource(docs, "doc_id", "source",
+        quotas.updated("src0", 9L))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet.subsetOf(grown.toSet))
+  }
+
+  test("temperatureMix flattens a skewed corpus toward the minority source") {
+    import graft.operators.Sampling
+    // 9:1 web/code skew derived from the id — the q107 shape
+    val docs = Tables.documents(spark, sf("0.001"))
+      .withColumn("src_class",
+        when(col("doc_id") % 10 =!= 0, "web").otherwise("code"))
+      .select(col("doc_id"), col("src_class"))
+    val total = docs.count().toDouble
+    val codeShareCorpus =
+      docs.filter(col("src_class") === "code").count() / total
+    val sample = Sampling.temperatureMix(docs, "doc_id", "src_class",
+      totalK = 100L) // alpha = 0.5
+    val n = sample.count().toDouble
+    assert(n > 0 && n <= 100)
+    val codeShareSample =
+      sample.filter(col("src_class") === "code").count() / n
+    // sqrt weighting must lift the 10% minority well above its natural
+    // share (to ~25% at 9:1) without inverting the majority
+    assert(codeShareSample > codeShareCorpus + 0.1,
+      f"no flattening: corpus $codeShareCorpus%.2f sample $codeShareSample%.2f")
+    assert(codeShareSample < 0.5)
+    // alpha = 1 reproduces the natural mixture's allocation (±rounding)
+    val natural = Sampling.temperatureMix(docs, "doc_id", "src_class",
+      totalK = 100L, alpha = 1.0)
+    val codeNatural = natural.filter(col("src_class") === "code").count()
+      .toDouble / natural.count()
+    assert(math.abs(codeNatural - codeShareCorpus) < 0.05,
+      f"alpha=1 should track the corpus: $codeNatural%.2f vs $codeShareCorpus%.2f")
+  }
 }
