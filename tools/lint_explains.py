@@ -36,6 +36,14 @@ ALLOW = {
          "hubs capped at NswAnn.MaxHubs=4096 by the occupancy ladder) — "
          "the walk's entry points, not a data-volume join (NswAnn.scala)"),
     ],
+    "q33_ivf_ann": [
+        ("BNLJ-nonscalar",
+         "broadcast side is the TRAINED-centroid one-row frame "
+         "(spark.range(1) projecting k<=nCentroids=8 struct literals the "
+         "KMeansExact training produced — plan constants bounded by the "
+         "centroid knob, not data volume; IvfAnn.trainedCentroidRow). Both "
+         "the assign and probe joins share it"),
+    ],
     "q37_fx_carry_forward": [
         ("BNLJ-nonscalar",
          "broadcast side is the DISTINCT currency-pair aggregate — bounded "
