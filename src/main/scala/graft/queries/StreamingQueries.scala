@@ -185,4 +185,100 @@ object StreamingQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM numbered
       |GROUP BY user_id, session_id""".stripMargin
+
+  private val q108Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q108: the streaming dedup-within-watermark operator (SURVEY 44b)
+    * driven through a REAL MemoryStream query and oracle-gated. The feed
+    * is deterministic: one row per (user_id, event_type, day) — each
+    * day's earliest (ts, event_id) — added as one micro-batch per
+    * calendar day in ascending order, so the watermark in effect while
+    * batch d processes is exactly max(fed ts of days < d) − 3 days.
+    * dropDuplicatesWithinWatermark then emits a key's row iff the key's
+    * previously-emitted entry has EXPIRED (its event time + 3 days is
+    * behind that watermark) — the bounded-state re-admission semantics
+    * that distinguish this operator from a global dedup. The DuckDB
+    * oracle replays the whole chain per key with a recursive CTE that
+    * never saw Spark's state machinery; a boundary-equality audit over
+    * the testdata (no expiry lands EXACTLY on a watermark at any shipped
+    * SF) makes the strictness of the comparison immaterial.
+    */
+  def q108StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inv = q108Invocation.incrementAndGet()
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    // one deterministic feed row per (key, day): earliest (ts, event_id)
+    val daily = graft.operators.Dedup.latestByKey(
+      ev.withColumn("__day", to_date(col("ts"))),
+      Seq("user_id", "event_type", "__day"),
+      Seq(col("ts").asc, col("event_id").asc))
+    val fed = daily
+      .select(col("__day"), col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .collect() // bounded: one row per key per day (harness feed, not data path)
+      .groupBy(_.getDate(0)).toSeq.sortBy(_._1.getTime)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DedupFeedRow]
+    val out = graft.streaming.StreamingDedup.withinWatermark(stream.toDF(),
+      Seq("user_id", "event_type"), "ts", delay = "3 days")
+    val sinkName = s"q108_dedup_$inv"
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      fed.foreach { case (_, rows) =>
+        stream.addData(rows.toIndexedSeq.map(r => DedupFeedRow(r.getLong(1),
+          r.getLong(2), r.getTimestamp(3), r.getString(4), r.getDouble(5))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sinkName)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("value"))
+  }
+
+  def q108Oracle: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE ts IS NOT NULL
+      |), fed AS (
+      |  SELECT user_id, event_type, day, ts, event_id, value FROM daily WHERE rn = 1
+      |), dayidx AS (
+      |  SELECT day, row_number() OVER (ORDER BY day) AS di
+      |  FROM (SELECT DISTINCT day FROM fed)
+      |), wm AS (
+      |  SELECT d.di,
+      |    (SELECT max(f.ts) FROM fed f JOIN dayidx x ON f.day = x.day
+      |     WHERE x.di < d.di) - INTERVAL 3 DAY AS wm_ts
+      |  FROM dayidx d
+      |), seq AS (
+      |  SELECT f.user_id, f.event_type, x.di, f.ts, f.event_id, f.value,
+      |    row_number() OVER (PARTITION BY f.user_id, f.event_type ORDER BY x.di) AS k
+      |  FROM fed f JOIN dayidx x ON f.day = x.day
+      |), chain AS (
+      |  SELECT user_id, event_type, di, ts, event_id, value, k,
+      |    TRUE AS emitted, ts AS last_emit
+      |  FROM seq WHERE k = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.event_type, s.di, s.ts, s.event_id, s.value, s.k,
+      |    (c.last_emit + INTERVAL 3 DAY) < w.wm_ts AS emitted,
+      |    CASE WHEN (c.last_emit + INTERVAL 3 DAY) < w.wm_ts
+      |         THEN s.ts ELSE c.last_emit END AS last_emit
+      |  FROM chain c
+      |  JOIN seq s ON s.user_id = c.user_id AND s.event_type = c.event_type
+      |            AND s.k = c.k + 1
+      |  JOIN wm w ON w.di = s.di
+      |)
+      |SELECT user_id, event_id, ts, event_type, value
+      |FROM chain WHERE emitted""".stripMargin
 }
+
+/** One deterministic dedup-feed row (q108's MemoryStream element type). */
+final case class DedupFeedRow(user_id: Long, event_id: Long,
+                              ts: java.sql.Timestamp, event_type: String,
+                              value: Double)
