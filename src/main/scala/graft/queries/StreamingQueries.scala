@@ -187,6 +187,7 @@ object StreamingQueries {
       |GROUP BY user_id, session_id""".stripMargin
 
   private val q108Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val FeedDays = 12
 
   /** q108: the streaming dedup-within-watermark operator (SURVEY 44b)
     * driven through a REAL MemoryStream query and oracle-gated. The feed
@@ -206,9 +207,14 @@ object StreamingQueries {
   def q108StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val inv = q108Invocation.incrementAndGet()
-    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val evAll = Tables.events(spark, dir).filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
+    // cap the feed at the first FeedDays calendar days: micro-batch count
+    // (and so harness wall-clock) stays constant across SFs while the
+    // 3-day TTL still turns over ~FeedDays/4 times per key
+    val minDay = evAll.agg(min(to_date(col("ts")))).head.getDate(0)
+    val ev = evAll.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays))
     // one deterministic feed row per (key, day): earliest (ts, event_id)
     val daily = graft.operators.Dedup.latestByKey(
       ev.withColumn("__day", to_date(col("ts"))),
@@ -246,6 +252,8 @@ object StreamingQueries {
       |    row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
       |      ORDER BY ts, event_id) AS rn
       |  FROM events WHERE ts IS NOT NULL
+      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 12
+      |                            FROM events WHERE ts IS NOT NULL)
       |), fed AS (
       |  SELECT user_id, event_type, day, ts, event_id, value FROM daily WHERE rn = 1
       |), dayidx AS (
