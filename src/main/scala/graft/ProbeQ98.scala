@@ -40,9 +40,15 @@ object ProbeQ98 {
       target.write.mode("overwrite").partitionBy("o_year").parquet(base)
     }
 
-    // delta derivation exactly as q98 (latest-year updates + inserts)
-    val maxYear = target.agg(max(col("o_year"))).head.getInt(0)
-    val latest = target.filter(col("o_year") === maxYear)
+    // delta derivation as q98 (latest-year updates + inserts) — but read
+    // from the freshly WRITTEN partitioned target, so the delta's lineage
+    // is partition-pruned to the one touched year, and MATERIALIZED before
+    // the timer starts: leaving it lazy would re-run table-sized scans
+    // inside the merge timing and re-create the cost mis-attribution this
+    // probe exists to remove
+    val written = spark.read.parquet(base)
+    val maxYear = written.agg(max(col("o_year"))).head.getInt(0)
+    val latest = written.filter(col("o_year") === maxYear)
     val updates = latest.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), col("o_year"),
         (col("total_price") + lit(new java.math.BigDecimal("1.00")))
@@ -51,7 +57,8 @@ object ProbeQ98 {
     val inserts = latest.filter(col("o_orderkey") % 7 === 0)
       .select((col("o_orderkey") + 1000000000000000L).as("o_orderkey"),
         col("o_year"), col("total_price"), lit("N").as("status"))
-    val delta = updates.unionByName(inserts)
+    val delta = updates.unionByName(inserts).cache()
+    delta.count() // materialize outside the timed window
 
     // phase 2 — the operator under test: pruned merge (touched-partition-
     // sized; this is the number the 100x ratio should grade)
@@ -59,6 +66,7 @@ object ProbeQ98 {
       graft.operators.Upsert.mergePruned(base, delta,
         keys = Seq("o_orderkey"), partitionCol = "o_year")
     }
+    delta.unpersist()
 
     // phase 3 — the gate: read back + aggregate (table-sized scan)
     val (_, tAgg) = timed {

@@ -117,15 +117,25 @@ object Sampling {
     require(kBySource.nonEmpty, "need at least one source count")
     kBySource.values.foreach(k =>
       require(k >= 0 && k <= Int.MaxValue, s"per-source k out of range: $k"))
-    val maxK = kBySource.values.max
-    if (maxK == 0L) return df.filter(lit(false))
+    // same loudness convention as Dedup/Upsert: helper columns must not
+    // silently clobber (or ambiguously duplicate) caller columns
+    Seq("__mixh", "rank").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — mixExactPerSource would clobber it"))
+    val quotas = kBySource.filter(_._2 > 0L)
+    if (quotas.isEmpty) return df.filter(lit(false))
+    val maxK = quotas.values.max
     val hash = conv(substring(
         md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 13),
       16, 10).cast("long")
-    val kExpr = kBySource.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+    val kExpr = quotas.foldLeft(lit(0L)) { case (acc, (s, k)) =>
       when(col(sourceCol) === s, lit(k)).otherwise(acc)
     }
-    TopK.perGroup(df.filter(col(idCol).isNotNull).withColumn("__mixh", -hash),
+    // zero-quota sources are dropped BEFORE the rank: they would otherwise
+    // pay map-side top-maxK buffering and shuffle only to be filtered out
+    val kept = df.filter(col(idCol).isNotNull &&
+      col(sourceCol).isin(quotas.keys.toSeq: _*))
+    TopK.perGroup(kept.withColumn("__mixh", -hash),
         Seq(sourceCol), "__mixh", idCol, maxK.toInt)
       .filter(col("rank") <= kExpr)
       .drop("__mixh", "rank")
@@ -144,9 +154,14 @@ object Sampling {
     require(totalK > 0, s"budget must be positive: $totalK")
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"weights must be positive: $weights")
-    val sw = weights.values.sum
+    // BigInt quota arithmetic: totalK * w in Long can silently wrap for
+    // large caller weights, and a double wrap can land back in a plausible
+    // range — exact integers keep the allocation loud and replayable
+    val sw = weights.values.map(BigInt(_)).sum
     mixExactPerSource(df, idCol, sourceCol,
-      weights.map { case (s, w) => s -> totalK * w / sw }, salt)
+      weights.map { case (s, w) =>
+        s -> (BigInt(totalK) * w / sw).toLong
+      }, salt)
   }
 
   /** TEMPERATURE source mixing (the multilingual-LM sampling exponent):

@@ -555,8 +555,12 @@ object PipelineQueries {
   def q106UpsertSink(spark: SparkSession, dir: String): DataFrame = {
     val inv = q106Invocation.incrementAndGet()
     val target = s"$scratch/q106_$inv/state"
+    // null user_ids are excluded as a defined contract: a full-outer MERGE
+    // never matches NULL=NULL, so each batch's null-key winner would INSERT
+    // a fresh row while the oracle's window groups all NULLs into one —
+    // the same null-key discipline as q03's dropNullKeys
     val ev = Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
     val sink = graft.streaming.UpsertSink.mergeBatch(target, Seq("user_id")) _
@@ -581,6 +585,6 @@ object PipelineQueries {
       |FROM (SELECT user_id, event_id, ts, event_type, value,
       |        row_number() OVER (PARTITION BY user_id
       |          ORDER BY event_id % 5 DESC, ts DESC, event_id DESC) AS rn
-      |      FROM events WHERE ts IS NOT NULL) t
+      |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t
       |WHERE rn = 1""".stripMargin
 }

@@ -207,7 +207,12 @@ object StreamingQueries {
   def q108StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val inv = q108Invocation.incrementAndGet()
-    val evAll = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    // null user_ids out (getLong would silently unbox NULL to 0L and merge
+    // the null chain with real user 0's); null values out for the same
+    // boxing reason — both align the oracle below
+    val evAll = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
     // cap the feed at the first FeedDays calendar days: micro-batch count
@@ -251,9 +256,12 @@ object StreamingQueries {
       |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
       |    row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
       |      ORDER BY ts, event_id) AS rn
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND value IS NOT NULL
       |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 12
-      |                            FROM events WHERE ts IS NOT NULL)
+      |                            FROM events
+      |                            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |                              AND value IS NOT NULL)
       |), fed AS (
       |  SELECT user_id, event_type, day, ts, event_id, value FROM daily WHERE rn = 1
       |), dayidx AS (

@@ -41,8 +41,11 @@ object SessionizeTws {
   }
 }
 
-/** One buffered (not yet watermark-sealed) event: micros + value. */
-final case class PendingEvent(us: Long, value: Double)
+/** One buffered (not yet watermark-sealed) event: micros + exact scale-2
+  * cents ([[SessionTime.cents]] — per-event rounding identical to the batch
+  * twin's `CAST(value AS DECIMAL(18,2))`, so the long sum matches exactly).
+  */
+final case class PendingEvent(us: Long, cents: Long)
 
 private[streaming] final class SessionProcessor(gapMicros: Long)
     extends StatefulProcessor[Long, Event, SessionOut] {
@@ -62,17 +65,7 @@ private[streaming] final class SessionProcessor(gapMicros: Long)
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  /** Full microsecond precision (Timestamp.getTime truncates to millis,
-    * which can merge sessions the batch path splits).
-    */
-  private def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-
-  private def toTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(us / 1000000 * 1000)
-    t.setNanos((us % 1000000).toInt * 1000)
-    t
-  }
+  import SessionTime.{cents, centsToDouble, micros, toTs}
 
   /** Move the single registered timer to `atMs` (no-op if already there). */
   private def retime(atMs: Long): Unit = {
@@ -90,7 +83,7 @@ private[streaming] final class SessionProcessor(gapMicros: Long)
     rows.foreach { e =>
       if (e.ts != null) {
         val us = micros(e.ts)
-        buffer.appendValue(PendingEvent(us, e.value))
+        buffer.appendValue(PendingEvent(us, cents(e.value)))
         if (us < minUs) minUs = us
       }
     }
@@ -115,19 +108,20 @@ private[streaming] final class SessionProcessor(gapMicros: Long)
     val (ripe, pending) = all.partition(_.us < wmUs)
     var out = List.empty[SessionOut]
     def close(s: SessionState): Unit =
-      out ::= SessionOut(user, toTs(s.start), toTs(s.last), s.n, s.total)
+      out ::= SessionOut(user, toTs(s.start), toTs(s.last), s.n,
+        centsToDouble(s.totalCents))
     var cur = if (open.exists()) Option(open.get()) else None
-    java.util.Arrays.sort(ripe, Ordering.by((p: PendingEvent) => (p.us, p.value)))
+    java.util.Arrays.sort(ripe, Ordering.by((p: PendingEvent) => (p.us, p.cents)))
     ripe.foreach { p =>
       cur match {
         case Some(s) if p.us - s.last > gapMicros =>
           close(s)
-          cur = Some(SessionState(p.us, p.us, 1L, p.value))
+          cur = Some(SessionState(p.us, p.us, 1L, p.cents))
         case Some(s) =>
           cur = Some(SessionState(math.min(s.start, p.us),
-            math.max(s.last, p.us), s.n + 1, s.total + p.value))
+            math.max(s.last, p.us), s.n + 1, s.totalCents + p.cents))
         case None =>
-          cur = Some(SessionState(p.us, p.us, 1L, p.value))
+          cur = Some(SessionState(p.us, p.us, 1L, p.cents))
       }
     }
     // the open session is final once no admissible row can extend it: rows

@@ -18,8 +18,40 @@ final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                             session_end: java.sql.Timestamp,
                             n_events: Long, total_value: Double)
 
-private final case class SessionState(start: Long, last: Long, n: Long,
-                                      total: Double)
+private[streaming] final case class SessionState(start: Long, last: Long,
+                                                 n: Long, totalCents: Long)
+
+/** Shared micro-precision time + money conversions for the sessionize
+  * twins. `micros`/`toTs` encode the millis-truncation workaround
+  * (Timestamp.getTime alone truncates to milliseconds, which can merge
+  * sessions the batch path splits); `cents` is Spark's
+  * `CAST(value AS DECIMAL(18,2))` per-event rounding (BigDecimal.valueOf =
+  * canonical Double.toString parse, then HALF_UP to scale 2) so a long sum
+  * of cents equals the batch DECIMAL sum exactly — raw double addition
+  * would drift in the last ulp and break the stream == batch contract.
+  */
+private[streaming] object SessionTime {
+  def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  /** Exact scale-2 unscaled value; loud on NaN/Infinity (the batch cast
+    * nulls them — an event stream carrying non-finite money is a bug
+    * upstream, not something to silently drop mid-session).
+    */
+  def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  def centsToDouble(c: Long): Double =
+    java.math.BigDecimal.valueOf(c, 2).doubleValue
+}
 
 /** Tumbling-window aggregates. The SAME plan serves batch DataFrames and
   * readStream DataFrames (Structured Streaming's unified model); pass a
@@ -84,24 +116,14 @@ object Sessionize {
         processUser(gapSeconds * 1000000L))
   }
 
-  /** Full microsecond precision: the events source is micro-precision and
-    * Timestamp.getTime alone truncates to milliseconds, which can merge
-    * sessions the batch path splits.
-    */
-  private def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-
-  private def toTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(us / 1000000 * 1000)
-    t.setNanos((us % 1000000).toInt * 1000)
-    t
-  }
+  import SessionTime.{cents, centsToDouble, micros, toTs}
 
   private def processUser(gapMicros: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     def close(s: SessionState) =
-      SessionOut(userId, toTs(s.start), toTs(s.last), s.n, s.total)
+      SessionOut(userId, toTs(s.start), toTs(s.last), s.n,
+        centsToDouble(s.totalCents))
     if (state.hasTimedOut) {
       val out = state.getOption.map(close).toList
       state.remove()
@@ -115,14 +137,14 @@ object Sessionize {
         cur match {
           case Some(s) if t - s.last > gapMicros =>
             closed ::= close(s)
-            cur = Some(SessionState(t, t, 1L, e.value))
+            cur = Some(SessionState(t, t, 1L, cents(e.value)))
           case Some(s) =>
             // admitted late events may precede the stored start — extend
             // backwards like the batch min(ts) does
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
-              s.n + 1, s.total + e.value))
+              s.n + 1, s.totalCents + cents(e.value)))
           case None =>
-            cur = Some(SessionState(t, t, 1L, e.value))
+            cur = Some(SessionState(t, t, 1L, cents(e.value)))
         }
       }
       cur.foreach { s =>

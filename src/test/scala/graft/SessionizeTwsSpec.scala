@@ -38,14 +38,17 @@ class SessionizeTwsSpec extends SparkSpec {
       q.processAllAvailable()
     }
     try {
-      feed(Event(1L, ts(0), "click", 1.0), Event(2L, ts(1), "view", 5.0))
+      // 0.1 + 0.2 is the classic double-drift pair: the batch twin sums
+      // DECIMAL(18,2) (exactly 0.30); a stream that added raw doubles
+      // would emit 0.30000000000000004 and fail the equality below
+      feed(Event(1L, ts(0), "click", 0.1), Event(2L, ts(1), "view", 5.0))
       // user 1's second session starts (25 > 0 + gap 10)
       feed(Event(1L, ts(25), "click", 2.0))
       // ADMITTED-LATE: 10:08 is ≥ watermark (09:55) but belongs to user 1's
       // FIRST session (8 ≤ 0+10). The legacy fMGWS fold would glue it onto
       // the open (25,25) session and drag that session's start back to
       // 10:08; the sealed-prefix contract must put it in session one.
-      feed(Event(1L, ts(8), "late", 4.0))
+      feed(Event(1L, ts(8), "late", 0.2))
       // flush: watermark far past everything + gap closes all sessions
       feed(Event(9L, Timestamp.valueOf("2024-01-01 13:00:00"), "view", 0.0))
       feed(Event(9L, Timestamp.valueOf("2024-01-01 14:00:00"), "view", 0.0))
@@ -70,8 +73,8 @@ class SessionizeTwsSpec extends SparkSpec {
         s"stream != batch:\n  stream: $streamed\n  batch: $closeable")
       // user 1's late event landed in the FIRST session
       val u1 = streamed.filter(_._1 == 1L).toSeq.sortBy(_._2.getTime)
-      assert(u1.map(s => (s._4, s._5)) == Seq((2L, 5.0), (1L, 2.0)),
-        s"late event misplaced: $u1")
+      assert(u1.map(s => (s._4, s._5)) == Seq((2L, 0.3), (1L, 2.0)),
+        s"late event misplaced or money drifted: $u1")
       // the RUNNING query's state must actually be on RocksDB
       import scala.jdk.CollectionConverters._
       val stateOps = q.lastProgress.stateOperators

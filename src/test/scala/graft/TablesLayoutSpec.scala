@@ -32,7 +32,14 @@ class TablesLayoutSpec extends SparkSpec {
     */
   private def layoutDir(name: String)(writeEvents: (DataFrame, String) => Unit): String = {
     val dir = Files.createTempDirectory(s"graft-layout-$name").toFile
-    dir.deleteOnExit()
+    // deleteOnExit alone is a no-op on a non-empty directory — recurse
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
     OtherTables.foreach { t =>
       Files.createSymbolicLink(Paths.get(dir.getPath, s"$t.parquet"),
         Paths.get(sf("0.001"), s"$t.parquet"))
