@@ -303,4 +303,66 @@ object DedupQueries {
        |SELECT doc_id, CAST($simTerms AS BIGINT) AS simhash, n_features
        |FROM agg""".stripMargin
   }
+
+  /** q109: C4-style corpus line cleaning ([[graft.operators.dedup.LineDedup]],
+    * SURVEY 30b). Lines are deterministic token BIGRAMS of each document
+    * (pair tokens (2i−1, 2i) in order; an odd tail token forms its own
+    * line), which on this corpus yields a non-degenerate document-frequency
+    * distribution at every shipped SF (some lines boilerplate, most not).
+    * The boilerplate threshold is 35‰ of the corpus document count —
+    * exact integer arithmetic. The DuckDB oracle rebuilds the bigram
+    * lines, the per-doc first-occurrence pass, the document-frequency
+    * filter, and the '\n' reassembly from raw `documents`.
+    */
+  def q109LineClean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("lines", expr(
+        """transform(sequence(1, (size(__toks) + 1) div 2),
+          |  i -> CASE WHEN 2 * i <= size(__toks)
+          |            THEN concat(element_at(__toks, CAST(2 * i - 1 AS INT)), ' ',
+          |                        element_at(__toks, CAST(2 * i AS INT)))
+          |            ELSE element_at(__toks, CAST(2 * i - 1 AS INT)) END)""".stripMargin))
+      .select(col("doc_id"), col("lines"))
+    graft.operators.dedup.LineDedup.cleanRelative(docs, "doc_id", "lines",
+      permilleOfDocs = 35)
+  }
+
+  def q109Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS ord
+      |  FROM t
+      |), pairs AS (
+      |  SELECT doc_id, (ord + 1) // 2 AS lpos,
+      |         string_agg(tok, ' ' ORDER BY ord) AS line
+      |  FROM toks GROUP BY doc_id, (ord + 1) // 2
+      |), firstocc AS (
+      |  SELECT doc_id, line, lpos FROM (
+      |    SELECT doc_id, line, lpos,
+      |      row_number() OVER (PARTITION BY doc_id, line ORDER BY lpos) AS rn
+      |    FROM pairs) x
+      |  WHERE rn = 1
+      |), keptlines AS (
+      |  SELECT line FROM firstocc GROUP BY line
+      |  HAVING count(*) <= GREATEST(
+      |    (SELECT count(DISTINCT doc_id) FROM t) * 35 // 1000, 1)
+      |), rawlen AS (
+      |  SELECT doc_id,
+      |    (len(string_split(text, ' ')) + 1) // 2 AS n_lines
+      |  FROM t
+      |)
+      |SELECT f.doc_id,
+      |  string_agg(f.line, chr(10) ORDER BY f.lpos) AS clean_text,
+      |  r.n_lines AS n_lines,
+      |  count(*) AS n_kept
+      |FROM firstocc f
+      |JOIN keptlines k USING (line)
+      |JOIN rawlen r ON r.doc_id = f.doc_id
+      |GROUP BY f.doc_id, r.n_lines""".stripMargin
 }

@@ -233,4 +233,32 @@ class DedupSpec extends SparkSpec {
       assert(hamming <= 8, s"hamming($a,$b)=$hamming for jaccard>=0.7 pair")
     }
   }
+
+  test("LineDedup: per-doc first occurrence, boilerplate threshold, empty docs drop") {
+    import spark.implicits._
+    import graft.operators.dedup.LineDedup
+    // "nav" is boilerplate (3 of 4 docs); "dup" repeats inside doc 1;
+    // doc 4 is all-boilerplate and must vanish from the output
+    val docs = Seq(
+      (1L, Seq("nav", "alpha", "dup", "beta", "dup")),
+      (2L, Seq("nav", "gamma")),
+      (3L, Seq("delta", "alpha")),
+      (4L, Seq("nav"))
+    ).toDF("doc_id", "lines")
+    val out = LineDedup.clean(docs, "doc_id", "lines", maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: dup deduped to first position, nav dropped (df=3 > 2),
+    // ORDER preserved: alpha(2) dup(3) beta(4)
+    assert(out(1L) == (("alpha\ndup\nbeta", 5L, 3L)), s"got ${out(1L)}")
+    assert(out(2L) == (("gamma", 2L, 1L)))
+    // alpha appears in 2 docs = at the threshold -> kept
+    assert(out(3L) == (("delta\nalpha", 2L, 2L)))
+    assert(!out.contains(4L), "all-boilerplate doc must drop")
+    // permille wrapper: 1000 permille keeps everything except in-doc dups
+    val all = LineDedup.cleanRelative(docs, "doc_id", "lines", 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "nav\nalpha\ndup\nbeta")
+    assert(all(4L) == "nav")
+  }
 }
