@@ -139,6 +139,36 @@ class KMeansExactSpec extends SparkSpec {
     assert(trained >= 0.5, s"trained IVF recall too low: $trained")
   }
 
+  test("NSW: k-means-medoid hubs beat first-K hub seeding on adversarial ids") {
+    import graft.operators.similarity.NswAnn
+    // Metric note: within a cluster every member sits at near-identical
+    // cosine to the query (a deliberately FLAT landscape), so exact-set
+    // recall@10 only measures which near-ties a 16-node beam happened to
+    // visit — noise for BOTH hub choices. What hub quality controls is
+    // whether the beam lands in the RIGHT cluster at all, so the assertion
+    // is cluster precision: the fraction of returned neighbors sharing the
+    // query's true cluster. Trained medoid hubs cover all 8 clusters
+    // (verified via the centroid block structure while authoring this
+    // spec); first-K hubs all sit in cluster 0's seed ball and strand
+    // part of the beam there.
+    def clusterOf(i: Long): Int = if (i < 16) 0 else (i % 8).toInt
+    val qp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c >= 16 && c < 32
+    def precision(rows: Array[(Long, Long)]): Double =
+      rows.count(t => clusterOf(t._2) == clusterOf(t._1)).toDouble / rows.length
+    val firstK = precision(
+      NswAnn.search(adversarial, "vec_id", "embedding", qp, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val trained = precision(
+      NswAnn.searchTrained(adversarial, "vec_id", "embedding", qp, 10,
+        trainIters = 5, dims = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    info(s"NSW cluster precision: firstK=$firstK trained=$trained")
+    assert(trained > firstK,
+      s"medoid hubs must beat first-K hubs on cluster precision: $trained <= $firstK")
+    assert(trained >= 0.95, s"trained NSW cluster precision too low: $trained")
+  }
+
   test("PQ: k-means-trained codewords beat first-K seeding on adversarial ids") {
     val qp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => c >= 16 && c < 32
