@@ -62,11 +62,12 @@ object ProbeQ98 {
 
     // phase 2 — the operator under test: pruned merge (touched-partition-
     // sized; this is the number the 100x ratio should grade)
+    // (mergePruned pins and unpersists the same cache entry internally,
+    // so no unpersist here — the pre-materialization above is what matters)
     val (_, tMerge) = timed {
       graft.operators.Upsert.mergePruned(base, delta,
         keys = Seq("o_orderkey"), partitionCol = "o_year")
     }
-    delta.unpersist()
 
     // phase 3 — the gate: read back + aggregate (table-sized scan)
     val (_, tAgg) = timed {

@@ -40,8 +40,13 @@ object LineDedup {
   def clean(docs: DataFrame, idCol: String, linesCol: String,
             maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val raw = docs.select(col(idCol), col(linesCol),
-      size(col(linesCol)).cast("long").as("n_lines"))
+    // null lines carry no content: excluded up front AND excluded from
+    // n_lines, as a stated contract — letting them ride would instead
+    // drop them SILENTLY at the frequency join (null keys never match),
+    // leaving n_lines > n_kept with no dropped boilerplate to blame
+    val nonNull = filter(col(linesCol), x => x.isNotNull)
+    val raw = docs.select(col(idCol), nonNull.as(linesCol),
+      size(nonNull).cast("long").as("n_lines"))
     val lines = raw.select(col(idCol), col("n_lines"),
       posexplode(col(linesCol)).as(Seq("__lpos", "__line")))
     // pass 1: earliest occurrence per (doc, line)

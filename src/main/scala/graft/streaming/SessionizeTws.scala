@@ -43,9 +43,11 @@ object SessionizeTws {
 
 /** One buffered (not yet watermark-sealed) event: micros + exact scale-2
   * cents ([[SessionTime.cents]] — per-event rounding identical to the batch
-  * twin's `CAST(value AS DECIMAL(18,2))`, so the long sum matches exactly).
+  * twin's `CAST(value AS DECIMAL(18,2))`, so the long sum matches exactly;
+  * null = the batch cast would NULL this value, and the fold skips it like
+  * SUM skips NULLs).
   */
-final case class PendingEvent(us: Long, cents: Long)
+final case class PendingEvent(us: Long, cents: java.lang.Long)
 
 private[streaming] final class SessionProcessor(gapMicros: Long)
     extends StatefulProcessor[Long, Event, SessionOut] {
@@ -65,7 +67,7 @@ private[streaming] final class SessionProcessor(gapMicros: Long)
       Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  import SessionTime.{cents, centsToDouble, micros, toTs}
+  import SessionTime.{addCents, cents, centsToDouble, micros, toTs}
 
   /** Move the single registered timer to `atMs` (no-op if already there). */
   private def retime(atMs: Long): Unit = {
@@ -111,17 +113,20 @@ private[streaming] final class SessionProcessor(gapMicros: Long)
       out ::= SessionOut(user, toTs(s.start), toTs(s.last), s.n,
         centsToDouble(s.totalCents))
     var cur = if (open.exists()) Option(open.get()) else None
-    java.util.Arrays.sort(ripe, Ordering.by((p: PendingEvent) => (p.us, p.cents)))
+    // null cents sort first at a given us — any fixed rule works, the sum
+    // is order-free and session boundaries depend only on us
+    java.util.Arrays.sort(ripe, Ordering.by((p: PendingEvent) =>
+      (p.us, if (p.cents == null) Long.MinValue else p.cents.longValue())))
     ripe.foreach { p =>
       cur match {
         case Some(s) if p.us - s.last > gapMicros =>
           close(s)
-          cur = Some(SessionState(p.us, p.us, 1L, p.cents))
+          cur = Some(SessionState(p.us, p.us, 1L, addCents(0L, p.cents)))
         case Some(s) =>
           cur = Some(SessionState(math.min(s.start, p.us),
-            math.max(s.last, p.us), s.n + 1, s.totalCents + p.cents))
+            math.max(s.last, p.us), s.n + 1, addCents(s.totalCents, p.cents)))
         case None =>
-          cur = Some(SessionState(p.us, p.us, 1L, p.cents))
+          cur = Some(SessionState(p.us, p.us, 1L, addCents(0L, p.cents)))
       }
     }
     // the open session is final once no admissible row can extend it: rows

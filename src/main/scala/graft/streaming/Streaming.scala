@@ -40,14 +40,28 @@ private[streaming] object SessionTime {
     t
   }
 
-  /** Exact scale-2 unscaled value; loud on NaN/Infinity (the batch cast
-    * nulls them — an event stream carrying non-finite money is a bug
-    * upstream, not something to silently drop mid-session).
+  /** Exact scale-2 unscaled value, or null where the batch twin's
+    * `CAST(value AS DECIMAL(18,2))` yields NULL — NaN/Infinity and values
+    * whose scale-2 representation exceeds precision 18 (non-ANSI cast
+    * semantics, the session config both paths run under). The summing
+    * side must SKIP null cents exactly as SUM skips NULLs, or a single
+    * out-of-range tick silently forks stream from batch.
     */
-  def cents(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
+  def cents(v: Double): java.lang.Long = {
+    if (v.isNaN || v.isInfinite) return null
+    val unscaled = java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+      .unscaledValue()
+    if (unscaled.abs.compareTo(MaxUnscaled18) > 0) null
+    else java.lang.Long.valueOf(unscaled.longValueExact())
+  }
+
+  /** 10^18 − 1: the largest unscaled magnitude DECIMAL(18,2) holds. */
+  private val MaxUnscaled18 =
+    java.math.BigInteger.TEN.pow(18).subtract(java.math.BigInteger.ONE)
+
+  def addCents(total: Long, c: java.lang.Long): Long =
+    if (c == null) total else total + c.longValue()
 
   def centsToDouble(c: Long): Double =
     java.math.BigDecimal.valueOf(c, 2).doubleValue
@@ -116,7 +130,7 @@ object Sessionize {
         processUser(gapSeconds * 1000000L))
   }
 
-  import SessionTime.{cents, centsToDouble, micros, toTs}
+  import SessionTime.{addCents, cents, centsToDouble, micros, toTs}
 
   private def processUser(gapMicros: Long)(
       userId: Long, events: Iterator[Event],
@@ -137,14 +151,14 @@ object Sessionize {
         cur match {
           case Some(s) if t - s.last > gapMicros =>
             closed ::= close(s)
-            cur = Some(SessionState(t, t, 1L, cents(e.value)))
+            cur = Some(SessionState(t, t, 1L, addCents(0L, cents(e.value))))
           case Some(s) =>
             // admitted late events may precede the stored start — extend
             // backwards like the batch min(ts) does
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
-              s.n + 1, s.totalCents + cents(e.value)))
+              s.n + 1, addCents(s.totalCents, cents(e.value))))
           case None =>
-            cur = Some(SessionState(t, t, 1L, cents(e.value)))
+            cur = Some(SessionState(t, t, 1L, addCents(0L, cents(e.value))))
         }
       }
       cur.foreach { s =>

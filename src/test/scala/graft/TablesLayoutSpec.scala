@@ -32,10 +32,13 @@ class TablesLayoutSpec extends SparkSpec {
     */
   private def layoutDir(name: String)(writeEvents: (DataFrame, String) => Unit): String = {
     val dir = Files.createTempDirectory(s"graft-layout-$name").toFile
-    // deleteOnExit alone is a no-op on a non-empty directory — recurse
+    // deleteOnExit alone is a no-op on a non-empty directory — recurse,
+    // but NEVER through a symlink: the table links below point INTO the
+    // shared /root/testdata fixture, and listFiles() follows links
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
+        if (!Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
       rm(dir)
