@@ -1,7 +1,6 @@
 package graft.operators.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** C4-style corpus LINE cleaning (Raffel et al. 2020 §2.2's "we removed
@@ -21,8 +20,8 @@ import org.apache.spark.sql.functions._
   * Documents whose every line drops disappear from the output (the C4
   * empty-doc rule).
   *
-  * Scale shape: explode to line grain; pass 1 is a window keyed
-  * (doc, line) — per-group size bounded by one document's repetitions;
+  * Scale shape: explode to line grain; pass 1 is a MIN-position
+  * aggregate keyed (doc, line) — partial-combines map-side, no sort;
   * pass 2 is a count aggregate on the line (map-side partial combine
   * absorbs boilerplate skew) and a shuffle join back; reassembly is one
   * shuffle on the doc id with an in-row sort. Nothing is ever
@@ -49,10 +48,13 @@ object LineDedup {
       size(nonNull).cast("long").as("n_lines"))
     val lines = raw.select(col(idCol), col("n_lines"),
       posexplode(col(linesCol)).as(Seq("__lpos", "__line")))
-    // pass 1: earliest occurrence per (doc, line)
-    val w = Window.partitionBy(col(idCol), col("__line")).orderBy(col("__lpos"))
-    val firstOcc = lines.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // pass 1: earliest occurrence per (doc, line) — a MIN aggregate, not a
+    // row_number window: the aggregate partial-combines map-side (a doc's
+    // repeated lines collapse before the shuffle) and never sorts, where
+    // the window formulation would sort every line of the hottest doc
+    val firstOcc = lines.groupBy(col(idCol), col("__line"))
+      .agg(min(col("__lpos")).as("__lpos"),
+        first(col("n_lines")).as("n_lines"))
     // pass 2: document frequency (firstOcc is already distinct per doc)
     val dfreq = firstOcc.groupBy(col("__line"))
       .agg(count(lit(1)).as("__df"))
