@@ -38,6 +38,11 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast re-interprets the naive value in the
+        // SESSION timezone — value-preserving only under UTC. Pin it here
+        // (runtime-settable, like nanosAsLong above) so a caller session
+        // that skipped GraftSession doesn't get silently shifted events.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }

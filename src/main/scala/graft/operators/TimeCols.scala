@@ -16,8 +16,24 @@ import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 object TimeCols {
 
   /** Exact microseconds-since-epoch for a TIMESTAMP or TIMESTAMP_NTZ column. */
-  def micros(df: DataFrame, tsCol: String): Column =
+  def micros(df: DataFrame, tsCol: String): Column = {
+    if (df.schema(tsCol).dataType == TimestampNTZType)
+      requireUtc(df.sparkSession)
     microsOf(col(tsCol), df.schema(tsCol).dataType)
+  }
+
+  /** The NTZ→TIMESTAMP cast in [[microsOf]]/[[secondsOf]] re-interprets the
+    * naive value in the session timezone — value-preserving only under UTC.
+    * Operators with a session at hand call this before casting an NTZ
+    * column so a non-UTC session fails loudly instead of silently shifting
+    * event times.
+    */
+  def requireUtc(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC",
+      s"TIMESTAMP_NTZ arithmetic requires spark.sql.session.timeZone=UTC, got $tz")
+  }
 
   def microsOf(c: Column, dt: DataType): Column = dt match {
     case TimestampNTZType => unix_micros(c.cast(TimestampType))

@@ -55,6 +55,11 @@ object FunnelTws {
             idleTtl: Option[java.time.Duration] = None,
             watermarkDelay: String = "10 seconds"): Dataset[FunnelProgress] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // timers are millisecond-granular: a sub-ms TTL would truncate to 0 and
+    // evict every user at the next watermark tick (eviction can land up to
+    // ~1 ms early relative to exact `last event + TTL` for the same reason)
+    idleTtl.foreach(d => require(d.toMillis >= 1,
+      s"idleTtl must be >= 1 millisecond (timer granularity), got $d"))
     graft.operators.Funnel.requireIntegralId(
       events.schema("user_id").dataType, "user_id")
     val spark = events.sparkSession

@@ -60,8 +60,11 @@ private[streaming] object SessionTime {
   private val MaxUnscaled18 =
     java.math.BigInteger.TEN.pow(18).subtract(java.math.BigInteger.ONE)
 
+  // addExact: the batch twin's SUM(DECIMAL(18,2)) promotes to DECIMAL(28,2)
+  // and keeps going where a raw Long sum would wrap at ~9.2e16 cents — an
+  // overflow here must be LOUD, not a silent stream-vs-batch fork
   def addCents(total: Long, c: java.lang.Long): Long =
-    if (c == null) total else total + c.longValue()
+    if (c == null) total else Math.addExact(total, c.longValue())
 
   def centsToDouble(c: Long): Double =
     java.math.BigDecimal.valueOf(c, 2).doubleValue
@@ -102,6 +105,8 @@ object Sessionize {
     // disagree on where nulls sort — exclude them as a defined contract
     // (the streaming path's watermark drops them the same way)
     val tsType = events.schema("ts").dataType
+    if (tsType == org.apache.spark.sql.types.TimestampNTZType)
+      graft.operators.TimeCols.requireUtc(events.sparkSession)
     def secs(c: org.apache.spark.sql.Column) =
       graft.operators.TimeCols.secondsOf(c, tsType)
     val marked = events.filter(col("ts").isNotNull)

@@ -13,7 +13,8 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.size == 100, s"expected 10 queries x 10 neighbors, got ${exact.size}")
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"LSH recall@10 = $recall")
-    assert(recall >= 0.15, s"LSH recall collapsed: $recall")
+    // measured 0.38 @10 on this corpus (round 11); floor within ~0.1
+    assert(recall >= 0.3, s"LSH recall regressed: $recall (measured 0.38)")
   }
 
   test("IVF ANN recall@10 vs brute force is usable and bounded by probe count") {
@@ -25,7 +26,8 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     info(s"IVF recall@10 = $recall")
-    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    // measured 0.82 @10 with trained centroids (round 11)
+    assert(recall >= 0.7, s"IVF recall regressed: $recall (measured 0.82)")
   }
 
   test("NSW graph ANN recall@10 vs brute force beats the bucketed paths' floor") {
@@ -38,7 +40,8 @@ class SimilaritySpec extends SparkSpec {
     assert(nsw.size == 100, s"expected 10 queries x 10 neighbors, got ${nsw.size}")
     val recall = exact.intersect(nsw).size.toDouble / exact.size
     info(s"NSW recall@10 = $recall")
-    assert(recall >= 0.3, s"NSW recall collapsed: $recall")
+    // measured 0.98 @10 with trained hubs (round 11)
+    assert(recall >= 0.9, s"NSW recall regressed: $recall (measured 0.98)")
     // determinism: a second run (fresh plan) reproduces the identical set
     val again = graft.operators.similarity.NswAnn.search(
         vecs, "vec_id", "embedding", _ < 10, 10)
@@ -56,7 +59,8 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.size == 100, s"expected 10 queries x 10 neighbors, got ${pq.size}")
     val recall = exact.intersect(pq).size.toDouble / exact.size
     info(s"PQ recall@10 = $recall")
-    assert(recall >= 0.3, s"PQ recall collapsed: $recall")
+    // measured 0.70 @10 at rerank=50 with trained codewords (round 11)
+    assert(recall >= 0.6, s"PQ recall regressed: $recall (measured 0.70)")
     // determinism across fresh plans
     val again = graft.operators.similarity.PqAnn.search(
         vecs, "vec_id", "embedding", _ < 10, k = 10, rerank = 50)
