@@ -1,0 +1,54 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Shared deterministic micro-batch drive for the streaming oracle gates
+  * (q108 dedup-within-watermark, q110 TWS sessionize, q111 funnel). Each
+  * gate builds a BOUNDED feed (capped keyspace × capped day range), groups
+  * it into ascending micro-batches whose watermark trajectory is a pure
+  * function of the data, pushes them through a real MemoryStream query, and
+  * returns the memory sink for the DuckDB oracle to replay. Extracting the
+  * drive keeps every new streaming gate down to feed derivation + operator
+  * + oracle, with no copy-pasted query lifecycle.
+  */
+object FeedHarness {
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** Collect a bounded feed frame and group it into micro-batches by the
+    * long column `batchCol` (ascending batch order; `batchCol` itself is
+    * not delivered — `row` reads the payload columns). The collect is the
+    * harness boundary, not the data path: callers cap both the keyspace
+    * and the batch range so the feed size is SF-invariant.
+    */
+  def batchesOf[T](feed: DataFrame, batchCol: String)
+                  (row: Row => T): Seq[Seq[T]] =
+    feed.collect() // bounded: capped keyspace x capped day range (harness feed)
+      .groupBy(_.getAs[Long](batchCol)).toSeq.sortBy(_._1)
+      .map(_._2.toIndexedSeq.map(row))
+
+  /** Run `build`'s streaming plan over the batches through a MemoryStream,
+    * one `processAllAvailable` per batch (so the watermark in effect while
+    * batch i processes is exactly the max event time of batches < i minus
+    * the delay), and return the memory-sink table.
+    */
+  def drive[T <: Product : Encoder](spark: SparkSession, name: String,
+                                    batches: Seq[Seq[T]], outputMode: String)
+                                   (build: Dataset[T] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[T]
+    val sinkName = s"${name}_${sinkCounter.incrementAndGet()}"
+    val q = build(stream.toDS()).writeStream.format("memory")
+      .queryName(sinkName).outputMode(outputMode).start()
+    try {
+      batches.foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sinkName)
+  }
+}

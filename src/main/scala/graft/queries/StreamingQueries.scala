@@ -186,38 +186,41 @@ object StreamingQueries {
       |FROM numbered
       |GROUP BY user_id, session_id""".stripMargin
 
-  private val q108Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val FeedDays = 12
+  private val FeedDays = 8
+  private val UserCap = 100L
 
   /** q108: the streaming dedup-within-watermark operator (SURVEY 44b)
     * driven through a REAL MemoryStream query and oracle-gated. The feed
     * is deterministic: one row per (user_id, event_type, day) — each
     * day's earliest (ts, event_id) — added as one micro-batch per
     * calendar day in ascending order, so the watermark in effect while
-    * batch d processes is exactly max(fed ts of days < d) − 3 days.
+    * batch d processes is exactly max(fed ts of days < d) − 1 day.
     * dropDuplicatesWithinWatermark then emits a key's row iff the key's
-    * previously-emitted entry has EXPIRED (its event time + 3 days is
+    * previously-emitted entry has EXPIRED (its event time + 1 day is
     * behind that watermark) — the bounded-state re-admission semantics
     * that distinguish this operator from a global dedup. The DuckDB
     * oracle replays the whole chain per key with a recursive CTE that
     * never saw Spark's state machinery; a boundary-equality audit over
     * the testdata (no expiry lands EXACTLY on a watermark at any shipped
-    * SF) makes the strictness of the comparison immaterial.
+    * SF — re-checked for these parameters) makes the strictness of the
+    * comparison immaterial.
+    *
+    * BOTH feed dimensions are capped so the harness is SF-invariant:
+    * `user_id < UserCap` bounds the keyspace (the driver feed collect
+    * would otherwise grow with SF) and FeedDays bounds the micro-batch
+    * count; the 1-day TTL still re-admits each key every ~3 batches
+    * (~900 emissions over ~480 keys at the capped feed).
     */
   def q108StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val inv = q108Invocation.incrementAndGet()
     // null user_ids out (getLong would silently unbox NULL to 0L and merge
     // the null chain with real user 0's); null values out for the same
     // boxing reason — both align the oracle below
     val evAll = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-        col("value").isNotNull)
+        col("value").isNotNull && col("user_id") < UserCap)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
-    // cap the feed at the first FeedDays calendar days: micro-batch count
-    // (and so harness wall-clock) stays constant across SFs while the
-    // 3-day TTL still turns over ~FeedDays/4 times per key
     val minDay = evAll.agg(min(to_date(col("ts")))).head.getDate(0)
     val ev = evAll.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays))
     // one deterministic feed row per (key, day): earliest (ts, event_id)
@@ -225,30 +228,19 @@ object StreamingQueries {
       ev.withColumn("__day", to_date(col("ts"))),
       Seq("user_id", "event_type", "__day"),
       Seq(col("ts").asc, col("event_id").asc))
-    val fed = daily
-      .select(col("__day"), col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-      .collect() // bounded: one row per key per day (harness feed, not data path)
-      .groupBy(_.getDate(0)).toSeq.sortBy(_._1.getTime)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DedupFeedRow]
-    val out = graft.streaming.StreamingDedup.withinWatermark(stream.toDF(),
-      Seq("user_id", "event_type"), "ts", delay = "3 days")
-    val sinkName = s"q108_dedup_$inv"
-    val q = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      fed.foreach { case (_, rows) =>
-        stream.addData(rows.toIndexedSeq.map(r => DedupFeedRow(r.getLong(1),
-          r.getLong(2), r.getTimestamp(3), r.getString(4), r.getDouble(5))))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    spark.table(sinkName)
-      .select(col("user_id"), col("event_id"),
-        col("ts").cast("timestamp_ntz").as("ts"),
-        col("event_type"), col("value"))
+    val feed = daily.select(
+      datediff(col("__day"), lit(minDay)).cast("long").as("__b"),
+      col("user_id"), col("event_id"), col("ts"), col("event_type"),
+      col("value"))
+    val batches = FeedHarness.batchesOf(feed, "__b")(r => DedupFeedRow(
+      r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getString(4),
+      r.getDouble(5)))
+    FeedHarness.drive(spark, "q108_dedup", batches, "append") { ds =>
+      graft.streaming.StreamingDedup.withinWatermark(ds.toDF(),
+        Seq("user_id", "event_type"), "ts", delay = "1 day")
+    }.select(col("user_id"), col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      col("event_type"), col("value"))
   }
 
   def q108Oracle: String =
@@ -257,11 +249,11 @@ object StreamingQueries {
       |    row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
       |      ORDER BY ts, event_id) AS rn
       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-      |    AND value IS NOT NULL
-      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 12
+      |    AND value IS NOT NULL AND user_id < 100
+      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8
       |                            FROM events
       |                            WHERE ts IS NOT NULL AND user_id IS NOT NULL
-      |                              AND value IS NOT NULL)
+      |                              AND value IS NOT NULL AND user_id < 100)
       |), fed AS (
       |  SELECT user_id, event_type, day, ts, event_id, value FROM daily WHERE rn = 1
       |), dayidx AS (
@@ -270,7 +262,7 @@ object StreamingQueries {
       |), wm AS (
       |  SELECT d.di,
       |    (SELECT max(f.ts) FROM fed f JOIN dayidx x ON f.day = x.day
-      |     WHERE x.di < d.di) - INTERVAL 3 DAY AS wm_ts
+      |     WHERE x.di < d.di) - INTERVAL 1 DAY AS wm_ts
       |  FROM dayidx d
       |), seq AS (
       |  SELECT f.user_id, f.event_type, x.di, f.ts, f.event_id, f.value,
@@ -282,8 +274,8 @@ object StreamingQueries {
       |  FROM seq WHERE k = 1
       |  UNION ALL
       |  SELECT s.user_id, s.event_type, s.di, s.ts, s.event_id, s.value, s.k,
-      |    (c.last_emit + INTERVAL 3 DAY) < w.wm_ts AS emitted,
-      |    CASE WHEN (c.last_emit + INTERVAL 3 DAY) < w.wm_ts
+      |    (c.last_emit + INTERVAL 1 DAY) < w.wm_ts AS emitted,
+      |    CASE WHEN (c.last_emit + INTERVAL 1 DAY) < w.wm_ts
       |         THEN s.ts ELSE c.last_emit END AS last_emit
       |  FROM chain c
       |  JOIN seq s ON s.user_id = c.user_id AND s.event_type = c.event_type
