@@ -186,8 +186,8 @@ object StreamingQueries {
       |FROM numbered
       |GROUP BY user_id, session_id""".stripMargin
 
-  private val FeedDays = 8
-  private val UserCap = 100L
+  private[queries] val FeedDays = 8
+  private[queries] val UserCap = 100L
 
   /** q108: the streaming dedup-within-watermark operator (SURVEY 44b)
     * driven through a REAL MemoryStream query and oracle-gated. The feed
@@ -290,3 +290,101 @@ object StreamingQueries {
 final case class DedupFeedRow(user_id: Long, event_id: Long,
                               ts: java.sql.Timestamp, event_type: String,
                               value: Double)
+
+/** q110: the transformWithState sessionizer ([[graft.streaming.SessionizeTws]],
+  * SURVEY 43b) driven through a REAL micro-batched run on the RocksDB state
+  * store and oracle-gated — the watermark-sealed buffering contract ("an
+  * admitted-late event lands in the session it BELONGS to, not the one that
+  * happened to be open") checked by an engine that never saw the batching.
+  *
+  * The feed delivers each event in micro-batch `day(ts) − minDay +
+  * (event_id % 2)` — half of every day's events arrive one batch LATE, up
+  * to a full day after their event time, exercising the sealed-prefix
+  * re-ordering on every batch. With a 1-day watermark delay every late row
+  * is still admissible by construction (wm during batch b is below the
+  * start of day b−1), so the emitted sessions are EXACTLY the batch
+  * operator's sessions over the prefix sealed by the final watermark —
+  * the oracle needs no knowledge of the delivery schedule at all: it
+  * replays q18's windowed sessionization over the capped feed and keeps
+  * sessions whose `end + gap` lies strictly before the final watermark
+  * (max fed ts, floored to Spark's millisecond watermark granularity,
+  * minus 1 day). Boundary audit at all three shipped SFs: no session's
+  * closing instant lands within 32 s of the watermark, so comparison
+  * strictness and the ms floor cannot flip a row.
+  */
+object SessionizeTwsGate {
+  import StreamingQueries.{FeedDays, UserCap}
+
+  private val GapSeconds = 21600L // 6 h: the capped corpus's median
+  // inter-event gap is ~7 h, so the feed mixes single- and multi-event
+  // sessions instead of degenerating to one-per-event
+
+  def q110SessionizeTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evAll = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("user_id") < UserCap)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val minDay = evAll.agg(min(to_date(col("ts")))).head.getDate(0)
+    val ev = evAll.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays))
+    val feed = ev.select(
+      (datediff(to_date(col("ts")), lit(minDay)) + (col("event_id") % 2))
+        .cast("long").as("__b"),
+      col("user_id"), col("ts"), col("event_type"), col("value"))
+    val batches = FeedHarness.batchesOf(feed, "__b")(r => graft.streaming.Event(
+      r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    // transformWithState requires the RocksDB provider; restore the
+    // caller's setting after the drive so sibling queries keep theirs
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try {
+      FeedHarness.drive(spark, "q110_sessions", batches, "append") { ds =>
+        graft.streaming.SessionizeTws.streaming(ds,
+          gapSeconds = GapSeconds, watermarkDelay = "1 day").toDF()
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+    out.select(col("user_id"),
+      col("session_start").cast("timestamp_ntz").as("session_start"),
+      col("session_end").cast("timestamp_ntz").as("session_end"),
+      col("n_events"), col("total_value"))
+  }
+
+  def q110Oracle: String =
+    """WITH fed AS (
+      |  SELECT user_id, event_id, ts, value
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |    AND user_id < 100
+      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+      |        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |          AND value IS NOT NULL AND user_id < 100)
+      |), wm AS (
+      |  SELECT (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 86400000) * 1000 AS wm_us
+      |  FROM fed
+      |), marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR (epoch(ts) - epoch(lag(ts) OVER w)) > 21600.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM fed
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |), sessions AS (
+      |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM numbered GROUP BY user_id, sid
+      |)
+      |SELECT user_id, session_start, session_end, n_events, total_value
+      |FROM sessions, wm
+      |WHERE epoch_us(session_end) + 21600000000 < wm.wm_us""".stripMargin
+}
