@@ -312,7 +312,7 @@ final case class DedupFeedRow(user_id: Long, event_id: Long,
   * closing instant lands within 32 s of the watermark, so comparison
   * strictness and the ms floor cannot flip a row.
   */
-object SessionizeTwsGate {
+object StatefulGates {
   import StreamingQueries.{FeedDays, UserCap}
 
   private val GapSeconds = 21600L // 6 h: the capped corpus's median
@@ -354,6 +354,85 @@ object SessionizeTwsGate {
       col("session_end").cast("timestamp_ntz").as("session_end"),
       col("n_events"), col("total_value"))
   }
+
+  /** q111: the CONTINUOUS funnel twins ([[graft.streaming.StreamingFunnel]]
+    * on flatMapGroupsWithState and [[graft.streaming.FunnelTws]] on
+    * transformWithState/RocksDB, SURVEY 44f/44g) driven through a real
+    * micro-batched run and oracle-gated — one deterministic feed drives
+    * BOTH state backends, the gate requires them identical, and DuckDB
+    * replays the emissions from the min-chain definition alone.
+    *
+    * The feed delivers the capped corpus one calendar day per micro-batch
+    * in event-time order. Under in-order day-partitioned delivery the
+    * monotone state machine provably equals the batch min-chain truncated
+    * to each day-prefix (a stage event qualifying against chain time T
+    * has ts > T, hence day ≥ day(T), hence is visible in T's batch or a
+    * later one), so the Update-mode emission set is closed-form: for each
+    * user, one row per distinct stage-attainment DAY carrying the highest
+    * stage attained by that day. That is what the oracle computes — three
+    * dependent min-aggregates and a (user, day) group-by, no state
+    * machinery.
+    */
+  def q111StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evAll = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("user_id") < UserCap)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val minDay = evAll.agg(min(to_date(col("ts")))).head.getDate(0)
+    val ev = evAll.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays))
+    val feed = ev.select(
+      datediff(to_date(col("ts")), lit(minDay)).cast("long").as("__b"),
+      col("user_id"), col("ts"), col("event_type"), col("value"))
+    val batches = FeedHarness.batchesOf(feed, "__b")(r => graft.streaming.Event(
+      r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    val stages = Seq("view", "click", "purchase")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (tws, legacy) = try {
+      (FeedHarness.drive(spark, "q111_funnel_tws", batches, "update") { ds =>
+        graft.streaming.FunnelTws.track(ds.toDF(), stages).toDF()
+      },
+      FeedHarness.drive(spark, "q111_funnel_fmgws", batches, "update") { ds =>
+        graft.streaming.StreamingFunnel.track(ds.toDF(), stages).toDF()
+      })
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+    // the two state backends must agree row-for-row before the oracle
+    // sees either (bounded collect: ≤ |stages| rows per capped user)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val (a, b) = (rows(tws), rows(legacy))
+    require(a == b, s"funnel backends diverged: TWS ${a.size} rows vs fMGWS ${b.size}")
+    tws.select(col("user_id"), col("reach"))
+  }
+
+  def q111FunnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
+      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+      |        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100)
+      |), s1 AS (
+      |  SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+      |), stages AS (
+      |  SELECT user_id, 1 AS stage, CAST(t AS DATE) AS d FROM s1
+      |  UNION ALL SELECT user_id, 2, CAST(t AS DATE) FROM s2
+      |  UNION ALL SELECT user_id, 3, CAST(t AS DATE) FROM s3
+      |)
+      |SELECT user_id, CAST(MAX(stage) AS INTEGER) AS reach
+      |FROM stages GROUP BY user_id, d""".stripMargin
 
   def q110Oracle: String =
     """WITH fed AS (
