@@ -45,10 +45,12 @@ object PipelineQueries {
   private val Date = "2024-03-15"
 
   /** Crawler-shaped snapshot record derived from `p_partkey`; `late` is the
-    * dedup winner. Shared by q68 (tiki_dag) and q103 (analytics_dag), which
-    * differ only in how the category path/url derive from the key.
+    * dedup winner. Shared by q68 (tiki_dag), q103 (analytics_dag) and q112
+    * (backfill), which differ only in how the category path/url derive from
+    * the key and which execution date the snapshots carry.
     */
-  private def snapRecord(late: Boolean, path: Column, catUrl: Column): Column = {
+  private def snapRecord(late: Boolean, path: Column, catUrl: Column,
+                         date: String = Date): Column = {
     val pk = col("p_partkey")
     def s(c: Column): Column = c.cast("string")
     val price =
@@ -70,7 +72,7 @@ object PipelineQueries {
     val badges = when(pk % 2 === 0, array(lit("tiki_now"), lit("freeship")))
       .otherwise(array(lit("freeship")))
     val extractedAt =
-      lit(if (late) s"${Date}T16:30:00.000Z" else s"${Date}T08:00:00.000Z")
+      lit(if (late) s"${date}T16:30:00.000Z" else s"${date}T08:00:00.000Z")
     struct(
       s(pk).as("product_id"),
       concat(lit("SKU-"), s(pk), lit(if (late) "-1" else "-0")).as("sku"),
@@ -92,16 +94,21 @@ object PipelineQueries {
       extractedAt.as("_extracted_at"))
   }
 
-  /** Write two JSON snapshots per product under `snapshot_date=<Date>/`. */
+  /** Write two JSON snapshots per product under `snapshot_date=<date>/`;
+    * `partFilter` lets multi-day callers (q112) stratify the product set so
+    * N daily raw zones cost what one full day does.
+    */
   private def writeRawSnapshots(spark: SparkSession, dir: String, base: String,
-                                path: Column, catUrl: Column): Unit =
-    Tables.part(spark, dir).select(col("p_partkey"))
+                                path: Column, catUrl: Column,
+                                date: String = Date,
+                                partFilter: Column = lit(true)): Unit =
+    Tables.part(spark, dir).filter(partFilter).select(col("p_partkey"))
       .select(explode(array(
-        snapRecord(late = false, path, catUrl),
-        snapRecord(late = true, path, catUrl))).as("r"))
+        snapRecord(late = false, path, catUrl, date),
+        snapRecord(late = true, path, catUrl, date))).as("r"))
       .select("r.*")
       .coalesce(4)
-      .write.mode("overwrite").json(s"$base/raw/snapshot_date=$Date")
+      .write.mode("overwrite").json(s"$base/raw/snapshot_date=$date")
 
   /** q68: tiki_dag end-to-end (ref dags/tiki_dag.py task chain:
     * transform_tiki.py:411 transform_data → load_to_bq.py:143 fact
@@ -587,4 +594,137 @@ object PipelineQueries {
       |          ORDER BY event_id % 5 DESC, ts DESC, event_id DESC) AS rn
       |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t
       |WHERE rn = 1""".stripMargin
+
+  private val q112Invocation = new AtomicInteger(0)
+
+  /** q112: the BACKFILL DRIVER ([[graft.pipelines.Backfill]], SURVEY 63 —
+    * the reference's Airflow catchup / retry / depends_on_past contract,
+    * tiki_dag.py:18-33) driven through a failure-and-resume scenario and
+    * oracle-gated — the last composed surface without a cross-engine check.
+    *
+    * Three execution dates run through all four DAGs (tiki → trends → fx →
+    * analytics) over q103-style leaf-keyed raw snapshots (1/3 product
+    * stratum so three daily raw zones cost one q103 day). Run 1's middle
+    * date points at a MISSING trends CSV: the trends task exhausts its
+    * retries and fails, analytics for that date is skipped as
+    * UpstreamFailed, and — `depends_on_past=False` — the LAST date still
+    * completes. Run 2 re-invokes the same range with the corrected source:
+    * success markers skip the ten completed tasks, the two missing ones
+    * execute, and the converged warehouse must equal a clean single pass —
+    * which is exactly what the DuckDB oracle computes (the q103 replay
+    * generalized over per-day fx rates and trend scores, never having seen
+    * the failure, the retries, or the resume). Day 17's fx fetch also
+    * "fails" (rate=None) so the fallback-rate arm is part of the gated
+    * surface.
+    */
+  def q112Backfill(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q112Invocation.incrementAndGet()
+    val base = s"$scratch/q112_$inv"
+    val wh = s"$base/wh"
+    new java.io.File(base).mkdirs()
+
+    val pk = col("p_partkey")
+    def s(c: Column): Column = c.cast("string")
+    val leaf = pk % 40 + 10
+    // q103's leaf-keyed derivation: dim rows are pure functions of the
+    // category, so the oracle needs no dedup-tiebreak replay
+    val path = when(leaf % 3 === 0, s(leaf))
+      .when(leaf % 3 === 1, concat(s(leaf % 7), lit(" > "), s(leaf)))
+      .otherwise(concat(s(leaf % 7), lit(" > "), s(leaf % 11 + 100),
+        lit(" > "), s(leaf)))
+    val catUrl = concat(lit("https://tiki.vn/slug-"), s(leaf), lit("/c"), s(leaf))
+    val days = Seq(15, 16, 17)
+    def dateOf(d: Int) = f"2024-03-$d%02d"
+    days.foreach(d => writeRawSnapshots(spark, dir, base, path, catUrl,
+      dateOf(d), partFilter = pk % 3 === 0))
+
+    // one wide CSV drop per date (trends_dag's pytrends fetch shape);
+    // leaf % 5 == 2 keywords never appear -> the 'No Trend Data' arm
+    val leaves = (10 until 50).filterNot(_ % 5 == 2)
+    def score(d: Int, l: Int): Int = (d * 7 + l * 13) % 100
+    def cell(v: Int): String = if (v == 0) "<1" else v.toString
+    days.foreach { d =>
+      val header = ("date" +: leaves.map(l => s"kw-$l") :+ "isPartial").mkString(",")
+      val row = (dateOf(d) +: leaves.map(l => cell(score(d, l)))
+        :+ "False").mkString(",")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/trends_$d.csv"), s"$header\n$row")
+    }
+
+    val cats = spark.range(10, 50).select(col("id").as("cat"))
+    val keywordMap = cats.select(
+      col("cat").as("tiki_category_id"),
+      concat(lit("kw-"), col("cat").cast("string")).as("trend_keyword"),
+      (col("cat") % 4 =!= 1).as("is_active"))
+
+    def sources(broken: Boolean): String => graft.pipelines.Backfill.DaySources =
+      date => {
+        val d = date.takeRight(2).toInt
+        graft.pipelines.Backfill.DaySources(
+          trendsCsv = Some(
+            if (broken && d == 16) s"$base/missing.csv" else s"$base/trends_$d.csv"),
+          fxRate = if (d == 17) None else Some(25000.0 + d * 10 + 0.5))
+      }
+    val range = graft.pipelines.Backfill.dateRange(dateOf(days.head), dateOf(days.last))
+    val cfg = graft.pipelines.Backfill.Config(s"$base/raw", wh, keywordMap,
+      sources(broken = true))
+
+    val r1 = graft.pipelines.Backfill.run(spark, cfg, range)
+    val failed = r1.failures.map(t => (t.date, t.task)).toSet
+    require(failed == Set((dateOf(16), "trends"), (dateOf(16), "analytics")),
+      s"unexpected run-1 failure surface: $failed")
+
+    // resume: corrected source; markers skip the ten completed tasks
+    val r2 = graft.pipelines.Backfill.run(spark,
+      cfg.copy(sources = sources(broken = false)), range)
+    require(r2.ok, s"resume left failures: ${r2.failures}")
+    val skipped = r2.runs.count(_.status == graft.pipelines.Backfill.AlreadyComplete)
+    require(skipped == 10, s"expected 10 marker-skipped tasks on resume, got $skipped")
+
+    CleanZone.read(spark, s"$wh/analytics_product_market_daily")
+      .select(col("date"), col("product_id"), col("product_name"),
+        col("category_name"), col("price_vnd_real"), col("price_vnd_list"),
+        col("discount_percentage"), col("price_usd_real"), col("fx_rate"),
+        col("trend_keyword"), col("google_trend_score"),
+        col("trend_signal_status"))
+  }
+
+  /** The q103 replay generalized over the three execution dates: per-day
+    * fx rate (fallback on day 17), per-day trend scores, same parse
+    * arithmetic and exact integer half-up USD division.
+    */
+  def q112Oracle: String =
+    """WITH days AS (
+      |  SELECT d, CASE WHEN d = 17 THEN 2540000
+      |                 ELSE 2500050 + d * 1000 END AS r100
+      |  FROM (VALUES (15), (16), (17)) t(d)
+      |), enr AS (
+      |  SELECT p_partkey AS pk, (p_partkey % 40 + 10) AS leaf,
+      |    (p_partkey % 800 + 150) * 1000 AS current_price,
+      |    (p_partkey % 700 + 250) * 1000 AS original_price,
+      |    p_partkey % 80 AS discount_rate
+      |  FROM part WHERE p_partkey % 97 <> 0 AND p_partkey % 3 = 0
+      |), arms AS (
+      |  SELECT dd.d, dd.r100, pk, leaf, current_price, original_price, discount_rate,
+      |    CASE WHEN leaf % 4 <> 1 THEN 'kw-' || CAST(leaf AS VARCHAR) END AS trend_keyword,
+      |    CASE WHEN leaf % 4 <> 1 AND leaf % 5 <> 2
+      |         THEN (dd.d * 7 + leaf * 13) % 100 END AS score
+      |  FROM enr, days dd
+      |)
+      |SELECT make_date(2024, 3, d) AS date,
+      |  CAST(pk AS VARCHAR) AS product_id,
+      |  'Product ' || CAST(pk AS VARCHAR) AS product_name,
+      |  'slug-' || CAST(leaf AS VARCHAR) AS category_name,
+      |  CAST(current_price AS DOUBLE) AS price_vnd_real,
+      |  CAST(original_price AS DOUBLE) AS price_vnd_list,
+      |  CAST(discount_rate AS DOUBLE) AS discount_percentage,
+      |  ((2 * 100 * (current_price * 100) + r100)
+      |    // (2 * r100)) / 100.0 AS price_usd_real,
+      |  CAST(r100 AS DOUBLE) / 100.0 AS fx_rate,
+      |  trend_keyword,
+      |  CAST(score AS BIGINT) AS google_trend_score,
+      |  CASE WHEN trend_keyword IS NULL THEN 'Unmapped'
+      |       WHEN score IS NULL THEN 'No Trend Data'
+      |       ELSE 'Full Data' END AS trend_signal_status
+      |FROM arms""".stripMargin
 }
