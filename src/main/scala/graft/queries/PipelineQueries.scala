@@ -102,22 +102,32 @@ object PipelineQueries {
                                 path: Column, catUrl: Column,
                                 date: String = Date,
                                 partFilter: Column = lit(true)): Unit =
-    Tables.part(spark, dir).filter(partFilter).select(col("p_partkey"))
-      .select(explode(array(
+    writeRawSnapshotsFrom(
+      Tables.part(spark, dir).filter(partFilter).select(col("p_partkey")),
+      base, path, catUrl, date)
+
+  /** Key-frame variant: `src` must carry `p_partkey` (BaselineProbe feeds a
+    * replicated key set here to scale the transform-throughput comparison).
+    */
+  private[graft] def writeRawSnapshotsFrom(src: DataFrame, base: String,
+                                           path: Column, catUrl: Column,
+                                           date: String = Date): Unit =
+    src.select(explode(array(
         snapRecord(late = false, path, catUrl, date),
         snapRecord(late = true, path, catUrl, date))).as("r"))
       .select("r.*")
       .coalesce(4)
       .write.mode("overwrite").json(s"$base/raw/snapshot_date=$date")
 
-  /** q68: tiki_dag end-to-end (ref dags/tiki_dag.py task chain:
-    * transform_tiki.py:411 transform_data → load_to_bq.py:143 fact
-    * WRITE_TRUNCATE → :273 dim MERGE → analytics_dag.py:172 ASSERT gate).
+  /** q68's raw-snapshot derivation, shared with [[graft.BaselineProbe]] so
+    * the reference-pandas baseline (tools/baseline_bench.py) and the Spark
+    * transform probe time EXACTLY the same records. `mult` replicates the
+    * key set with non-colliding offsets (pk + i·10⁹) to scale the
+    * throughput comparison past single-process fixed costs; the python
+    * generator mirrors the identical offset arithmetic.
     */
-  def q68TikiPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val inv = q68Invocation.incrementAndGet()
-    val base = s"$scratch/q68_$inv"
-
+  private[graft] def writeQ68Raw(spark: SparkSession, dir: String,
+                                 base: String, mult: Int = 1): Unit = {
     val pk = col("p_partkey")
     def s(c: Column): Column = c.cast("string")
     val path = when(pk % 3 === 0, s(pk % 25))
@@ -126,7 +136,26 @@ object PipelineQueries {
         lit(" > "), s(pk % 7 + 7)))
     val catUrl = concat(lit("https://tiki.vn/slug-"), s(pk % 25),
       lit("/c"), s(pk % 25))
-    writeRawSnapshots(spark, dir, base, path, catUrl)
+    writeRawSnapshotsFrom(replicateKeys(spark, dir, mult), base, path, catUrl)
+  }
+
+  private def replicateKeys(spark: SparkSession, dir: String,
+                            mult: Int): DataFrame = {
+    val base = Tables.part(spark, dir).select(col("p_partkey"))
+    if (mult == 1) base
+    else base.crossJoin(
+        broadcast(spark.range(mult).select(col("id").as("__i"))))
+      .select((col("p_partkey") + col("__i") * 1000000000L).as("p_partkey"))
+  }
+
+  /** q68: tiki_dag end-to-end (ref dags/tiki_dag.py task chain:
+    * transform_tiki.py:411 transform_data → load_to_bq.py:143 fact
+    * WRITE_TRUNCATE → :273 dim MERGE → analytics_dag.py:172 ASSERT gate).
+    */
+  def q68TikiPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q68Invocation.incrementAndGet()
+    val base = s"$scratch/q68_$inv"
+    writeQ68Raw(spark, dir, base)
 
     TikiDailyPipeline.run(spark, s"$base/raw", s"$base/wh", Date)
 
