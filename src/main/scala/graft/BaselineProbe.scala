@@ -1,26 +1,32 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
 /** Dev tool: apples-to-apples timing of the TRANSFORM stage against the
-  * reference's pandas `transform_data` (`BaselineProbe <sfDir>`, consumed
-  * by tools/baseline_bench.py → BASELINE_MEASURED.json).
+  * reference's pandas `transform_data` (`BaselineProbe <sfDir> [mult]`,
+  * consumed by tools/baseline_bench.py → BASELINE_MEASURED.json).
   *
   * The reference function is in-memory pandas: it receives an
   * already-parsed DataFrame and returns fact/dim frames without touching
   * storage. The equivalent scope here is: raw JSON pre-read and CACHED
-  * (load_raw_data is not timed on the reference side either), then
-  * rename → parse/clean → dedup-latest → null gate → star split, with all
+  * (load_raw_data is not timed on the reference side either), then the
+  * SHIPPED transform chain — [[graft.pipelines.TikiDailyPipeline.dedupedOf]]
+  * → [[graft.pipelines.TikiDailyPipeline.splitOf]], the same functions
+  * `run` composes, so the probe cannot drift from the pipeline — with all
   * three outputs materialized through the noop sink (full evaluation, no
-  * storage cost billed). Same records as q68 — generated by the shared
-  * writeQ68Raw derivation — so the two engines chew identical bytes.
-  * Best-of-3, matching the repo bench protocol.
+  * storage cost billed). The dedup result is cached exactly as the real
+  * pipeline caches it, so the split's three consumers don't re-run the
+  * parse lineage (pandas likewise computes the chain once). Same records
+  * as q68 via the shared writeQ68Raw generator; `mult` replicates the key
+  * set (pk + i·10⁹, mirrored by the python generator) to scale the
+  * comparison past single-process fixed costs. Best-of-3, matching the
+  * repo bench protocol.
   */
 object BaselineProbe {
   def main(args: Array[String]): Unit = {
     val (sfDir, mult) = args match {
       case Array(d)    => (d, 1)
-      case Array(d, m) => (d, m.toInt)
+      case Array(d, m) => (d, scala.util.Try(m.toInt).getOrElse(
+        sys.error(s"usage: BaselineProbe <sfDir> [mult]; mult must be an integer, got '$m'")))
+      case _ => sys.error("usage: BaselineProbe <sfDir> [mult]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
@@ -35,28 +41,12 @@ object BaselineProbe {
     val nRaw = raw.count() // materialize the input outside the timed window
 
     def once(): Unit = {
-      val cleaned = graft.pipelines.TikiDailyPipeline.clean(raw)
-      val deduped = graft.operators.QualityChecks.dropNullKeys(
-        graft.operators.Dedup.latestByKey(cleaned, Seq("product_id"),
-          Seq(col("extracted_at").desc, col("sku").desc,
-            col("current_price").desc_nulls_last,
-            col("review_count").desc_nulls_last,
-            col("sales_volume_acc").desc_nulls_last)),
-        Seq("product_id", "current_price"))
-      val split = graft.operators.StarSchema.split(deduped,
-        factCols = Seq("snapshot_date", "product_id", "current_price",
-          "original_price", "discount_rate", "sales_volume_acc",
-          "review_count", "rating_average", "inventory_status", "tiki_now",
-          "extracted_at"),
-        dimKey = "product_id",
-        dimCols = Seq("sku", "name", "brand_name", "image_url", "product_url",
-          "seller_id", "seller_name", "category_id", "root_category_id",
-          "category_depth"),
-        catKey = "category_id",
-        catCols = Seq("category_name", "root_category_id", "category_depth"),
-        updatedAtCol = "extracted_at")
-      Seq(split.fact, split.dimProducts, split.dimCategories)
-        .foreach(_.write.format("noop").mode("overwrite").save())
+      val deduped = graft.pipelines.TikiDailyPipeline.dedupedOf(raw).cache()
+      try {
+        val split = graft.pipelines.TikiDailyPipeline.splitOf(deduped)
+        Seq(split.fact, split.dimProducts, split.dimCategories)
+          .foreach(_.write.format("noop").mode("overwrite").save())
+      } finally deduped.unpersist()
     }
 
     val times = (1 to 3).map { _ =>

@@ -39,10 +39,12 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
         // the NTZ→TIMESTAMP cast re-interprets the naive value in the
-        // SESSION timezone — value-preserving only under UTC. Pin it here
-        // (runtime-settable, like nanosAsLong above) so a caller session
-        // that skipped GraftSession doesn't get silently shifted events.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        // SESSION timezone — value-preserving only under UTC. Fail loudly
+        // rather than silently shifting event times (and rather than
+        // mutating the caller's session out from under them); GraftSession
+        // and SparkEntry.entry both pin UTC, so every shipped entry point
+        // satisfies this.
+        graft.operators.TimeCols.requireUtc(spark)
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }

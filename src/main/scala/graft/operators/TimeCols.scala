@@ -31,7 +31,10 @@ object TimeCols {
   def requireUtc(spark: org.apache.spark.sql.SparkSession): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
-    require(tz == "UTC",
+    // accept every zero-offset spelling (UTC, Etc/UTC, GMT, +00:00, Z):
+    // all are value-preserving; rejecting them would fail correct configs
+    val normalized = scala.util.Try(java.time.ZoneId.of(tz).normalized())
+    require(normalized.toOption.contains(java.time.ZoneOffset.UTC),
       s"TIMESTAMP_NTZ arithmetic requires spark.sql.session.timeZone=UTC, got $tz")
   }
 

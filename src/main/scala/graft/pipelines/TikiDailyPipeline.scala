@@ -74,6 +74,44 @@ object TikiDailyPipeline {
       .withColumn("extracted_at", to_timestamp(col("extracted_at")))
   }
 
+  /** transform_tiki.py:582's dedup winner ordering: value tiebreaks beyond
+    * (extracted_at, sku) make the winner deterministic under crawler
+    * re-deliveries sharing both.
+    */
+  private[graft] val DedupOrder = Seq(
+    col("extracted_at").desc, col("sku").desc,
+    col("current_price").desc_nulls_last,
+    col("review_count").desc_nulls_last,
+    col("sales_volume_acc").desc_nulls_last)
+
+  /** clean → dedup-latest → null gate (the pre-split transform). Callers
+    * cache the result before fanning out into the star split's three
+    * consumers — an uncached plan could pick different duplicate winners
+    * per action.
+    */
+  private[graft] def dedupedOf(raw: DataFrame): DataFrame =
+    QualityChecks.dropNullKeys(
+      Dedup.latestByKey(clean(raw), Seq("product_id"), DedupOrder),
+      Seq("product_id", "current_price"))
+
+  /** The star split with the reference's column partitioning
+    * (transform_tiki.py:601-775) — shared by [[run]] and
+    * [[graft.BaselineProbe]] so the timed transform chain cannot drift
+    * from the shipped one.
+    */
+  private[graft] def splitOf(deduped: DataFrame): StarSchema.Split =
+    StarSchema.split(deduped,
+      factCols = Seq("snapshot_date", "product_id", "current_price",
+        "original_price", "discount_rate", "sales_volume_acc", "review_count",
+        "rating_average", "inventory_status", "tiki_now", "extracted_at"),
+      dimKey = "product_id",
+      dimCols = Seq("sku", "name", "brand_name", "image_url", "product_url",
+        "seller_id", "seller_name", "category_id", "root_category_id",
+        "category_depth"),
+      catKey = "category_id",
+      catCols = Seq("category_name", "root_category_id", "category_depth"),
+      updatedAtCol = "extracted_at")
+
   def run(spark: SparkSession, rawZonePath: String, warehousePath: String,
           date: String): Result = {
     // Pre-load guard (load_to_bq.py:102, called before every load): an
@@ -89,34 +127,10 @@ object TikiDailyPipeline {
         rawAll.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
       else rawAll
 
-    val cleaned = clean(raw)
-
-    // dedup keep-most-recent per product (transform_tiki.py:582), then
-    // critical-field gate (:595). The ordering carries value tiebreaks
-    // beyond (extracted_at, sku) — crawler re-deliveries can share both —
-    // so the winner is deterministic, and the result is CACHED: the fact
-    // write, both dim merges, the count and the quality report all consume
-    // it, and an uncached plan could pick different duplicate winners per
-    // action (an internally inconsistent star schema in one run).
-    val deduped = QualityChecks.dropNullKeys(
-      Dedup.latestByKey(cleaned, Seq("product_id"),
-        Seq(col("extracted_at").desc, col("sku").desc,
-          col("current_price").desc_nulls_last,
-          col("review_count").desc_nulls_last,
-          col("sales_volume_acc").desc_nulls_last)),
-      Seq("product_id", "current_price")).cache()
-
-    val split = StarSchema.split(deduped,
-      factCols = Seq("snapshot_date", "product_id", "current_price",
-        "original_price", "discount_rate", "sales_volume_acc", "review_count",
-        "rating_average", "inventory_status", "tiki_now", "extracted_at"),
-      dimKey = "product_id",
-      dimCols = Seq("sku", "name", "brand_name", "image_url", "product_url",
-        "seller_id", "seller_name", "category_id", "root_category_id",
-        "category_depth"),
-      catKey = "category_id",
-      catCols = Seq("category_name", "root_category_id", "category_depth"),
-      updatedAtCol = "extracted_at")
+    // CACHED: the fact write, both dim merges, the count and the quality
+    // report all consume the dedup result (see dedupedOf's contract)
+    val deduped = dedupedOf(raw).cache()
+    val split = splitOf(deduped)
 
     // idempotent daily fact write (load_to_bq.py WRITE_TRUNCATE per
     // partition); dims MERGE into the running tables (load_to_bq.py:273)

@@ -35,6 +35,21 @@ object FeedHarness {
     * batch i processes is exactly the max event time of batches < i minus
     * the delay), and return the memory-sink table.
     */
+  /** Run `body` with the RocksDB state store provider active (required by
+    * transformWithState), restoring the caller's provider setting after —
+    * shared by the TWS gates so the save/set/restore lifecycle exists once.
+    */
+  def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def drive[T <: Product : Encoder](spark: SparkSession, name: String,
                                     batches: Seq[Seq[T]], outputMode: String)
                                    (build: Dataset[T] => DataFrame): DataFrame = {

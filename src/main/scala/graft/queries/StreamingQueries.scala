@@ -189,6 +189,28 @@ object StreamingQueries {
   private[queries] val FeedDays = 8
   private[queries] val UserCap = 100L
 
+  /** The capped feed every streaming gate (q108/q110/q111) derives from:
+    * ts/user null filters, the `user_id < UserCap` keyspace bound (the
+    * feed collect stays SF-invariant) and the first-`FeedDays` day window.
+    * `withValue` additionally drops null values — q108/q110 carry `value`
+    * into typed rows where a NULL would silently unbox to 0.0 — and must
+    * match the oracle's filter set exactly. Returns (feed, minDay).
+    * NOTE: the 100/8 literals are necessarily repeated inside each gate's
+    * DuckDB oracle string; change them HERE and in all three oracles
+    * together.
+    */
+  private[queries] def cappedFeed(spark: SparkSession, dir: String,
+                                  withValue: Boolean): (DataFrame, java.sql.Date) = {
+    val base = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("user_id") < UserCap)
+    val filtered = if (withValue) base.filter(col("value").isNotNull) else base
+    val sel = filtered.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"), col("value"))
+    val minDay = sel.agg(min(to_date(col("ts")))).head.getDate(0)
+    (sel.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays)), minDay)
+  }
+
   /** q108: the streaming dedup-within-watermark operator (SURVEY 44b)
     * driven through a REAL MemoryStream query and oracle-gated. The feed
     * is deterministic: one row per (user_id, event_type, day) — each
@@ -213,16 +235,10 @@ object StreamingQueries {
     */
   def q108StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // null user_ids out (getLong would silently unbox NULL to 0L and merge
-    // the null chain with real user 0's); null values out for the same
-    // boxing reason — both align the oracle below
-    val evAll = Tables.events(spark, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-        col("value").isNotNull && col("user_id") < UserCap)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-    val minDay = evAll.agg(min(to_date(col("ts")))).head.getDate(0)
-    val ev = evAll.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays))
+    // null user_ids/values out (getLong/getDouble would silently unbox
+    // NULL to 0 and merge the null chain with real user 0's) — the oracle
+    // below filters identically
+    val (ev, minDay) = cappedFeed(spark, dir, withValue = true)
     // one deterministic feed row per (key, day): earliest (ts, event_id)
     val daily = graft.operators.Dedup.latestByKey(
       ev.withColumn("__day", to_date(col("ts"))),
@@ -321,33 +337,18 @@ object StatefulGates {
 
   def q110SessionizeTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val evAll = Tables.events(spark, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-        col("value").isNotNull && col("user_id") < UserCap)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-    val minDay = evAll.agg(min(to_date(col("ts")))).head.getDate(0)
-    val ev = evAll.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays))
+    val (ev, minDay) = StreamingQueries.cappedFeed(spark, dir, withValue = true)
     val feed = ev.select(
       (datediff(to_date(col("ts")), lit(minDay)) + (col("event_id") % 2))
         .cast("long").as("__b"),
       col("user_id"), col("ts"), col("event_type"), col("value"))
     val batches = FeedHarness.batchesOf(feed, "__b")(r => graft.streaming.Event(
       r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
-    // transformWithState requires the RocksDB provider; restore the
-    // caller's setting after the drive so sibling queries keep theirs
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val out = try {
+    val out = FeedHarness.withRocksDb(spark) {
       FeedHarness.drive(spark, "q110_sessions", batches, "append") { ds =>
         graft.streaming.SessionizeTws.streaming(ds,
           gapSeconds = GapSeconds, watermarkDelay = "1 day").toDF()
       }
-    } finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None    => spark.conf.unset(providerKey)
     }
     out.select(col("user_id"),
       col("session_start").cast("timestamp_ntz").as("session_start"),
@@ -375,33 +376,23 @@ object StatefulGates {
     */
   def q111StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val evAll = Tables.events(spark, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-        col("user_id") < UserCap)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-    val minDay = evAll.agg(min(to_date(col("ts")))).head.getDate(0)
-    val ev = evAll.filter(to_date(col("ts")) < date_add(lit(minDay), FeedDays))
+    val (ev, minDay) = StreamingQueries.cappedFeed(spark, dir, withValue = false)
     val feed = ev.select(
       datediff(to_date(col("ts")), lit(minDay)).cast("long").as("__b"),
       col("user_id"), col("ts"), col("event_type"), col("value"))
+    // value is unused by the funnel, so a null (not filtered here — the
+    // oracle has no value filter either) feeds as 0.0 instead of NPE-ing
     val batches = FeedHarness.batchesOf(feed, "__b")(r => graft.streaming.Event(
-      r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      r.getLong(1), r.getTimestamp(2), r.getString(3),
+      if (r.isNullAt(4)) 0.0 else r.getDouble(4)))
     val stages = Seq("view", "click", "purchase")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val (tws, legacy) = try {
+    val (tws, legacy) = FeedHarness.withRocksDb(spark) {
       (FeedHarness.drive(spark, "q111_funnel_tws", batches, "update") { ds =>
         graft.streaming.FunnelTws.track(ds.toDF(), stages).toDF()
       },
       FeedHarness.drive(spark, "q111_funnel_fmgws", batches, "update") { ds =>
         graft.streaming.StreamingFunnel.track(ds.toDF(), stages).toDF()
       })
-    } finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None    => spark.conf.unset(providerKey)
     }
     // the two state backends must agree row-for-row before the oracle
     // sees either (bounded collect: ≤ |stages| rows per capped user)

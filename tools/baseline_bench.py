@@ -139,7 +139,10 @@ for mult in (1, 10):
         if m:
             graft_tiki[mult] = json.loads(m.group(0))
     if mult not in graft_tiki:
-        graft_tiki[mult] = {"error": (out.stdout or "")[-500:] + (out.stderr or "")[-500:]}
+        # abort loudly: writing NaN ratios / an error tail would produce an
+        # invalid-or-misleading BASELINE_MEASURED.json downstream tools trust
+        sys.exit("BaselineProbe run failed (mult=%d):\n%s\n%s" % (
+            mult, (out.stdout or "")[-1000:], (out.stderr or "")[-1000:]))
 
 # ---- trends transform input: the q104 run-1 CSV shape --------------------
 keywords = [f"kw{k}" for k in range(12)]
@@ -189,11 +192,9 @@ result = {
                        "q104_trends_dag", "q105_fx_rate_dag"]},
     "summary": {
         "transform_ratio_graft_over_ref_1x":
-            round(graft_tiki.get(1, {}).get("transform_sec", float("nan"))
-                  / tiki[1]["transform_s"], 2),
+            round(graft_tiki[1]["transform_sec"] / tiki[1]["transform_s"], 2),
         "transform_ratio_graft_over_ref_10x":
-            round(graft_tiki.get(10, {}).get("transform_sec", float("nan"))
-                  / tiki[10]["transform_s"], 2),
+            round(graft_tiki[10]["transform_sec"] / tiki[10]["transform_s"], 2),
         "note": "pandas is linear in rows (10x rows -> ~10x time); the "
                 "Spark path is near-flat over this range (fixed job costs "
                 "amortize), so the single-node crossover sits around ~10^5 "
