@@ -283,6 +283,17 @@ object BinaryPipeline {
       Some("image/gif")
     else if (riffType("AVI ")) Some("video/avi")
     else if (riffType("WAVE")) Some("audio/wav")
+    // lossy containers: no pure-JVM codec, but sniffing them lets an
+    // SPI-registered BlobDecoder upgrade their rows (and keeps the stub
+    // tag honest about WHAT is being stubbed)
+    else if (blob.length >= 12 && new String(blob, 4, 4, "US-ASCII") == "ftyp")
+      Some("video/mp4")
+    else if (blob.length >= 4 && at(0) == 0x1a && at(1) == 0x45 &&
+      at(2) == 0xdf && at(3) == 0xa3) Some("video/webm")
+    else if (blob.length >= 4 && at(0) == 'O' && at(1) == 'g' &&
+      at(2) == 'g' && at(3) == 'S') Some("audio/ogg")
+    else if (blob.length >= 3 && at(0) == 'I' && at(1) == 'D' && at(2) == '3')
+      Some("audio/mp3")
     else None
   }
 
@@ -302,8 +313,14 @@ object BinaryPipeline {
     */
   private def decodeOne(docId: Long, blob: Array[Byte], nChars: Long): MediaFeatures =
     sniff(blob).flatMap { fmt =>
-      // a decoder throwing on a magic-matching-but-malformed payload is
-      // the stub case, not a task failure
+      // an SPI-registered decoder for this container wins (the upgrade
+      // path for lossy codecs the bare JVM lacks); a decoder throwing on
+      // a magic-matching-but-malformed payload is the stub case, not a
+      // task failure
+      BlobDecoders.byFormat.get(fmt)
+        .flatMap(d => try d.features(docId, blob, nChars)
+                      catch { case scala.util.control.NonFatal(_) => None })
+        .orElse(
       (try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
        catch { case scala.util.control.NonFatal(_) => None })
         .map { img =>
@@ -318,7 +335,7 @@ object BinaryPipeline {
             i += 1
           }
           MediaFeatures(docId, blob.length, w, h, w.toDouble / h, sum % 9973L, fmt)
-        }
+        })
     }.getOrElse(stubDecode(docId, blob, nChars))
 
   /** df must expose (idCol: long, blobCol: binary, metaCol: long). */
@@ -429,7 +446,12 @@ object BinaryPipeline {
         val real = sniff(blob) match {
           case Some("video/avi") => aviFrames(id, blob, frames)
           case Some("image/gif") => gifFrames(id, blob, frames)
-          case _                 => None
+          // lossy containers: an SPI-registered decoder upgrades them
+          case Some(f) =>
+            BlobDecoders.byFormat.get(f).flatMap(d =>
+              try d.frames(id, blob, frames)
+              catch { case scala.util.control.NonFatal(_) => None })
+          case None => None
         }
         real.getOrElse {
           val window = math.max(1, blob.length / frames)
