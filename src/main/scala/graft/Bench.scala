@@ -71,8 +71,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Queries whose wall-clock is dominated by a deterministic HARNESS
+    // (sequential micro-batch loops, multi-run DAG drives, failure+resume
+    // scenarios) rather than the data path — their cost is bounded by the
+    // harness shape (batch counts, day caps), is largely SF-invariant,
+    // and would otherwise mask real per-query data-path regressions in
+    // the total. Split out so both signals stay readable.
+    val harness = Set("q68_tiki_pipeline", "q101_agg_maintenance",
+      "q103_analytics_dag", "q104_trends_dag", "q105_fx_rate_dag",
+      "q106_upsert_sink", "q108_streaming_dedup", "q110_sessionize_tws",
+      "q111_streaming_funnel", "q112_backfill", "q113_streaming_hll",
+      "q114_streaming_cms")
+    val harnessTotal = results.collect {
+      case (k, v) if harness(k) && v >= 0 => v }.sum
+    val dataTotal = total - harnessTotal
+    val harnessList = harness.filter(results.contains).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadAfter = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }

@@ -425,6 +425,89 @@ object StatefulGates {
       |SELECT user_id, CAST(MAX(stage) AS INTEGER) AS reach
       |FROM stages GROUP BY user_id, d""".stripMargin
 
+  /** q113: CONTINUOUS HLL sketch maintenance (SURVEY 44c,
+    * [[graft.streaming.StreamOps.streamingHllRegisters]]) driven through a
+    * real Complete-mode micro-batched run and oracle-gated. The capped
+    * feed streams one calendar day per micro-batch; the memory sink holds
+    * the final register table (max is order-free, so Complete mode
+    * maintains ≤ M register rows forever). DuckDB rebuilds every register
+    * from the same md5 pipeline over the fed event_ids — the determinism
+    * contract that makes batch⋈streaming sketch MERGE sound, checked by
+    * an engine that never saw the batching.
+    */
+  def q113StreamingHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ev, minDay) = StreamingQueries.cappedFeed(spark, dir, withValue = false)
+    val feed = ev.select(
+      datediff(to_date(col("ts")), lit(minDay)).cast("long").as("__b"),
+      col("user_id"), col("event_id"), col("ts"), col("event_type"),
+      col("value"))
+    val batches = FeedHarness.batchesOf(feed, "__b")(r => DedupFeedRow(
+      r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getString(4),
+      if (r.isNullAt(5)) 0.0 else r.getDouble(5)))
+    FeedHarness.drive(spark, "q113_hll", batches, "complete") { ds =>
+      graft.streaming.StreamOps.streamingHllRegisters(ds.toDF(), col("event_id"))
+    }.select(col("bucket"), col("register").cast("int").as("register"))
+  }
+
+  def q113Oracle: String = {
+    import graft.operators.HllSketch.{HashBits, MaxRho}
+    s"""WITH fed AS (
+       |  SELECT event_id FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
+       |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+       |        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100)
+       |), h AS (
+       |  SELECT md5(CAST(event_id AS VARCHAR)) AS hx FROM fed
+       |), br AS (
+       |  SELECT CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INTEGER) AS bucket,
+       |         CAST('0x' || substr(hx, 3, ${HashBits / 4}) AS BIGINT) AS v
+       |  FROM h
+       |)
+       |SELECT bucket,
+       |  CAST(MAX(CASE WHEN v = 0 THEN $MaxRho
+       |                ELSE $MaxRho - length(bin(v)) END) AS INTEGER) AS register
+       |FROM br GROUP BY bucket""".stripMargin
+  }
+
+  /** q114: CONTINUOUS count-min sketch maintenance (SURVEY 80,
+    * [[graft.operators.CountMinSketch.cells]] in Complete mode — the
+    * sparse counter shape whose state is ≤ Depth·Width rows forever).
+    * Same drive as q113; DuckDB rebuilds every touched (row, bucket, cnt)
+    * cell from the md5 bucket arithmetic over the fed event_types.
+    */
+  def q114StreamingCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ev, minDay) = StreamingQueries.cappedFeed(spark, dir, withValue = false)
+    val feed = ev.select(
+      datediff(to_date(col("ts")), lit(minDay)).cast("long").as("__b"),
+      col("user_id"), col("event_id"), col("ts"), col("event_type"),
+      col("value"))
+    val batches = FeedHarness.batchesOf(feed, "__b")(r => DedupFeedRow(
+      r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getString(4),
+      if (r.isNullAt(5)) 0.0 else r.getDouble(5)))
+    FeedHarness.drive(spark, "q114_cms", batches, "complete") { ds =>
+      graft.operators.CountMinSketch.cells(ds.toDF(), col("event_type"))
+    }.select(col("row"), col("bucket"), col("cnt"))
+  }
+
+  def q114Oracle: String = {
+    import graft.operators.CountMinSketch.{Depth, Width}
+    val rowVals = (0 until Depth).map(r => s"($r)").mkString(", ")
+    s"""WITH fed AS (
+       |  SELECT event_type FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
+       |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+       |        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100)
+       |    AND event_type IS NOT NULL
+       |)
+       |SELECT r.r AS row,
+       |  CAST('0x' || substr(md5(r.r || ':' || event_type), 1, 8) AS BIGINT) % $Width AS bucket,
+       |  COUNT(*) AS cnt
+       |FROM fed CROSS JOIN (VALUES $rowVals) r(r)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def q110Oracle: String =
     """WITH fed AS (
       |  SELECT user_id, event_id, ts, value
