@@ -30,7 +30,7 @@ object PipelineQueries {
     * runs don't strand warehouse copies in /tmp (same lifecycle as
     * MartQueries' bucketed scratch).
     */
-  private lazy val scratch: String = {
+  private[queries] lazy val scratch: String = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_pipeline-${ProcessHandle.current().pid()}"
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

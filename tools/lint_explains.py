@@ -24,6 +24,15 @@ import sys
 
 # query -> (pattern substring, reason the shape is bounded)
 ALLOW = {
+    "q120_guarded_join": [
+        ("BNLJ-nonscalar",
+         "the guard's null-safe semi-join evaluated on the SINGLE synthetic "
+         "null-keyed dim row: the streamed side is one literal row "
+         "(Range(1) -> Project), the broadcast side the checked dim-key "
+         "frame - dim-sized, the same bound as every dim broadcast in the "
+         "repo; the real-keyed branch of the union hashes normally. Cost "
+         "is <= |dim| comparisons once, independent of fact volume"),
+    ],
     "q24_cosine_topk": [
         ("BNLJ-nonscalar",
          "broadcast side is the QUERY vector set (bounded |Q|, filtered "
