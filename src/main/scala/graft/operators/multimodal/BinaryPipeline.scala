@@ -284,8 +284,8 @@ object BinaryPipeline {
     else if (riffType("AVI ")) Some("video/avi")
     else if (riffType("WAVE")) Some("audio/wav")
     // lossy containers: no pure-JVM codec, but sniffing them lets an
-    // SPI-registered BlobDecoder upgrade their rows (and keeps the stub
-    // tag honest about WHAT is being stubbed)
+    // SPI-registered BlobDecoder upgrade their rows; without a decoder
+    // they keep the generic stub tags ("fake/raw" / "bytes-stub")
     else if (blob.length >= 12 && new String(blob, 4, 4, "US-ASCII") == "ftyp")
       Some("video/mp4")
     else if (blob.length >= 4 && at(0) == 0x1a && at(1) == 0x45 &&
@@ -402,7 +402,11 @@ object BinaryPipeline {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
         val real = sniff(blob).flatMap { _ =>
-          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+          // same guard as decodeOne: a reader throwing on a magic-matching
+          // but malformed payload (now including lossy-container magics) is
+          // the passthrough case, never a task failure
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+          catch { case scala.util.control.NonFatal(_) => None }
         }.map { img =>
           val out = new java.awt.image.BufferedImage(targetW, targetH,
             java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -43,8 +43,15 @@ object BlobDecoders {
     */
   lazy val byFormat: Map[String, BlobDecoder] = {
     import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(classOf[BlobDecoder],
-        classOf[BlobDecoder].getClassLoader)
+    // thread-context loader first: when graft rides the executor SYSTEM
+    // classpath and the codec jar arrives via --jars, only the task's
+    // context (user) loader can see the jar's META-INF/services entry —
+    // the defining loader is the parent and would resolve empty, silently
+    // stubbing every row. Fall back to the defining loader for plain
+    // embedding (no TCCL set).
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[BlobDecoder].getClassLoader)
+    java.util.ServiceLoader.load(classOf[BlobDecoder], loader)
       .iterator().asScala.map(d => d.format -> d).toMap
   }
 }

@@ -209,8 +209,11 @@ object SourceGates {
     val dim = cust.unionByName(
       spark.range(1).select(lit(null).cast("long").as("c_custkey"),
         lit(-1).cast("int").as("c_nationkey")))
-    val guarded = graft.operators.QualityChecks.requireUniqueKeys(
-      dim, Seq("c_custkey"))
+    // cached: both the join and the dimCount aggregate consume the guard —
+    // uncached, the whole guard subtree (two dim passes + semi-join) would
+    // execute twice per run (OpCache: released at the query scope's exit)
+    val guarded = graft.operators.OpCache.cache(
+      graft.operators.QualityChecks.requireUniqueKeys(dim, Seq("c_custkey")))
     val dimCount = guarded.agg(count(lit(1)).as("n_dim_rows"))
     Tables.orders(spark, dir)
       .join(guarded, col("o_custkey") === col("c_custkey"))

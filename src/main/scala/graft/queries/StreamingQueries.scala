@@ -435,17 +435,26 @@ object StatefulGates {
     * contract that makes batch⋈streaming sketch MERGE sound, checked by
     * an engine that never saw the batching.
     */
-  def q113StreamingHll(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The day-per-batch DedupFeedRow feed q113/q114 share (the sketch
+    * drives need every event's id/type, no per-key reduction, no
+    * lateness): one micro-batch per calendar day of the capped feed.
+    */
+  private def sketchDayBatches(spark: SparkSession,
+                               dir: String): Seq[Seq[DedupFeedRow]] = {
     val (ev, minDay) = StreamingQueries.cappedFeed(spark, dir, withValue = false)
     val feed = ev.select(
       datediff(to_date(col("ts")), lit(minDay)).cast("long").as("__b"),
       col("user_id"), col("event_id"), col("ts"), col("event_type"),
       col("value"))
-    val batches = FeedHarness.batchesOf(feed, "__b")(r => DedupFeedRow(
+    FeedHarness.batchesOf(feed, "__b")(r => DedupFeedRow(
       r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getString(4),
       if (r.isNullAt(5)) 0.0 else r.getDouble(5)))
-    FeedHarness.drive(spark, "q113_hll", batches, "complete") { ds =>
+  }
+
+  def q113StreamingHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    FeedHarness.drive(spark, "q113_hll", sketchDayBatches(spark, dir),
+        "complete") { ds =>
       graft.streaming.StreamOps.streamingHllRegisters(ds.toDF(), col("event_id"))
     }.select(col("bucket"), col("register").cast("int").as("register"))
   }
@@ -478,15 +487,8 @@ object StatefulGates {
     */
   def q114StreamingCms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (ev, minDay) = StreamingQueries.cappedFeed(spark, dir, withValue = false)
-    val feed = ev.select(
-      datediff(to_date(col("ts")), lit(minDay)).cast("long").as("__b"),
-      col("user_id"), col("event_id"), col("ts"), col("event_type"),
-      col("value"))
-    val batches = FeedHarness.batchesOf(feed, "__b")(r => DedupFeedRow(
-      r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getString(4),
-      if (r.isNullAt(5)) 0.0 else r.getDouble(5)))
-    FeedHarness.drive(spark, "q114_cms", batches, "complete") { ds =>
+    FeedHarness.drive(spark, "q114_cms", sketchDayBatches(spark, dir),
+        "complete") { ds =>
       graft.operators.CountMinSketch.cells(ds.toDF(), col("event_type"))
     }.select(col("row"), col("bucket"), col("cnt"))
   }
