@@ -1,0 +1,68 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.similarity.{IvfAnn, VectorFns}
+
+/** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540 — the embedding-space complement of the lexical dedup
+  * family): cluster the embedding space with trained k-means, then drop,
+  * WITHIN each cluster, every vector that has a near-identical neighbor
+  * (cosine above `threshold`) carrying a smaller id. Near-duplicate pair
+  * work is confined to cells — never the corpus cross product — which is
+  * the published method's entire point: semantic duplicates land in the
+  * same cluster, so the quadratic pair scan runs on cell-sized frames.
+  *
+  * Keep rule: deterministic min-id-wins PER PAIR (a vector is dropped iff
+  * a smaller-id vector above the threshold shares its cluster) — ids are
+  * stable, so reruns keep identical survivors. This is SemDeDup's
+  * keep-one-per-pair-relation discipline, not transitive-closure
+  * clustering ([[DupClusters]] exists for that); a chain a~b~c with
+  * cos(a,c) below the threshold keeps a AND c, dropping only b.
+  *
+  * Approximation contract: a duplicate pair SPLIT by the cluster
+  * boundary is missed. How often that happens depends on the threshold
+  * regime: at SemDeDup's usual ~0.95 (truly near-identical embeddings)
+  * duplicates co-locate almost surely; at low thresholds — where pairs
+  * are merely related, like the test corpus whose max pair cosine is
+  * ~0.48 — boundary splits are common and `nCentroids` is the recall/cost
+  * dial (SemanticDedupSpec measures 0.62 at k=2 vs 0.30 at k=8 on that
+  * corpus). Raise `nCentroids` to shrink cells (cost) at the price of
+  * more boundary splits (recall), exactly the paper's trade-off; use the
+  * exact banded path ([[graft.operators.similarity.CosinePairs]]) when a
+  * low-threshold band needs full recall.
+  *
+  * Scale shape: per-cell pairs are O((n/k)²); hold n/k constant by
+  * scaling `nCentroids` with the corpus (the IVF/NSW occupancy
+  * discipline) and total pair mass stays linear in n. The pair join
+  * carries (id, vec, nrm) only; assignment is the zero-corpus-shuffle
+  * broadcast fold ([[IvfAnn.assignTrained]]), so the operator's only
+  * corpus-keyed Exchange is the cluster-id shuffle for the self-join.
+  */
+object SemanticDedup {
+
+  /** (vec_id, cluster_id, kept): every input vector flagged. Survivors =
+    * `filter(col("kept"))`; the full frame is returned so an audit sees
+    * WHAT was dropped and from which cell.
+    */
+  def flagged(vectors: DataFrame, idCol: String, vecCol: String,
+              threshold: Double, nCentroids: Int, trainIters: Int,
+              dims: Int): DataFrame = {
+    val assigned = graft.operators.OpCache.cache(
+      IvfAnn.assignTrained(vectors, idCol, vecCol, nCentroids, trainIters, dims))
+    val a = assigned.select(col("cluster_id"), col("vid").as("a_id"),
+      col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cluster_id"), col("vid").as("b_id"),
+      col("vec").as("b_vec"), col("nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorFns.cosine(VectorFns.dot(col("a_vec"), col("b_vec")),
+        col("a_nrm"), col("b_nrm")) > threshold)
+      .select(col("b_id").as("vid")).distinct()
+    assigned.select(col("vid"), col("cluster_id"))
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cluster_id"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+}

@@ -84,6 +84,22 @@ object IvfAnn {
     * cluster structure). Every training step is oracle-replayable — q33
     * gates this path end-to-end, training included.
     */
+  /** Trained-centroid ASSIGNMENT alone — the clustering front half
+    * [[graft.operators.dedup.SemanticDedup]] builds on: (vid, vec, nrm,
+    * cluster_id) with each vector tagged by its nearest trained centroid,
+    * via the same zero-corpus-shuffle broadcast fold as [[assign]].
+    */
+  def assignTrained(vectors: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, trainIters: Int, dims: Int): DataFrame = {
+    val v = graft.operators.OpCache.cache(
+      vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        VectorFns.norm(col(vecCol)).as("nrm")))
+    val qz = graft.operators.OpCache.cache(
+      KMeansExact.quantized(v, "vid", "vec", dims))
+    val trained = KMeansExact.train(qz, nCentroids, trainIters, dims)
+    assignFrom(v, trainedCentroidRow(v, trained))
+  }
+
   def searchTrained(vectors: DataFrame, idCol: String, vecCol: String,
                     queryPred: Column => Column, k: Int, nCentroids: Int,
                     probes: Int, trainIters: Int, dims: Int): DataFrame = {

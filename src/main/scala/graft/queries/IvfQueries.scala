@@ -70,4 +70,53 @@ object IvfQueries {
        |  FROM cands) t
        |WHERE rank <= ${SimilarityQueries.K}""".stripMargin
   }
+
+  val SemThreshold = 0.4 // the corpus's near-dup boundary (q31's threshold)
+
+  /** q121: SemDeDup-style SEMANTIC dedup
+    * ([[graft.operators.dedup.SemanticDedup]], Abbas et al. 2023) —
+    * trained k-means clustering + within-cluster min-id-wins drop of
+    * near-identical vectors. The oracle replays the ENTIRE composition:
+    * the same [[KMeansExact.oracleCtes]] training replay q33 uses, every
+    * cluster assignment, and the per-pair drop rule — kept flags for the
+    * whole corpus, checked by an engine that never saw the clustering.
+    */
+  def q121SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.SemanticDedup.flagged(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = SemThreshold, nCentroids = NCentroids,
+      trainIters = TrainIters, dims = SimilarityQueries.Dims)
+
+  def q121Oracle: String = {
+    val dims = SimilarityQueries.Dims
+    def dot(a: String, b: String) = (1 to dims)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def dotW(a: String, c: String) = (0 until dims)
+      .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*$c.w$i")
+      .mkString(" + ")
+    val sumsq = dot("embedding", "embedding")
+    val training = KMeansExact.oracleCtes("km", "embeddings", "vec_id",
+      "embedding", NCentroids, TrainIters, dims)
+    s"""WITH $training
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
+       |), asgscore AS (
+       |  SELECT v.vec_id AS vid, v.e, v.nrm, c.cid,
+       |    (${dotW("v.e", "c")}) / (v.nrm * c.cnrm) AS ccos
+       |  FROM n v CROSS JOIN kmcw c
+       |), asg AS MATERIALIZED (
+       |  SELECT vid, e, nrm, cid AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crank
+       |    FROM asgscore) t
+       |  WHERE crank = 1
+       |)
+       |SELECT a.vid AS vec_id, a.cluster_id,
+       |  NOT EXISTS (
+       |    SELECT 1 FROM asg b
+       |    WHERE b.cluster_id = a.cluster_id AND b.vid < a.vid
+       |      AND (${dot("a.e", "b.e")}) / (a.nrm * b.nrm) > $SemThreshold
+       |  ) AS kept
+       |FROM asg a""".stripMargin
+  }
 }

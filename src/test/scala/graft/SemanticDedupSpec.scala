@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.dedup.SemanticDedup
+import graft.operators.similarity.VectorFns
+
+/** [[SemanticDedup]]: the SemDeDup approximation contract — within-cluster
+  * pair confinement versus global brute force — measured and floored, plus
+  * the keep-rule invariants the oracle gate cannot phrase (they quantify
+  * over the BRUTE-FORCE pair set the gated query never builds).
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private val Threshold = 0.4
+  private val Dims = 64
+
+  test("flags are exhaustive and deterministic; min-id always survives") {
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val out = SemanticDedup.flagged(vecs, "vec_id", "embedding",
+      Threshold, nCentroids = 8, trainIters = 3, dims = Dims)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == vecs.count(), "every vector must be flagged")
+    // min id of every cluster is never dropped (nothing smaller exists)
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      val minId = rs.map(_._1).min
+      assert(rs.find(_._1 == minId).exists(_._3), s"cluster $c dropped its min id")
+    }
+    val again = SemanticDedup.flagged(vecs, "vec_id", "embedding",
+      Threshold, nCentroids = 8, trainIters = 3, dims = Dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(again == rows.toSet, "reruns must keep identical survivors")
+  }
+
+  test("within-cluster confinement catches most brute-force duplicate pairs") {
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val v = vecs.select(col("vec_id").as("vid"), col("embedding").as("vec"),
+      VectorFns.norm(col("embedding")).as("nrm"))
+    // global brute-force pair set above the threshold (spec-scale only!)
+    val a = v.select(col("vid").as("a_id"), col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = v.select(col("vid").as("b_id"), col("vec").as("b_vec"), col("nrm").as("b_nrm"))
+    val global = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(VectorFns.cosine(VectorFns.dot(col("a_vec"), col("b_vec")),
+        col("a_nrm"), col("b_nrm")) > Threshold)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(global.nonEmpty, "corpus must contain duplicate pairs at this threshold")
+    // This corpus's max pair cosine is ~0.48 — there are NO near-identical
+    // vectors, so τ=0.4 operates FAR below SemDeDup's usual ~0.95 regime
+    // where duplicates co-locate almost surely. At this band boundary
+    // splits are expected, and the knob contract is what the spec pins:
+    // fewer/bigger cells catch more pairs (at quadratic per-cell cost).
+    def recallAt(k: Int): Double = {
+      val assigned = graft.operators.similarity.IvfAnn.assignTrained(
+          vecs, "vec_id", "embedding", nCentroids = k, trainIters = 3,
+          dims = Dims)
+        .select(col("vid"), col("cluster_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      global.count { case (x, y) => assigned(x) == assigned(y) }.toDouble /
+        global.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    info(s"SemDeDup pair recall vs brute force: k=2 -> $r2, k=8 -> $r8 " +
+      s"(${global.size} global pairs, max pair cosine ~0.48)")
+    // measured: k=2 0.61, k=8 0.30 (round 12) — the documented trade-off
+    // moves the right way, and the k=8 floor catches a collapse
+    assert(r2 >= r8 - 0.05, s"bigger cells must not catch fewer pairs: $r2 < $r8")
+    assert(r8 >= 0.2, s"cluster confinement collapsed: $r8")
+  }
+}
