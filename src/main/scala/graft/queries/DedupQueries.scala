@@ -330,6 +330,101 @@ object DedupQueries {
       permilleOfDocs = 35)
   }
 
+  /** q122: the END-TO-END CURATION PIPELINE
+    * ([[graft.pipelines.CurationPipeline]] — the LLM-side analog of the
+    * tiki_dag gate q68): line cleaning → language filter (en) → quality
+    * filter (≥0.45) → exact dedup min-id survivor → deterministic 90/10
+    * split → token counts, one composed call over the q109 line
+    * synthesizer. The DuckDB oracle replays the WHOLE chain — the line
+    * CTEs, the marker-count language CASE and the quality formula over
+    * the CLEANED text, the fingerprint dedup, the md5 split buckets —
+    * from raw documents, so a stage wired in the wrong order (e.g.
+    * quality scored on raw text, or split before dedup) hash-fails.
+    */
+  def q122CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("lines", expr(
+        """transform(sequence(1, (size(__toks) + 1) div 2),
+          |  i -> CASE WHEN 2 * i <= size(__toks)
+          |            THEN concat(element_at(__toks, CAST(2 * i - 1 AS INT)), ' ',
+          |                        element_at(__toks, CAST(2 * i AS INT)))
+          |            ELSE element_at(__toks, CAST(2 * i - 1 AS INT)) END)""".stripMargin))
+      .select(col("doc_id"), col("lines"))
+    graft.pipelines.CurationPipeline.run(docs, "doc_id", "lines",
+      permilleOfDocs = 35, keepLangs = Seq("en"), minQuality = 0.45,
+      trainPct = 90)
+  }
+
+  def q122Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS ord
+      |  FROM t
+      |), pairs AS (
+      |  SELECT doc_id, (ord + 1) // 2 AS lpos,
+      |         string_agg(tok, ' ' ORDER BY ord) AS line
+      |  FROM toks GROUP BY doc_id, (ord + 1) // 2
+      |), firstocc AS (
+      |  SELECT doc_id, line, lpos FROM (
+      |    SELECT doc_id, line, lpos,
+      |      row_number() OVER (PARTITION BY doc_id, line ORDER BY lpos) AS rn
+      |    FROM pairs) x
+      |  WHERE rn = 1
+      |), keptlines AS (
+      |  SELECT line FROM firstocc GROUP BY line
+      |  HAVING count(*) <= GREATEST(
+      |    (SELECT count(DISTINCT doc_id) FROM t) * 35 // 1000, 1)
+      |), cleaned AS MATERIALIZED (
+      |  SELECT f.doc_id, string_agg(f.line, chr(10) ORDER BY f.lpos) AS ct
+      |  FROM firstocc f JOIN keptlines k USING (line)
+      |  GROUP BY f.doc_id
+      |), scored AS (
+      |  SELECT doc_id, ct,
+      |    CAST(len(regexp_extract_all(lower(ct), '\b(the|and|of|to|a|in)\b')) AS INTEGER) AS c_en,
+      |    CAST(len(regexp_extract_all(lower(ct), '\b(der|die|und|das|nicht)\b')) AS INTEGER) AS c_de,
+      |    CAST(len(regexp_extract_all(lower(ct), '\b(el|la|los|que|es)\b')) AS INTEGER) AS c_es,
+      |    CAST(len(regexp_extract_all(lower(ct), '\b(le|les|des|est|une)\b')) AS INTEGER) AS c_fr,
+      |    CAST(len(regexp_extract_all(lower(ct), '[一-鿿]')) AS INTEGER) AS c_zh,
+      |    CASE WHEN ct IS NULL OR trim(ct) = '' THEN 0
+      |         ELSE CAST(len(regexp_extract_all(trim(ct), '\S+')) AS INTEGER) END AS n_tokens,
+      |    CASE WHEN ct IS NULL OR length(ct) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_extract_all(lower(ct), '[a-z]')) AS DOUBLE) / length(ct) END AS alpha_ratio,
+      |    CAST(len(regexp_extract_all(lower(ct), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS INTEGER) AS n_stops
+      |  FROM cleaned
+      |), langq AS (
+      |  SELECT doc_id, ct, n_tokens,
+      |    CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) <= 0 THEN 'unknown'
+      |         WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+      |         WHEN c_de = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+      |         WHEN c_es = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+      |         WHEN c_fr = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+      |         WHEN c_zh = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'zh'
+      |         ELSE 'unknown' END AS lang,
+      |    0.4 * alpha_ratio
+      |      + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+      |               ELSE LEAST(1.0, CAST(n_stops AS DOUBLE) / n_tokens) END)
+      |      + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality_score
+      |  FROM scored
+      |), kept AS (
+      |  SELECT * FROM langq WHERE lang = 'en' AND quality_score >= 0.45
+      |), deduped AS (
+      |  SELECT * FROM (
+      |    SELECT *, MIN(doc_id) OVER (
+      |      PARTITION BY md5(trim(regexp_replace(lower(ct), '\s+', ' ', 'g')))) AS surv
+      |    FROM kept) x
+      |  WHERE doc_id = surv
+      |)
+      |SELECT doc_id, lang, quality_score, n_tokens,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) % 100 < 90
+      |       THEN 'train' ELSE 'eval' END AS split_name
+      |FROM deduped""".stripMargin
+
   def q109Oracle: String =
     """WITH t AS (
       |  SELECT doc_id, text FROM documents
