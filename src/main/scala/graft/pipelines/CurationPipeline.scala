@@ -52,9 +52,11 @@ object CurationPipeline {
       .filter(col("lang").isin(keepLangs: _*) &&
         col("quality_score") >= minQuality)
     // exact dedup, min-id survivor: a fingerprint min-aggregate plus a
-    // (fp, id) equi-join back — partial-combines map-side, no window sort
-    val fingered = scored.withColumn("__fp",
-      TextFns.fingerprint(col("clean_text")))
+    // (fp, id) equi-join back — partial-combines map-side, no window sort.
+    // CACHED: both join sides consume it — uncached, the whole line-clean
+    // + scoring lineage would execute twice (OpCache: scope-released)
+    val fingered = graft.operators.OpCache.cache(
+      scored.withColumn("__fp", TextFns.fingerprint(col("clean_text"))))
     val survivors = fingered.join(
       fingered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
       Seq("__fp", idCol))
