@@ -164,17 +164,36 @@ def scalar_agg_under(lines, start_idx, details):
     return False
 
 
-def literal_subtree(lines, start_idx):
+def bounded_range(details, nid, cap=65536):
+    """A Range node whose literal row count is <= cap — driver-generated
+    plan constants (e.g. spark.range(1) carrying broadcast literals), not
+    data. An unbounded/big Range on a broadcast side stays a finding."""
+    d = details.get(nid)
+    if not d:
+        return False
+    for l in d["lines"]:
+        m = re.search(r"Range \((-?\d+), (-?\d+)", l)
+        if m:
+            return int(m.group(2)) - int(m.group(1)) <= cap
+    return False
+
+
+def literal_subtree(lines, start_idx, details=None):
     """True if every node under lines[start_idx] is a driver-literal node
-    (see LITERAL_NODES) — a bounded parallelize()d frame, not data."""
+    (see LITERAL_NODES, plus row-count-bounded Range) — a bounded
+    parallelize()d frame, not data."""
     base_indent = lines[start_idx][0]
     saw_any = False
     for indent, name, nid, _ in lines[start_idx + 1:]:
         if indent <= base_indent:
             break
         saw_any = True
-        if not any(name == n or name.startswith(n) for n in LITERAL_NODES):
-            return False
+        if any(name == n or name.startswith(n) for n in LITERAL_NODES):
+            continue
+        if name.startswith("Range") and details is not None and \
+                bounded_range(details, nid):
+            continue
+        return False
     return saw_any
 
 
@@ -214,7 +233,7 @@ def lint_section(query, body):
                 if "BroadcastExchange" in lines[j][1] or \
                         "BroadcastQueryStage" in lines[j][1]:
                     if scalar_agg_under(lines, j, details) or \
-                            literal_subtree(lines, j):
+                            literal_subtree(lines, j, details):
                         ok = True
             if not ok:
                 findings.append(("BNLJ-nonscalar",
