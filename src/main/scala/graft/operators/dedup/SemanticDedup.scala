@@ -42,15 +42,55 @@ import graft.operators.similarity.{IvfAnn, VectorFns}
   */
 object SemanticDedup {
 
+  /** Base cell count (n ≤ BaseCells·TargetCell keeps it — all shipped
+    * test scale factors land here, so the ladder changes nothing locally).
+    */
+  val BaseCells = 8
+  /** Cell cap: assignment scores every cell per vector (n·k work), so k
+    * is bounded like [[graft.operators.similarity.NswAnn.MaxHubs]].
+    */
+  val MaxCells = 4096
+  /** Target cell occupancy: cells grow with the corpus so the per-cell
+    * pair scan stays ~TargetCell² per cell. A FIXED cell count saturates
+    * quadratically — the round-12 100× probe measured exactly that
+    * (200k vectors / 8 cells = 25k-vector cells → 198× wall-clock at
+    * 100× data). Integer doubling ladder, NOT a float log: the DuckDB
+    * oracle must pick the identical count on every engine.
+    */
+  val TargetCell = 256
+
+  def adaptiveCells(n: Long): Int = {
+    require(MaxCells >= BaseCells && (MaxCells & (MaxCells - 1)) == 0 &&
+      (BaseCells & (BaseCells - 1)) == 0,
+      s"MaxCells=$MaxCells must be a power-of-2 multiple of BaseCells=$BaseCells")
+    var k = BaseCells
+    while (n > k.toLong * TargetCell && k < MaxCells) k <<= 1
+    k
+  }
+
+  /** (vec_id, cluster_id, kept) with OCCUPANCY-ADAPTIVE cells and a
+    * capped training sample ([[graft.operators.similarity.NswAnn
+    * .trainModulus]]): the production entry — pair mass stays ~n·TargetCell
+    * and training stays TrainCap-bounded as the corpus grows.
+    */
+  def flaggedAdaptive(vectors: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, trainIters: Int,
+                      dims: Int): DataFrame = {
+    val n = vectors.count()
+    flagged(vectors, idCol, vecCol, threshold, adaptiveCells(n), trainIters,
+      dims, graft.operators.similarity.NswAnn.trainModulus(n))
+  }
+
   /** (vec_id, cluster_id, kept): every input vector flagged. Survivors =
     * `filter(col("kept"))`; the full frame is returned so an audit sees
     * WHAT was dropped and from which cell.
     */
   def flagged(vectors: DataFrame, idCol: String, vecCol: String,
               threshold: Double, nCentroids: Int, trainIters: Int,
-              dims: Int): DataFrame = {
+              dims: Int, sampleModulus: Int = 1): DataFrame = {
     val assigned = graft.operators.OpCache.cache(
-      IvfAnn.assignTrained(vectors, idCol, vecCol, nCentroids, trainIters, dims))
+      IvfAnn.assignTrainedSampled(vectors, idCol, vecCol, nCentroids,
+        trainIters, dims, sampleModulus))
     val a = assigned.select(col("cluster_id"), col("vid").as("a_id"),
       col("vec").as("a_vec"), col("nrm").as("a_nrm"))
     val b = assigned.select(col("cluster_id"), col("vid").as("b_id"),

@@ -90,14 +90,60 @@ object IvfAnn {
     * via the same zero-corpus-shuffle broadcast fold as [[assign]].
     */
   def assignTrained(vectors: DataFrame, idCol: String, vecCol: String,
-                    nCentroids: Int, trainIters: Int, dims: Int): DataFrame = {
+                    nCentroids: Int, trainIters: Int, dims: Int): DataFrame =
+    assignTrainedSampled(vectors, idCol, vecCol, nCentroids, trainIters,
+      dims, sampleModulus = 1)
+
+  /** [[assignTrained]] with a deterministic TRAINING SAMPLE (`vid % m ==
+    * 0`, the [[NswAnn.trainModulus]] discipline): training cost stays
+    * sample·k·dims-bounded regardless of corpus size while the ASSIGNMENT
+    * still covers every vector. Oracle-replayable — the sample predicate
+    * is plain modulo arithmetic.
+    */
+  def assignTrainedSampled(vectors: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int, trainIters: Int, dims: Int,
+                           sampleModulus: Int): DataFrame = {
+    require(sampleModulus >= 1, s"bad sample modulus $sampleModulus")
     val v = graft.operators.OpCache.cache(
       vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
         VectorFns.norm(col(vecCol)).as("nrm")))
+    val sample =
+      if (sampleModulus == 1) v else v.filter(col("vid") % sampleModulus === 0)
     val qz = graft.operators.OpCache.cache(
-      KMeansExact.quantized(v, "vid", "vec", dims))
+      KMeansExact.quantized(sample, "vid", "vec", dims))
     val trained = KMeansExact.train(qz, nCentroids, trainIters, dims)
-    assignFrom(v, trainedCentroidRow(v, trained))
+    assignViaProbe(v, trained)
+  }
+
+  /** Trained-centroid assignment through the codegen'd
+    * [[graft.plans.HubTopTwo]] broadcast probe (slot i1 = argmax cosine,
+    * strict `>` with cids scanned ascending — exactly the fold's and the
+    * oracle's (cos DESC, cid ASC) tiebreak). The interpreted `aggregate()`
+    * fold and the k·dims-LITERAL centroid row are both fine at 8 cells
+    * and a CPU/plan bomb at the adaptive ladder cap (4096 cells × 64 dims
+    * = 262k literal nodes; the HubTopTwo lesson — 108 s interpreted at
+    * H=512); the probe is two tight primitive loops inside whole-stage
+    * codegen and one ~2 MB broadcast.
+    */
+  private def assignViaProbe(v: DataFrame,
+                             trained: Array[Array[Long]]): DataFrame = {
+    val k = trained.length
+    val dim = trained.head.length
+    val flat = new Array[Double](k * dim)
+    val nrms = new Array[Double](k)
+    trained.zipWithIndex.foreach { case (c, j) =>
+      val (w, nrm) = KMeansExact.dequantize(c)
+      System.arraycopy(w, 0, flat, j * dim, dim)
+      nrms(j) = nrm
+    }
+    val bc = v.sparkSession.sparkContext.broadcast(
+      graft.plans.HubSet(Array.tabulate(k)(_.toLong), nrms, flat, dim))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val best2 = ColumnBridge.column(graft.plans.HubTopTwo(
+      ColumnBridge.expression(col("vec")),
+      ColumnBridge.expression(col("nrm")), bc))
+    v.select(col("vid"), col("vec"), col("nrm"),
+      best2.getField("i1").as("cluster_id"))
   }
 
   def searchTrained(vectors: DataFrame, idCol: String, vecCol: String,

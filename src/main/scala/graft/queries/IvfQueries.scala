@@ -82,12 +82,14 @@ object IvfQueries {
     * whole corpus, checked by an engine that never saw the clustering.
     */
   def q121SemanticDedup(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.dedup.SemanticDedup.flagged(
+    graft.operators.dedup.SemanticDedup.flaggedAdaptive(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = SemThreshold, nCentroids = NCentroids,
-      trainIters = TrainIters, dims = SimilarityQueries.Dims)
+      threshold = SemThreshold, trainIters = TrainIters,
+      dims = SimilarityQueries.Dims)
 
   def q121Oracle: String = {
+    import graft.operators.dedup.SemanticDedup
+    import graft.operators.similarity.NswAnn
     val dims = SimilarityQueries.Dims
     def dot(a: String, b: String) = (1 to dims)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
@@ -96,9 +98,29 @@ object IvfQueries {
       .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*$c.w$i")
       .mkString(" + ")
     val sumsq = dot("embedding", "embedding")
-    val training = KMeansExact.oracleCtes("km", "embeddings", "vec_id",
-      "embedding", NCentroids, TrainIters, dims)
-    s"""WITH $training
+    // occupancy-adaptive cell ladder + training-sample modulus, replayed
+    // as integer CASE ladders exactly like the NSW oracle's
+    val cellLadder = {
+      val steps = Iterator.iterate(SemanticDedup.BaseCells)(_ << 1)
+        .takeWhile(_ < SemanticDedup.MaxCells)
+        .map(k => s"WHEN count(*) <= ${k.toLong * SemanticDedup.TargetCell} THEN $k")
+        .mkString(" ")
+      s"SELECT CASE $steps ELSE ${SemanticDedup.MaxCells} END AS k FROM embeddings"
+    }
+    val modLadder = {
+      val steps = Iterator.iterate(1)(_ << 1)
+        .takeWhile(_ < NswAnn.MaxModulus)
+        .map(m => s"WHEN count(*) <= ${m.toLong * NswAnn.TrainCap} THEN $m")
+        .mkString(" ")
+      s"SELECT CASE $steps ELSE ${NswAnn.MaxModulus} END AS m FROM embeddings"
+    }
+    val training = KMeansExact.oracleCtes("km",
+      "(SELECT * FROM embeddings WHERE vec_id % (SELECT m FROM smod) = 0)",
+      "vec_id", "embedding", SemanticDedup.MaxCells, TrainIters, dims,
+      kSql = "SELECT k FROM nc")
+    s"""WITH nc AS ($cellLadder),
+       |smod AS ($modLadder),
+       |$training
        |n AS MATERIALIZED (
        |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
        |), asgscore AS (

@@ -69,4 +69,14 @@ class SemanticDedupSpec extends SparkSpec {
     assert(r2 >= r8 - 0.05, s"bigger cells must not catch fewer pairs: $r2 < $r8")
     assert(r8 >= 0.2, s"cluster confinement collapsed: $r8")
   }
+
+  test("adaptive cell ladder: base at shipped scale, doubles with occupancy, capped") {
+    import graft.operators.dedup.SemanticDedup._
+    assert(adaptiveCells(500) == BaseCells)
+    assert(adaptiveCells(BaseCells.toLong * TargetCell) == BaseCells)
+    assert(adaptiveCells(BaseCells.toLong * TargetCell + 1) == BaseCells * 2)
+    assert(adaptiveCells(200000) * TargetCell >= 200000 ||
+      adaptiveCells(200000) == MaxCells)
+    assert(adaptiveCells(Long.MaxValue) == MaxCells)
+  }
 }
