@@ -330,6 +330,41 @@ object DedupQueries {
       permilleOfDocs = 35)
   }
 
+  /** q123: benchmark n-gram DECONTAMINATION
+    * ([[graft.operators.dedup.Decontaminate]] — the GPT-3/Pile
+    * discipline, the n-gram-grain complement of q50's whole-document
+    * audit): a deterministic benchmark stratum (doc_id % 11 == 0) flags
+    * the remaining corpus at shingle grain through one broadcast join.
+    * The oracle replays the shingle hashing, the benchmark's distinct
+    * hash set, and every per-doc distinct-hit count — a document flagged
+    * for sharing 3-grams with a benchmark page it partially quotes is
+    * exactly what whole-doc fingerprints cannot see.
+    */
+  def q123Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.dedup.Decontaminate.flag(
+      docs.filter(col("doc_id") % 11 =!= 0),
+      docs.filter(col("doc_id") % 11 === 0),
+      "doc_id", "text")
+  }
+
+  def q123Oracle: String =
+    s"""$ShingleCtes,
+       |bh AS (
+       |  SELECT DISTINCT unnest(hashes) AS h FROM hl WHERE doc_id % 11 = 0
+       |), th AS (
+       |  SELECT doc_id, unnest(hashes) AS h FROM hl WHERE doc_id % 11 <> 0
+       |), hits AS (
+       |  SELECT doc_id, COUNT(DISTINCT h) AS n_hits
+       |  FROM th JOIN bh USING (h) GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
+       |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE doc_id IS NOT NULL AND doc_id % 11 <> 0) d
+       |LEFT JOIN hits USING (doc_id)""".stripMargin
+
   /** q122: the END-TO-END CURATION PIPELINE
     * ([[graft.pipelines.CurationPipeline]] — the LLM-side analog of the
     * tiki_dag gate q68): line cleaning → language filter (en) → quality
