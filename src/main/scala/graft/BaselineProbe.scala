@@ -34,11 +34,39 @@ object BaselineProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_baseline_probe_${ProcessHandle.current().pid()}"
+    // same lifecycle as PipelineQueries.scratch: repeated probe runs must
+    // not strand full raw-zone copies in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }))
 
     queries.PipelineQueries.writeQ68Raw(spark, sfDir, base, mult)
     val raw = graft.sources.RawZone.read(spark, s"$base/raw",
       date = Some("2024-03-15")).cache()
     val nRaw = raw.count() // materialize the input outside the timed window
+    // Order-free field hash over the parse-relevant columns, mirrored in
+    // DuckDB by tools/baseline_bench.py over ITS generated frame: the
+    // "exactly the same records" premise fails loudly instead of drifting
+    // silently if either generator changes alone.
+    val rawChecksum = raw.select(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.concat_ws("|",
+                org.apache.spark.sql.functions.col("product_id"),
+                org.apache.spark.sql.functions.col("sku"),
+                org.apache.spark.sql.functions.col("price"),
+                org.apache.spark.sql.functions.col("quantity_sold"),
+                org.apache.spark.sql.functions.col("rating"),
+                org.apache.spark.sql.functions.col("review_count"),
+                org.apache.spark.sql.functions.col("_extracted_at"))
+              .cast("binary")), 1, 8), 16, 10).cast("long")))
+      .head.getLong(0)
 
     def once(): Unit = {
       val deduped = graft.pipelines.TikiDailyPipeline.dedupedOf(raw).cache()
@@ -54,7 +82,7 @@ object BaselineProbe {
       once()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"""{"metric":"tiki_transform_equiv","sf":"$sfDir","mult":$mult,"n_raw_records":$nRaw,"transform_sec":${times.min}%.3f}""")
+    println(f"""{"metric":"tiki_transform_equiv","sf":"$sfDir","mult":$mult,"n_raw_records":$nRaw,"raw_checksum":$rawChecksum,"transform_sec":${times.min}%.3f}""")
     spark.stop()
   }
 }

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * EXTERNAL benchmark at n-gram grain — a benchmark answer pasted inside
   * a larger page still trips it.
   *
-  * Shingles ride the codegen'd [[graft.plans.ShingleHash]] expression
-  * (normalized word 3-grams → 8-byte hashes; production decontamination
-  * often uses 8–13-gram windows — at that grain use [[WinnowDedup]]'s
-  * fingerprint windows, same discipline, sparser selection).
+  * Shingles ride the native [[graft.plans.ShingleHash]] expression
+  * (normalized word n-grams → 8-byte hashes). The width is a knob:
+  * n=3 is the aggressive default, n=8..13 the production discipline
+  * (GPT-3 appendix C uses 8-grams, The Pile 13-grams, Llama 2 similar) —
+  * wider windows trade recall on short quotes for far fewer incidental
+  * collisions. For SPARSER selection at wide n (sampled fingerprints
+  * instead of every window) use [[WinnowDedup]], same discipline.
   *
   * Scale shape: benchmark sets are small (10²–10⁵ docs), so their
   * distinct shingle-hash frame is dim-sized and BROADCASTS to the
@@ -32,15 +35,18 @@ object Decontaminate {
   /** (idCol, n_hits, contaminated) for every train doc with a non-null
     * id: n_hits = distinct benchmark shingles the document shares
     * (null/short texts shingle to nothing → 0, never dropped).
+    *
+    * @param shingleN n-gram window width; 3 by default, 8–13 for the
+    *                 production benchmark-decontamination regimes.
     */
   def flag(train: DataFrame, bench: DataFrame, idCol: String,
-           textCol: String): DataFrame = {
+           textCol: String, shingleN: Int = 3): DataFrame = {
     val benchShingles = bench
-      .select(explode(TextShingles.shingleHashes(col(textCol))).as("__h"))
+      .select(explode(TextShingles.shingleHashes(col(textCol), shingleN)).as("__h"))
       .distinct()
     val trainShingles = train
       .filter(col(idCol).isNotNull)
-      .select(col(idCol), explode(TextShingles.shingleHashes(col(textCol))).as("__h"))
+      .select(col(idCol), explode(TextShingles.shingleHashes(col(textCol), shingleN)).as("__h"))
     val hits = trainShingles.join(broadcast(benchShingles), Seq("__h"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__h")).as("n_hits"))

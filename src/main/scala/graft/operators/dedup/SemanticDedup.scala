@@ -18,8 +18,12 @@ import graft.operators.similarity.{IvfAnn, VectorFns}
   * a smaller-id vector above the threshold shares its cluster) — ids are
   * stable, so reruns keep identical survivors. This is SemDeDup's
   * keep-one-per-pair-relation discipline, not transitive-closure
-  * clustering ([[DupClusters]] exists for that); a chain a~b~c with
-  * cos(a,c) below the threshold keeps a AND c, dropping only b.
+  * clustering ([[DupClusters]] exists for that). Note the rule tests
+  * against ALL smaller-id above-threshold neighbors, kept or dropped: a
+  * chain a~b~c with cos(a,c) below the threshold keeps ONLY a — b drops
+  * against a, and c drops against b even though b itself was dropped.
+  * (Testing only against kept vectors would keep c; both disciplines
+  * appear in practice, this operator and its oracle pin the former.)
   *
   * Approximation contract: a duplicate pair SPLIT by the cluster
   * boundary is missed. How often that happens depends on the threshold

@@ -23,10 +23,16 @@ object TextShingles {
     * a repartition it runs on a single core no matter how many the cluster
     * has.
     */
-  def shingleHashes(text: Column): Column = {
+  def shingleHashes(text: Column): Column = shingleHashes(text, 3)
+
+  /** Width-parameterized variant: n is the shingle width in tokens —
+    * [[Decontaminate]] threads the production 8–13-gram discipline
+    * through here; everything else uses the 3-gram default.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.plans.ShingleHash(ColumnBridge.expression(text),
-      distinct = true))
+      distinct = true, n = n))
   }
 
   /** Ordered NON-distinct variant: every 3-gram occurrence hashes, in

@@ -143,8 +143,20 @@ object GraftExtensions {
   }
 
   private val shingleBuilder: Seq[Expression] => Expression = { children =>
-    require(children.size == 1, "shingle_hash takes exactly 1 argument")
-    ShingleHash(children.head, distinct = true)
+    require(children.size == 1 || children.size == 2,
+      "shingle_hash takes 1 or 2 arguments: shingle_hash(text[, n])")
+    if (children.size == 1) ShingleHash(children.head, distinct = true)
+    else {
+      // width must be a literal: it shapes the expression, not a per-row
+      // input (matches how Spark's own `ngrams`-style widths are consumed)
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle_hash width must be an integer literal, got $other")
+      }
+      ShingleHash(children.head, distinct = true, n = n)
+    }
   }
 
   /** The full SQL function surface, public so hosts that cannot set

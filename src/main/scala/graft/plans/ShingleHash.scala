@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native word-3-gram shingle hashing: normalize → tokenize → shingle →
-  * md5-prefix mod P, in one JVM pass.
+/** Native word-n-gram shingle hashing (default n=3): normalize → tokenize
+  * → shingle → md5-prefix mod P, in one JVM pass.
   *
   * Semantically identical to the composed built-in pipeline
   * (TextShingles.shingleHashes): normalization trims ASCII spaces and
@@ -27,9 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * @param distinct true → first-occurrence-distinct hash set (dedup
   *                 family); false → ordered non-distinct sequence
   *                 (winnowing needs positions).
+  * @param n        shingle width in tokens. 3 is the near-dup default;
+  *                 production benchmark DECONTAMINATION uses 8–13-gram
+  *                 windows (GPT-3 appendix C / The Pile / Llama), which
+  *                 [[graft.operators.dedup.Decontaminate]] threads
+  *                 through here. Documents shorter than n tokens hash
+  *                 the whole normalized text.
   */
-case class ShingleHash(child: Expression, distinct: Boolean)
+case class ShingleHash(child: Expression, distinct: Boolean, n: Int = 3)
     extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -41,7 +48,7 @@ case class ShingleHash(child: Expression, distinct: Boolean)
       s"shingle_hash expects string, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any = {
-    val hashes = ShingleHash.hashText(input.asInstanceOf[UTF8String].toString, distinct)
+    val hashes = ShingleHash.hashText(input.asInstanceOf[UTF8String].toString, distinct, n)
     ArrayData.toArrayData(hashes)
   }
 
@@ -82,12 +89,12 @@ object ShingleHash {
     v % P
   }
 
-  def hashText(text: String, distinct: Boolean): Array[Long] = {
+  def hashText(text: String, distinct: Boolean, n: Int = 3): Array[Long] = {
     val norm = normalize(text)
     val toks = norm.split(" ", -1)
     val shingles: Array[String] =
-      if (toks.length >= 3)
-        Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      if (toks.length >= n)
+        Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
       else Array(norm)
     val out = shingles.map(hashShingle)
     if (distinct) {

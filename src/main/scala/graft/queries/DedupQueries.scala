@@ -22,14 +22,14 @@ object DedupQueries {
     * it would diverge — Spark carries a null array through while DuckDB's
     * list functions silently drop the doc.
     */
-  private val ShingleCtes =
+  private def shingleCtesN(n: Int): String =
     s"""WITH docs AS (
        |  SELECT doc_id, text, $NormSql AS norm FROM documents WHERE text IS NOT NULL
        |), toks AS (
        |  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM docs
        |), sh AS (
-       |  SELECT doc_id, CASE WHEN len(t) >= 3
-       |    THEN list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))
+       |  SELECT doc_id, CASE WHEN len(t) >= $n
+       |    THEN list_transform(range(len(t)-${n - 1}), i -> array_to_string(t[i+1:i+$n], ' '))
        |    ELSE [norm] END AS shingles
        |  FROM toks
        |), hl AS (
@@ -37,6 +37,8 @@ object DedupQueries {
        |    s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS hashes
        |  FROM sh
        |)""".stripMargin
+
+  private val ShingleCtes = shingleCtesN(3)
 
   def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
     ExactDedup.groups(Tables.documents(spark, dir), "doc_id", "text")
@@ -340,17 +342,23 @@ object DedupQueries {
     * for sharing 3-grams with a benchmark page it partially quotes is
     * exactly what whole-doc fingerprints cannot see.
     */
+  /** The gate runs BOTH width regimes — n=3 (the aggressive default) and
+    * n=8 (the GPT-3-appendix-C production grain) — tagged by `shingle_n`,
+    * so the width knob itself is oracle-verified, not just the default.
+    */
   def q123Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
-    graft.operators.dedup.Decontaminate.flag(
-      docs.filter(col("doc_id") % 11 =!= 0),
-      docs.filter(col("doc_id") % 11 === 0),
-      "doc_id", "text")
+    val train = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    Seq(3, 8).map { n =>
+      graft.operators.dedup.Decontaminate.flag(train, bench, "doc_id", "text", n)
+        .withColumn("shingle_n", lit(n))
+    }.reduce(_ unionByName _)
   }
 
-  def q123Oracle: String =
-    s"""$ShingleCtes,
+  private def q123ArmSql(n: Int): String =
+    s"""(${shingleCtesN(n)},
        |bh AS (
        |  SELECT DISTINCT unnest(hashes) AS h FROM hl WHERE doc_id % 11 = 0
        |), th AS (
@@ -360,10 +368,15 @@ object DedupQueries {
        |  FROM th JOIN bh USING (h) GROUP BY 1
        |)
        |SELECT d.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
-       |  COALESCE(hits.n_hits, 0) > 0 AS contaminated
+       |  COALESCE(hits.n_hits, 0) > 0 AS contaminated, $n AS shingle_n
        |FROM (SELECT doc_id FROM documents
        |      WHERE doc_id IS NOT NULL AND doc_id % 11 <> 0) d
-       |LEFT JOIN hits USING (doc_id)""".stripMargin
+       |LEFT JOIN hits USING (doc_id))""".stripMargin
+
+  def q123Oracle: String =
+    s"""SELECT * FROM ${q123ArmSql(3)}
+       |UNION ALL
+       |SELECT * FROM ${q123ArmSql(8)}""".stripMargin
 
   /** q122: the END-TO-END CURATION PIPELINE
     * ([[graft.pipelines.CurationPipeline]] — the LLM-side analog of the

@@ -186,8 +186,11 @@ object StreamingQueries {
       |FROM numbered
       |GROUP BY user_id, session_id""".stripMargin
 
-  private[queries] val FeedDays = 8
-  private[queries] val UserCap = 100L
+  // private[graft] (not [queries]) so StatefulGatesSpec audits the SAME
+  // constants the gates drive — a spec-local copy could silently audit a
+  // different feed than the one the oracles replay
+  private[graft] val FeedDays = 8
+  private[graft] val UserCap = 100L
 
   /** The capped feed every streaming gate (q108/q110/q111) derives from:
     * ts/user null filters, the `user_id < UserCap` keyspace bound (the

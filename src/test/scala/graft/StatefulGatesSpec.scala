@@ -14,8 +14,10 @@ import graft.queries.{FeedHarness, StreamingQueries}
 class StatefulGatesSpec extends SparkSpec {
   import spark.implicits._
 
-  private val UserCap = 100L
-  private val FeedDays = 8
+  // the gates' OWN constants (StreamingQueries), not spec-local copies:
+  // if cappedFeed changes, these audits change with it by definition
+  private val UserCap = StreamingQueries.UserCap
+  private val FeedDays = StreamingQueries.FeedDays
 
   private def fed(dir: String) = {
     val evAll = Tables.events(spark, dir)
@@ -26,7 +28,7 @@ class StatefulGatesSpec extends SparkSpec {
   }
 
   test("q110 boundary audit: no session-close instant within 1 ms of the watermark") {
-    for (s <- Seq("0.001", "0.01")) {
+    for (s <- Seq("0.001", "0.01", "0.1")) {
       val f = fed(sf(s))
       // final watermark exactly as Spark computes it: max event time
       // floored to ms, minus the 1-day delay
@@ -44,7 +46,7 @@ class StatefulGatesSpec extends SparkSpec {
   }
 
   test("q108 boundary audit: no dedup-state expiry within 1 ms of a day watermark") {
-    for (s <- Seq("0.001", "0.01")) {
+    for (s <- Seq("0.001", "0.01", "0.1")) {
       val f = fed(sf(s))
       // per-key first-of-day feed rows (the q108 feed) and each day's
       // watermark; the audit is coarser than the recursive chain — it

@@ -103,7 +103,6 @@ SELECT
   'Brand ' || CAST(pk % 50 AS VARCHAR) AS brand,
   'Seller ' || CAST(pk % 30 AS VARCHAR) AS seller,
   CAST(pk % 30 AS VARCHAR) AS seller_id,
-  'http://t/s' || CAST(pk % 30 AS VARCHAR) || '.png' AS seller_logo,
   'slug-' || CAST(pk % 25 AS VARCHAR) AS category_name,
   'http://t/' || CAST(pk AS VARCHAR) || '.jpg' AS thumbnail_url,
   'https://tiki.vn/p/' || CAST(pk AS VARCHAR) AS product_url,
@@ -120,6 +119,16 @@ for mult in (1, 10):
     raw_df = con.execute(RECORD_SQL.replace("{mult}", str(mult))).df()
     tiki[mult] = {
         "n_raw_records": len(raw_df),
+        # order-free field hash mirrored by BaselineProbe over ITS records:
+        # the two generators are asserted identical further down, so silent
+        # arithmetic drift between the python replica and snapRecord fails
+        # loudly instead of quietly unleveling the comparison
+        "raw_checksum": int(con.execute(
+            """SELECT SUM(CAST('0x' || substr(md5(
+                 product_id || '|' || sku || '|' || price || '|' ||
+                 quantity_sold || '|' || rating || '|' || review_count ||
+                 '|' || _extracted_at), 1, 8) AS BIGINT))
+               FROM raw_df""").fetchone()[0]),
         "transform_s": round(best_of(3, lambda: transform_tiki.transform_data(raw_df)), 3),
         "n_fact_rows": len(transform_tiki.transform_data(raw_df)[0]),
     }
@@ -143,6 +152,14 @@ for mult in (1, 10):
         # invalid-or-misleading BASELINE_MEASURED.json downstream tools trust
         sys.exit("BaselineProbe run failed (mult=%d):\n%s\n%s" % (
             mult, (out.stdout or "")[-1000:], (out.stderr or "")[-1000:]))
+    if graft_tiki[mult].get("raw_checksum") != tiki[mult]["raw_checksum"] or \
+            graft_tiki[mult].get("n_raw_records") != tiki[mult]["n_raw_records"]:
+        sys.exit("generator drift (mult=%d): python %s/%s vs probe %s/%s — "
+                 "the 'same records' premise is broken; realign RECORD_SQL "
+                 "with PipelineQueries.snapRecord" % (
+                     mult, tiki[mult]["n_raw_records"], tiki[mult]["raw_checksum"],
+                     graft_tiki[mult].get("n_raw_records"),
+                     graft_tiki[mult].get("raw_checksum")))
 
 # ---- trends transform input: the q104 run-1 CSV shape --------------------
 keywords = [f"kw{k}" for k in range(12)]
