@@ -51,7 +51,7 @@ object IvfAnn {
   /** Same, from a pre-projected corpus and prebuilt centroid row — lets
     * [[search]] build both exactly once.
     */
-  private def assignFrom(v: DataFrame, cents: DataFrame): DataFrame =
+  private[similarity] def assignFrom(v: DataFrame, cents: DataFrame): DataFrame =
     v.join(broadcast(cents), lit(true))
       .withColumn("best", aggregate(
         col("cents"),
@@ -125,7 +125,7 @@ object IvfAnn {
     * H=512); the probe is two tight primitive loops inside whole-stage
     * codegen and one ~2 MB broadcast.
     */
-  private def assignViaProbe(v: DataFrame,
+  private[similarity] def assignViaProbe(v: DataFrame,
                              trained: Array[Array[Long]]): DataFrame = {
     val k = trained.length
     val dim = trained.head.length
@@ -163,7 +163,7 @@ object IvfAnn {
     * training state (k·dims literals — centroid-count-bounded, the same
     * plan-size argument as the probe knobs).
     */
-  private def trainedCentroidRow(v: DataFrame,
+  private[similarity] def trainedCentroidRow(v: DataFrame,
                                  cents: Array[Array[Long]]): DataFrame = {
     val structs = cents.zipWithIndex.map { case (c, j) =>
       val (w, nrm) = KMeansExact.dequantize(c)
@@ -176,8 +176,19 @@ object IvfAnn {
 
   private def searchWith(v: DataFrame, cents: DataFrame,
                          queryPred: Column => Column, k: Int,
-                         probes: Int): DataFrame = {
-    val assigned = assignFrom(v, cents).cache()
+                         probes: Int): DataFrame =
+    searchAssigned(assignFrom(v, cents).cache(), cents, queryPred, k, probes)
+
+  /** Probe + exact re-rank over an ALREADY-assigned corpus (vid, vec,
+    * nrm, cluster_id) — the back half of [[search]], split out so an
+    * incrementally-maintained assignment table ([[IvfIncremental]]) can
+    * be searched without re-assigning anything. Caller caches `assigned`
+    * if its lineage is expensive (it is consumed twice: queries +
+    * candidates).
+    */
+  private[similarity] def searchAssigned(assigned: DataFrame, cents: DataFrame,
+                                         queryPred: Column => Column, k: Int,
+                                         probes: Int): DataFrame = {
     val queries = assigned.filter(queryPred(col("vid")))
       .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val probeCells = queries.join(broadcast(cents), lit(true))

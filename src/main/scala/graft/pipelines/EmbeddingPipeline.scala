@@ -1,0 +1,100 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.dedup.SemanticDedup
+
+/** End-to-end EMBEDDING-side curation — the similarity-space analog of
+  * [[CurationPipeline]] (which is lexical): the chunk → dedup → embed →
+  * cluster → semantic-dedup chain an RAG-index / training-corpus build
+  * runs, composed from the library's gated operators in one call.
+  *
+  *  1. token-window CHUNKING ([[TextFns.chunked]], the q94 operator):
+  *     fixed-size overlapping windows over the normalized text.
+  *  2. chunk-grain EXACT dedup on the chunk fingerprint (md5), min
+  *     chunk_id survivor with a duplicate count — the cheap lexical pass
+  *     runs BEFORE the embed stage so duplicated boilerplate windows
+  *     never pay for inference (at 100 TB, embedding cost dominates
+  *     everything upstream of it; deduping first is the whole economics
+  *     of the stage order).
+  *  3. EMBED each surviving chunk. Production would run model inference
+  *     (`mapInPandas` batches) or join a chunk-keyed embedding store
+  *     co-partitioned on the fingerprint; this library has no model in
+  *     the container, so the stand-in is a DETERMINISTIC lookup into the
+  *     `embeddings` table keyed by `md5(fp) mod n_vecs` — honest about
+  *     being a stub, while the plumbing around it (dedup-before-embed,
+  *     dim-sized broadcast join, downstream clustering) is the real
+  *     design and is what the oracle replays.
+  *  4. SemDeDup-style SEMANTIC dedup over the chunk vectors
+  *     ([[SemanticDedup.flaggedAdaptive]], the q121 operator):
+  *     occupancy-adaptive trained k-means cells + within-cell min-id-wins
+  *     near-identical drop.
+  *
+  * Chunk ids are `doc_id * ChunkIdStride + chunk_no` — pure arithmetic
+  * (engine-replayable, no global row_number, which would be a
+  * single-partition window at scale) and order-preserving within a
+  * document, so min-id-wins keeps the EARLIEST occurrence.
+  *
+  * Scale shape: stage 1 is a codegen projection; stage 2 is ONE shuffle
+  * on the fingerprint (map-side partial min/count); stage 3 is a
+  * broadcast join (the embedding table here is dim-sized; a real store
+  * would be co-partitioned on the key instead); stage 4 is the q121
+  * shape — broadcast-probe assignment, cell-bounded pair scan. Nothing
+  * O(chunks²) anywhere.
+  */
+object EmbeddingPipeline {
+
+  /** Spacing of chunk ids within a document; bounds chunk_no, not doc
+    * count. 10^5 chunks/doc ≈ 2.4M tokens at the q94 stride — far above
+    * any real document, and doc ids stay exact up to ~9·10^13.
+    */
+  val ChunkIdStride = 100000L
+
+  /** @param docs       (idCol: long, textCol: string) corpus
+    * @param embeddings (vec_id: long, embedding: array<float>) lookup
+    *                   table for the stub embed stage; vec_ids must be
+    *                   dense from 0 (the testdata contract)
+    * @return one row per chunk SURVIVING exact dedup:
+    *         (doc_id, chunk_no, n_dups, vec_id, cluster_id, kept) —
+    *         kept = survived semantic dedup too.
+    */
+  def run(docs: DataFrame, embeddings: DataFrame, idCol: String,
+          textCol: String, chunkTokens: Int, overlap: Int,
+          threshold: Double, trainIters: Int, dims: Int): DataFrame = {
+    val chunks = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextFns.chunked(col(textCol), chunkTokens, overlap)).as("c"))
+      .select(
+        (col(idCol) * ChunkIdStride + col("c.chunk_no")).as("chunk_id"),
+        md5(col("c.chunk_text").cast("binary")).as("fp"))
+    // exact chunk dedup: min-id survivor + dup count in one fingerprint
+    // aggregate (map-side partial; never a window sort)
+    val surv = chunks.groupBy(col("fp"))
+      .agg(min(col("chunk_id")).as("chunk_id"), count(lit(1)).as("n_dups"))
+    // bounded scalar (one aggregate row): the stub keyspace size
+    val nVecs = embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val withVec = graft.operators.OpCache.cache(
+      surv
+        .withColumn("vec_id",
+          conv(substring(md5(col("fp").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % nVecs)
+        .join(broadcast(embeddings.select(col("vec_id"), col("embedding"))),
+          Seq("vec_id")))
+    // semantic dedup consumes the corpus several times (count, train,
+    // assign, pair-scan); the cache above keeps the chunk/dedup lineage
+    // single-run
+    val flags = SemanticDedup.flaggedAdaptive(
+        withVec.select(col("chunk_id"), col("embedding")),
+        "chunk_id", "embedding", threshold, trainIters, dims)
+      .withColumnRenamed("vec_id", "chunk_id")
+    withVec.select(col("chunk_id"), col("n_dups"), col("vec_id"))
+      .join(flags, Seq("chunk_id"))
+      .select(
+        expr(s"chunk_id DIV $ChunkIdStride").as("doc_id"),
+        (col("chunk_id") % ChunkIdStride).cast("int").as("chunk_no"),
+        col("n_dups"), col("vec_id"), col("cluster_id"), col("kept"))
+  }
+}

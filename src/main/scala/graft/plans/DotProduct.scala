@@ -173,6 +173,7 @@ object GraftExtensions {
     "clean_price" -> CleanFns.cleanPrice,
     "extract_category_id" -> CleanFns.extractCategoryId,
     "extract_url_key" -> CleanFns.extractUrlKey,
+    "parse_snapshot_date" -> CleanFns.toSnapshotDate,
     "category_leaf" -> CleanFns.categoryLeaf,
     "category_root" -> CleanFns.categoryRoot,
     "category_depth" -> CleanFns.categoryDepth,

@@ -24,7 +24,15 @@ object IvfQueries {
       _ < 10, k = SimilarityQueries.K, nCentroids = NCentroids,
       probes = Probes, trainIters = TrainIters, dims = SimilarityQueries.Dims)
 
-  def q33Oracle: String = {
+  def q33Oracle: String = ivfSearchOracleSql("embeddings")
+
+  /** q33's full replay (training → assignment → probe → re-rank) with a
+    * parameterized TRAINING corpus: q33 trains on the whole table, q126
+    * on the pre-delta base — everything downstream (assigning/searching
+    * the full table) is identical, which is exactly the frozen-centroid
+    * incremental contract.
+    */
+  private def ivfSearchOracleSql(trainFromSql: String): String = {
     val dims = SimilarityQueries.Dims
     def dot(a: String, b: String) = (1 to dims)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
@@ -35,7 +43,7 @@ object IvfQueries {
       .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*$c.w$i")
       .mkString(" + ")
     val sumsq = dot("embedding", "embedding")
-    val training = KMeansExact.oracleCtes("km", "embeddings", "vec_id",
+    val training = KMeansExact.oracleCtes("km", trainFromSql, "vec_id",
       "embedding", NCentroids, TrainIters, dims)
     s"""WITH $training
        |n AS MATERIALIZED (
@@ -71,6 +79,39 @@ object IvfQueries {
        |WHERE rank <= ${SimilarityQueries.K}""".stripMargin
   }
 
+  /** Delta stratum for the q126 incremental-maintenance gate: every 5th
+    * vector arrives as the "new day" append; centroids train on the
+    * remaining 80% base. Repeated in the oracle's train predicate.
+    */
+  val DeltaMod = 5
+
+  /** q126: INCREMENTAL IVF maintenance
+    * ([[graft.operators.similarity.IvfIncremental]] — the similarity-side
+    * sibling of incremental dedup q92 and partition-pruned MERGE q98):
+    * build the index on the pre-delta base (train + assign), APPEND the
+    * delta through the frozen-centroid codegen probe without touching a
+    * base row, then search the maintained index. Because centroids are
+    * frozen, the oracle needs no knowledge of the append at all: it
+    * replays train-on-base → assign-the-UNION → probe → re-rank — the
+    * batch single-pass result the incremental path must equal (the
+    * operator's core contract; batching-invariance is additionally
+    * spec-pinned).
+    */
+  def q126IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.similarity.IvfIncremental
+    val emb = Tables.embeddings(spark, dir)
+    val idx = IvfIncremental.build(
+      emb.filter(col("vec_id") % DeltaMod =!= 0), "vec_id", "embedding",
+      NCentroids, TrainIters, SimilarityQueries.Dims)
+    val appended = IvfIncremental.append(idx,
+      emb.filter(col("vec_id") % DeltaMod === 0), "vec_id", "embedding")
+    IvfIncremental.search(appended, _ < 10, SimilarityQueries.K, Probes)
+  }
+
+  def q126Oracle: String =
+    ivfSearchOracleSql(s"(SELECT * FROM embeddings WHERE vec_id % $DeltaMod <> 0)")
+
   val SemThreshold = 0.4 // the corpus's near-dup boundary (q31's threshold)
 
   /** q121: SemDeDup-style SEMANTIC dedup
@@ -87,7 +128,23 @@ object IvfQueries {
       threshold = SemThreshold, trainIters = TrainIters,
       dims = SimilarityQueries.Dims)
 
-  def q121Oracle: String = {
+  def q121Oracle: String =
+    s"""WITH ${semFlagCtes("SELECT vec_id, embedding FROM embeddings", SemThreshold)}
+       |SELECT vec_id, cluster_id, kept FROM semflags""".stripMargin
+
+  /** CTE chain (for a WITH list) replaying
+    * [[graft.operators.dedup.SemanticDedup.flaggedAdaptive]] over an
+    * ARBITRARY corpus subquery producing (vec_id, embedding): the
+    * occupancy-adaptive cell ladder and training-sample modulus as
+    * integer CASE ladders, the full k-means training replay, every
+    * assignment, and the per-pair drop rule — ending in
+    * `semflags(vec_id, cluster_id, kept)`. Shared by q121 (corpus = the
+    * embeddings table) and q124 (corpus = the chunk-derived vectors), so
+    * the composed pipeline's replay is definitionally the per-stage
+    * gate's replay.
+    */
+  private[queries] def semFlagCtes(corpusSql: String,
+                                   threshold: Double): String = {
     import graft.operators.dedup.SemanticDedup
     import graft.operators.similarity.NswAnn
     val dims = SimilarityQueries.Dims
@@ -105,24 +162,25 @@ object IvfQueries {
         .takeWhile(_ < SemanticDedup.MaxCells)
         .map(k => s"WHEN count(*) <= ${k.toLong * SemanticDedup.TargetCell} THEN $k")
         .mkString(" ")
-      s"SELECT CASE $steps ELSE ${SemanticDedup.MaxCells} END AS k FROM embeddings"
+      s"SELECT CASE $steps ELSE ${SemanticDedup.MaxCells} END AS k FROM semcorpus"
     }
     val modLadder = {
       val steps = Iterator.iterate(1)(_ << 1)
         .takeWhile(_ < NswAnn.MaxModulus)
         .map(m => s"WHEN count(*) <= ${m.toLong * NswAnn.TrainCap} THEN $m")
         .mkString(" ")
-      s"SELECT CASE $steps ELSE ${NswAnn.MaxModulus} END AS m FROM embeddings"
+      s"SELECT CASE $steps ELSE ${NswAnn.MaxModulus} END AS m FROM semcorpus"
     }
     val training = KMeansExact.oracleCtes("km",
-      "(SELECT * FROM embeddings WHERE vec_id % (SELECT m FROM smod) = 0)",
+      "(SELECT * FROM semcorpus WHERE vec_id % (SELECT m FROM smod) = 0)",
       "vec_id", "embedding", SemanticDedup.MaxCells, TrainIters, dims,
       kSql = "SELECT k FROM nc")
-    s"""WITH nc AS ($cellLadder),
+    s"""semcorpus AS MATERIALIZED ($corpusSql),
+       |nc AS ($cellLadder),
        |smod AS ($modLadder),
        |$training
        |n AS MATERIALIZED (
-       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
+       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM semcorpus
        |), asgscore AS (
        |  SELECT v.vec_id AS vid, v.e, v.nrm, c.cid,
        |    (${dotW("v.e", "c")}) / (v.nrm * c.cnrm) AS ccos
@@ -132,13 +190,64 @@ object IvfQueries {
        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crank
        |    FROM asgscore) t
        |  WHERE crank = 1
-       |)
+       |), semflags AS (
        |SELECT a.vid AS vec_id, a.cluster_id,
        |  NOT EXISTS (
        |    SELECT 1 FROM asg b
        |    WHERE b.cluster_id = a.cluster_id AND b.vid < a.vid
-       |      AND (${dot("a.e", "b.e")}) / (a.nrm * b.nrm) > $SemThreshold
+       |      AND (${dot("a.e", "b.e")}) / (a.nrm * b.nrm) > $threshold
        |  ) AS kept
-       |FROM asg a""".stripMargin
+       |FROM asg a)""".stripMargin
+  }
+
+  /** q124: the END-TO-END EMBEDDING PIPELINE
+    * ([[graft.pipelines.EmbeddingPipeline]] — the similarity-space analog
+    * of the q122 curation chain): token-window chunking (q94's operator)
+    * → chunk-fingerprint exact dedup → deterministic stub embed-join →
+    * occupancy-adaptive semantic dedup (q121's operator), one composed
+    * call. The DuckDB oracle replays the WHOLE chain from raw
+    * `documents` + `embeddings`: the q94 window CTEs, the min-chunk-id
+    * fingerprint groups, the md5-mod-n lookup keys, and the complete
+    * q121 training/assignment/drop replay over the DERIVED chunk corpus
+    * — a stage wired in the wrong order (embed before dedup, cluster on
+    * pre-dedup chunks) hash-fails.
+    */
+  def q124EmbeddingPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.EmbeddingPipeline.run(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      "doc_id", "text", chunkTokens = 32, overlap = 8,
+      threshold = SemThreshold, trainIters = TrainIters,
+      dims = SimilarityQueries.Dims)
+
+  def q124Oracle: String = {
+    val stride = graft.pipelines.EmbeddingPipeline.ChunkIdStride
+    val corpus = "SELECT chunk_id AS vec_id, embedding FROM embjoin"
+    s"""WITH toks AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |), starts AS (
+       |  SELECT doc_id, t, unnest(range(0, GREATEST(len(t) - 1, 0) + 1, 24)) AS s
+       |  FROM toks WHERE len(norm) > 0
+       |), chunkfp AS (
+       |  SELECT doc_id * $stride + (s // 24) AS chunk_id,
+       |    md5(array_to_string(t[s + 1 : s + 32], ' ')) AS fp
+       |  FROM starts
+       |  WHERE s = 0 OR s < len(t) - 8
+       |), surv AS MATERIALIZED (
+       |  SELECT fp, MIN(chunk_id) AS chunk_id, COUNT(*) AS n_dups
+       |  FROM chunkfp GROUP BY fp
+       |), nv AS (
+       |  SELECT MAX(vec_id) + 1 AS n FROM embeddings
+       |), embjoin AS MATERIALIZED (
+       |  SELECT s.chunk_id, s.n_dups, e.vec_id, e.embedding
+       |  FROM surv s JOIN embeddings e
+       |    ON e.vec_id = CAST('0x' || substr(md5(s.fp), 1, 8) AS BIGINT) % (SELECT n FROM nv)
+       |),
+       |${semFlagCtes(corpus, SemThreshold)}
+       |SELECT ej.chunk_id // $stride AS doc_id,
+       |  CAST(ej.chunk_id % $stride AS INTEGER) AS chunk_no,
+       |  ej.n_dups, ej.vec_id, f.cluster_id, f.kept
+       |FROM embjoin ej JOIN semflags f ON f.vec_id = ej.chunk_id""".stripMargin
   }
 }

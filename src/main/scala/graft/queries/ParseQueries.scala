@@ -49,6 +49,59 @@ object ParseQueries {
       CleanFns.toSnapshotDate(tsText).as("snapshot_date"))
   }
 
+  /** q125: q09's ENTIRE parse chain run through `spark.sql` on the
+    * [[graft.plans.GraftExtensions]]-registered function surface instead
+    * of the DataFrame API — the same derived inputs, the same six
+    * registered functions by their SQL names, the same oracle VERBATIM
+    * ([[q09Oracle]]). This oracle-gates SURVEY item 51b (the SQL surface):
+    * the spec already proves SQL ≡ DataFrame row-for-row; this proves the
+    * SQL path against the independent DuckDB replay, so a builder that
+    * resolved a name to the wrong Column tree would hash-fail here even
+    * if both engines' paths drifted together.
+    *
+    * Registration goes through the same `registrations` seq
+    * `spark.sql.extensions` installs — registerFunction is idempotent, so
+    * running the gate in a session that already loaded GraftExtensions is
+    * fine.
+    */
+  def q125SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.registrations.foreach { case (id, info, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey",
+        "l_suppkey", "l_shipdate")
+      .createOrReplaceTempView("graft_q125_lineitem")
+    // REPARTITION hint = q09's .repartition(col("l_orderkey")): one
+    // compressed parquet split would otherwise serialize the regex parse
+    spark.sql(
+      """WITH src AS (
+        |  SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber % 4 = 0 THEN concat('Đã bán ', CAST(CAST(floor(l_quantity) AS BIGINT) AS STRING))
+        |         WHEN l_linenumber % 4 = 1 THEN concat('Đã bán ', CAST(CAST(floor(l_quantity) AS BIGINT) AS STRING), 'k')
+        |         WHEN l_linenumber % 4 = 2 THEN concat('Đã bán ', CAST(CAST(floor(l_quantity) AS BIGINT) AS STRING), '.5tr')
+        |         ELSE concat('Đã bán ', CAST(l_partkey % 900 + 100 AS STRING), '.000') END AS sales_text,
+        |    concat('-', CAST(l_suppkey % 100 AS STRING), '%') AS discount_text,
+        |    CASE WHEN l_linenumber % 3 = 0 THEN concat(CAST(l_partkey % 900 + 100 AS STRING), '.000 VND')
+        |         WHEN l_linenumber % 3 = 1 THEN concat(CAST(l_partkey AS STRING), ' đ')
+        |         ELSE '' END AS price_text,
+        |    concat('https://tiki.vn/cat-', CAST(l_partkey AS STRING), '/c', CAST(l_partkey % 5000 AS STRING), '?page=2') AS url,
+        |    concat(date_format(l_shipdate, 'yyyy-MM-dd'), 'T16:49:55.805Z') AS ts_text
+        |  FROM graft_q125_lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  parse_sales_volume(sales_text) AS sales_volume_acc,
+        |  parse_discount_rate(discount_text) AS discount_rate,
+        |  clean_price(price_text) AS current_price,
+        |  extract_category_id(url) AS category_id,
+        |  extract_url_key(url) AS url_key,
+        |  parse_snapshot_date(ts_text) AS snapshot_date
+        |FROM src""".stripMargin)
+  }
+
+  /** q125 shares q09's oracle by construction — same inputs, same parse. */
+  def q125Oracle: String = q09Oracle
+
   def q09Oracle: String =
     """WITH src AS (
       |  SELECT l_orderkey, l_linenumber,
