@@ -114,7 +114,18 @@ object LshAnn {
     * factors are bit-for-bit unchanged.
     */
   val TargetOccupancy = 32
-  val MaxPlanes = 12
+
+  /** Ladder ceiling: covers 32·2¹⁸ ≈ 8.4M vectors at target occupancy.
+    * The round-13 100× probe measured the saturated ladder directly —
+    * MaxPlanes=12 caps coverage at 131k, so the 200k-vector corpus
+    * over-filled every bucket and q31 ran 142× at 100× data; the cap is
+    * the q121 fixed-k lesson in LSH form. Each plane costs one 64-lit
+    * dot per table per row (18·8 = 144 dots/row at the cap — linear,
+    * codegen'd, far under the 262k-literal HubTopTwo plan bomb); beyond
+    * 8.4M vectors, shard the corpus or raise the ceiling with the same
+    * arithmetic — the knob is the documented bound, not a silent one.
+    */
+  val MaxPlanes = 18
   def adaptivePlanes(n: Long): Int =
     (PlanesPerTable to MaxPlanes).find(b => n <= (TargetOccupancy.toLong << b))
       .getOrElse(MaxPlanes)

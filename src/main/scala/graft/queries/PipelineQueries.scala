@@ -86,6 +86,14 @@ object PipelineQueries {
       concat(lit("Brand "), s(pk % 50)).as("brand"),
       concat(lit("Seller "), s(pk % 30)).as("seller"),
       s(pk % 30).as("seller_id"),
+      // seller_logo/category_name are carried because the reference's
+      // transform_data selects them into dim_products
+      // (transform_tiki.py:631) — the BaselineProbe comparison frames must
+      // be column-identical to the pandas generator's. The Spark pipeline
+      // itself never reads them (it derives the category from
+      // _category_url instead, the crawler-payload semantics).
+      concat(lit("http://t/s"), s(pk % 30), lit(".png")).as("seller_logo"),
+      concat(lit("slug-"), s(pk % 25)).as("category_name"),
       concat(lit("http://t/"), s(pk), lit(".jpg")).as("thumbnail_url"),
       concat(lit("https://tiki.vn/p/"), s(pk)).as("product_url"),
       path.as("category_path"),

@@ -103,6 +103,7 @@ SELECT
   'Brand ' || CAST(pk % 50 AS VARCHAR) AS brand,
   'Seller ' || CAST(pk % 30 AS VARCHAR) AS seller,
   CAST(pk % 30 AS VARCHAR) AS seller_id,
+  'http://t/s' || CAST(pk % 30 AS VARCHAR) || '.png' AS seller_logo,
   'slug-' || CAST(pk % 25 AS VARCHAR) AS category_name,
   'http://t/' || CAST(pk AS VARCHAR) || '.jpg' AS thumbnail_url,
   'https://tiki.vn/p/' || CAST(pk AS VARCHAR) AS product_url,
@@ -191,6 +192,103 @@ if os.path.exists(bench_path):
     with open(bench_path) as f:
         graft = json.load(f).get("queries", {})
 
+# ---- analytics-layer equivalent: golden join + quality gate --------------
+# The reference's analytics layer is BigQuery SQL (no pandas path exists),
+# so the honest single-node stand-in is DuckDB running THE REPO'S OWN
+# oracle SQL for the same queries over the same parquet. That is strictly
+# conservative against graft: an embedded C++ OLAP engine with zero
+# job-scheduling overhead, vs Spark paying full job costs — while the real
+# reference pays a BigQuery network round trip on top. Oracle SQL comes
+# from a Verify dump (single source of truth; no SQL replica to drift).
+ANALYTICS_QS = ["q02_golden_join", "q08_quality_checks"]
+vdump = "/tmp/baseline_verify_dump"
+venv = dict(os.environ, SPARK_GRAFT_ONLY=ANALYTICS_QS[0])
+vr = subprocess.run(["sbt", "-batch", f"runMain graft.Verify {SFDIR} {vdump}"],
+                    capture_output=True, text=True, cwd=REPO, env=venv)
+orc_path = os.path.join(vdump, "oracle_sql.json")
+if not os.path.exists(orc_path):
+    sys.exit("Verify oracle dump failed:\n%s\n%s" % (
+        (vr.stdout or "")[-1000:], (vr.stderr or "")[-1000:]))
+oracle_sql = json.load(open(orc_path))
+con3 = duckdb.connect()
+con3.execute("SET TimeZone='UTC'")
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    pth = f"{SFDIR}/{t}.parquet"
+    if os.path.exists(pth):
+        con3.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pth}')")
+
+def duck_q(name):
+    # CREATE TEMP TABLE forces full evaluation in-engine (the noop-sink
+    # analog) without billing python row conversion to the baseline
+    return round(best_of(3, lambda: con3.execute(
+        f"CREATE OR REPLACE TEMP TABLE _r AS {oracle_sql[name]}")), 3)
+
+analytics = {
+    "duckdb_oracle_s": {q: duck_q(q) for q in ANALYTICS_QS},
+    "graft_bench_s": {q: graft.get(q) for q in ANALYTICS_QS},
+}
+analytics["ratio_graft_over_duckdb"] = {
+    q: (round(analytics["graft_bench_s"][q] / analytics["duckdb_oracle_s"][q], 2)
+        if analytics["graft_bench_s"].get(q) and analytics["duckdb_oracle_s"].get(q)
+        else None)
+    for q in ANALYTICS_QS}
+
+# Optional SCALE point (GRAFT_ANALYTICS_SCALE_DIR → a graft.ScaleUp output,
+# e.g. 10x of sf0.1 = 6M lineitem): at sub-second totals the sf0.1 ratio
+# measures Spark's fixed job costs, not throughput — the same crossover
+# argument as the transform comparison, measured instead of asserted. Both
+# engines run the identical oracle SQL / query over the scaled parquet;
+# graft numbers come from a fresh Bench run on that dir (best-of-3), not
+# from BENCH_LOCAL.
+scale_dirs = [d for d in os.environ.get("GRAFT_ANALYTICS_SCALE_DIR", "").split(",") if d]
+analytics["at_scale"] = []
+for scale_dir in scale_dirs:
+    con4 = duckdb.connect()
+    con4.execute("SET TimeZone='UTC'")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        pth = f"{scale_dir}/{t}.parquet"
+        if os.path.isdir(pth):  # graft.ScaleUp writes Spark-style dirs
+            con4.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pth}/*.parquet')")
+        elif os.path.exists(pth):
+            con4.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pth}')")
+    def duck_q_scaled(name):
+        return round(best_of(3, lambda: con4.execute(
+            f"CREATE OR REPLACE TEMP TABLE _r AS {oracle_sql[name]}")), 3)
+    benv = dict(os.environ, SPARK_GRAFT_SF_DIR=scale_dir,
+                SPARK_GRAFT_ONLY=",".join(ANALYTICS_QS),
+                SPARK_GRAFT_BENCH_OUT="/tmp/baseline_analytics_bench.json",
+                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    br = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                        capture_output=True, text=True, cwd=REPO, env=benv)
+    try:
+        scaled_graft = json.load(open("/tmp/baseline_analytics_bench.json"))["queries"]
+    except Exception:
+        sys.exit("scaled Bench run failed:\n%s\n%s" % (
+            (br.stdout or "")[-1000:], (br.stderr or "")[-1000:]))
+    sc = {
+        "scale_dir": scale_dir,
+        "n_lineitem": con4.execute("SELECT count(*) FROM lineitem").fetchone()[0],
+        "duckdb_oracle_s": {q: duck_q_scaled(q) for q in ANALYTICS_QS},
+        "graft_bench_s": {q: scaled_graft.get(q) for q in ANALYTICS_QS},
+    }
+    sc["ratio_graft_over_duckdb"] = {
+        q: (round(sc["graft_bench_s"][q] / sc["duckdb_oracle_s"][q], 2)
+            if sc["graft_bench_s"].get(q) and sc["duckdb_oracle_s"].get(q)
+            else None)
+        for q in ANALYTICS_QS}
+    analytics["at_scale"].append(sc)
+analytics["scale_note"] = (
+    "CREATE TEMP TABLE forces DuckDB to MATERIALIZE q02's full 60M-row "
+    "output while graft's noop sink only evaluates it — conservative "
+    "against DuckDB on q02; q08 aggregates to 7 rows so both sides are "
+    "agg-only and comparable. The criterion baseline is the REFERENCE "
+    "(pandas transform / BigQuery-over-network analytics); DuckDB is a "
+    "strictly stronger stand-in, so these ratios bound the criterion "
+    "from above.")
+
 result = {
     "sf_dir": SFDIR,
     "protocol": "best of 3 (min), logging disabled",
@@ -207,6 +305,7 @@ result = {
     "graft_bench_s": {k: graft.get(k) for k in
                       ["q68_tiki_pipeline", "q103_analytics_dag",
                        "q104_trends_dag", "q105_fx_rate_dag"]},
+    "analytics_equiv": analytics,
     "summary": {
         "transform_ratio_graft_over_ref_1x":
             round(graft_tiki[1]["transform_sec"] / tiki[1]["transform_s"], 2),
@@ -220,6 +319,11 @@ result = {
                 "multi-executor scaling",
     },
     "scope_notes": {
+        "analytics": "reference analytics is BigQuery SQL; DuckDB running "
+                     "the repo's own oracle SQL over the same parquet is "
+                     "the single-node proxy (conservative against graft: "
+                     "embedded engine, no job overhead, and the real "
+                     "reference pays a network round trip on top)",
         "tiki": "reference times transform_data only (in-memory pandas, no "
                 "I/O); graft q68 additionally writes+reads the raw JSON "
                 "zone, writes the warehouse, MERGEs dims, runs the quality "
