@@ -40,10 +40,16 @@ object TextShingles {
     * (duplicate-shingle ratio), where collapsing repeats would erase the
     * signal being measured.
     */
-  def shingleHashesAll(text: Column): Column = {
+  def shingleHashesAll(text: Column): Column = shingleHashesAll(text, 3)
+
+  /** Width-parameterized ordered variant (n-token windows, every
+    * occurrence, document order) — [[graft.functions.QualityRules]]'
+    * top-bigram rule runs this at n=2.
+    */
+  def shingleHashesAll(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.plans.ShingleHash(ColumnBridge.expression(text),
-      distinct = false))
+      distinct = false, n = n))
   }
 
   /** Reference composed-builtins formulation (kept for cross-checking the

@@ -80,4 +80,30 @@ object IvfIncremental {
   private def project(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
+
+  /** Persist the assignment table PARTITIONED BY cluster_id — the
+    * warehouse layout the IVF design argument rests on: a probe that
+    * touches `probes` cells reads `probes` directories and Spark's
+    * partition pruning skips every other file (IvfIncrementalSpec pins
+    * `PartitionFilters` + the selected-partition count in the scan node).
+    * A daily [[append]] then writes ONLY the delta's cell directories
+    * (dynamic partition overwrite — the #19 discipline), so maintenance
+    * I/O is O(delta) like the compute.
+    */
+  def writeAssigned(index: Index, path: String): Unit =
+    index.assigned.write.partitionBy("cluster_id")
+      .mode("overwrite").parquet(path)
+
+  /** Read a persisted assignment table back into searchable form.
+    * Partition-column type inference would narrow cluster_id to INT (its
+    * values are small); cast it back to LONG so the frame is
+    * schema-identical to what [[build]]/[[append]] produce and unions
+    * with in-memory deltas stay legal.
+    */
+  def readAssigned(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.select(col("vid"), col("vec"), col("nrm"),
+      col("cluster_id").cast("long").as("cluster_id"))
+  }
 }

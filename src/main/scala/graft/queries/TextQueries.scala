@@ -22,6 +22,63 @@ object TextQueries {
       TextFns.languageId(col("text")).as("predicted_lang")) ++ markerCols: _*)
   }
 
+  /** Gate thresholds: paper defaults except minStops=1 (see
+    * [[graft.functions.QualityRules.Thresholds]]) so both polarities of
+    * `passed` occur on the synthetic corpus (251/500 pass at sf0.01).
+    */
+  private val Q127Th = graft.functions.QualityRules.Thresholds(minStops = 1)
+
+  /** q127: Gopher-style quality RULES ([[graft.functions.QualityRules]] —
+    * the per-rule production filter discipline, Rae et al. 2021 A1.1/A1.2,
+    * vs q27's single blended score). The oracle recomputes every statistic
+    * from the normalized text with the identical arithmetic: exact counts,
+    * single divisions, the n=2 ShingleHash pipeline for the top-bigram
+    * fraction.
+    */
+  def q127QualityRules(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.QualityRules.report(
+      Tables.documents(spark, dir), "doc_id", "text", Q127Th)
+
+  def q127Oracle: String = {
+    import graft.functions.QualityRules._
+    val stops = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), t AS (
+       |  SELECT doc_id, norm, string_split(norm, ' ') AS w
+       |  FROM d WHERE length(norm) > 0
+       |), bg AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 2
+       |    THEN list_transform(range(len(w)-1),
+       |      i -> CAST('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 8) AS BIGINT) % 2147483647)
+       |    ELSE [CAST('0x' || substr(md5(norm), 1, 8) AS BIGINT) % 2147483647]
+       |    END AS h
+       |  FROM t
+       |), stats AS (
+       |  SELECT t.doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(length(norm) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+       |    ((length(norm) - length(replace(norm, '#', '')))
+       |      + (length(norm) - length(regexp_replace(norm, '\\.\\.\\.', '', 'g'))) / 3)
+       |      / len(w) AS symbol_ratio,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+       |    CAST(len(list_intersect(list_distinct(w), $stops)) AS BIGINT) AS n_stops,
+       |    CAST(list_max(list_transform(list_distinct(b.h),
+       |      g -> len(list_filter(b.h, x -> x = g)))) AS DOUBLE) / len(b.h) AS top_bigram_frac
+       |  FROM t JOIN bg b USING (doc_id)
+       |)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  n_stops, top_bigram_frac,
+       |  (n_words BETWEEN ${Q127Th.minWords} AND ${Q127Th.maxWords}
+       |    AND mean_word_len BETWEEN ${Q127Th.minMeanLen} AND ${Q127Th.maxMeanLen}
+       |    AND symbol_ratio <= ${Q127Th.maxSymbolRatio}
+       |    AND alpha_frac >= ${Q127Th.minAlphaFrac}
+       |    AND n_stops >= ${Q127Th.minStops}
+       |    AND top_bigram_frac <= ${Q127Th.maxTopBigramFrac}) AS passed
+       |FROM stats""".stripMargin
+  }
+
   def q26Oracle: String =
     """WITH m AS (
       |  SELECT doc_id, lang AS source_lang,

@@ -48,6 +48,45 @@ class IvfIncrementalSpec extends SparkSpec {
     assert(res.exists { case (q, _, _) => q % IvfQueries.DeltaMod == 0 })
   }
 
+  test("persisted index: cluster_id-partitioned layout prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    try {
+      val idx = IvfIncremental.append(build(), delta, "vec_id", "embedding")
+      IvfIncremental.writeAssigned(idx, dir)
+      val read = IvfIncremental.readAssigned(spark, dir)
+      // pruning checks run FIRST: the search below OpCaches the read
+      // frame, and CacheManager would then serve any same-plan scan from
+      // InMemoryRelation — hiding the parquet scan these assertions probe.
+      // The probe's defining property: a cell filter becomes a PARTITION
+      // filter on the scan — only the probed directories are read
+      val probed = read.filter(col("cluster_id").isin(0L, 3L))
+      val plan = probed.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("PartitionFilters") &&
+        plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cluster_id[^\\]]*\\].*"),
+        s"cluster_id filter did not reach the scan's partition filters:\n$plan")
+      // pruning is real, not just planned: the probed scan lists at most
+      // the 2 probed cell directories, while an unfiltered scan lists all
+      def partitionCount(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.partitionCount
+        }.head
+      val full = partitionCount(read)
+      val pruned = partitionCount(probed)
+      assert(pruned <= 2 && full > pruned,
+        s"pruning ineffective: $pruned of $full partitions scanned")
+      // searching the disk-backed table equals searching the in-memory one
+      val fromDisk = results(idx.copy(assigned = read))
+      assert(fromDisk == results(idx))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("append costs O(delta): the base assignment frame is reused untouched") {
     val idx = build()
     val appended = IvfIncremental.append(idx, delta, "vec_id", "embedding")
