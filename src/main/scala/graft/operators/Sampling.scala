@@ -141,6 +141,42 @@ object Sampling {
       .drop("__mixh", "rank")
   }
 
+  /** UNIFORM per-source document CAP over an OPEN source set — the
+    * domain-balancing discipline web-corpus builds apply ("at most N
+    * pages per domain"): unlike [[mixExactPerSource]]/[[weightedMix]],
+    * which take an explicit source→quota map and therefore require the
+    * source taxonomy up front, the cap applies to EVERY source the data
+    * contains — at 100 TB the domain column has millions of values nobody
+    * can enumerate, and the hot-domain tail is exactly what the cap
+    * exists to cut. Keeps the `cap` rows with the smallest salted md5
+    * rank (id tiebreak) per source; null sources form their own capped
+    * group (the [[stratifiedSample]] `<null>` convention — dropping them
+    * silently would exempt unattributed documents from balancing).
+    *
+    * Output = surviving rows plus `cap_rank` (1-based hash rank within
+    * the source), so downstream can tighten the cap by filtering without
+    * recomputation. Same scale shape as [[mixExactPerSource]]:
+    * [[TopK.perGroup]]'s map-side k-row buffers — the hottest domain
+    * ships k rows per mapper, never its full row set through one reducer.
+    */
+  def capPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                   cap: Int, salt: String = ":cap"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    Seq("__mixh", "__src", "rank", "cap_rank").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — capPerSource would clobber it"))
+    val hash = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 13),
+      16, 10).cast("long")
+    TopK.perGroup(
+        df.filter(col(idCol).isNotNull)
+          .withColumn("__src", coalesce(col(sourceCol), lit("<null>")))
+          .withColumn("__mixh", -hash),
+        Seq("__src"), "__mixh", idCol, cap)
+      .withColumnRenamed("rank", "cap_rank")
+      .drop("__mixh", "__src")
+  }
+
   /** WEIGHTED source mixing: a `totalK`-row budget split across sources
     * proportionally to explicit integer weights — "3 parts web to 1 part
     * code" — with floor division (the delivered total may undershoot

@@ -212,6 +212,29 @@ object CurationQueries {
       |ORDER BY md5(CAST(doc_id AS VARCHAR) || ':x79'), doc_id
       |LIMIT 100""".stripMargin
 
+  /** q128: per-source document CAP over the OPEN source set
+    * ([[Sampling.capPerSource]] — the "at most N pages per domain"
+    * web-corpus balancing rule; no quota map, every source the data
+    * contains is capped). cap=15 bites at every shipped SF (sources
+    * carry 25 docs at sf0.01, 250 at sf0.1). The oracle replays the
+    * salted 13-hex-digit hash rank per source and the surviving rows
+    * with their ranks.
+    */
+  def q128SourceCap(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capPerSource(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", cap = 15)
+
+  def q128Oracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY COALESCE(source, '<null>') ORDER BY
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 13) AS BIGINT) ASC,
+      |      doc_id ASC) AS INTEGER) AS cap_rank
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |)
+      |SELECT doc_id, source, cap_rank FROM ranked WHERE cap_rank <= 15""".stripMargin
+
   /** q107: TEMPERATURE source mixing ([[Sampling.temperatureMix]], the
     * multilingual-LM sampling exponent) over a deterministic 9:1
     * web/code skew derived from doc_id: per-source quotas ∝ n^0.5 from a

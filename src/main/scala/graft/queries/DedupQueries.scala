@@ -378,6 +378,51 @@ object DedupQueries {
        |UNION ALL
        |SELECT * FROM ${q123ArmSql(8)}""".stripMargin
 
+  /** q129: EXACT-SUBSTRING span removal
+    * ([[graft.operators.dedup.SpanDedup]], Lee et al. 2021 ExactSubstr —
+    * the span-grain dedup none of the whole-document family covers:
+    * duplicated 5-token windows are cut from every document, the rest
+    * kept). 5-token spans because the synthetic docs are ~300 tokens
+    * (the paper's 50-token spans would never fire here); at sf0.01 the
+    * corpus carries ~1.1k duplicated 5-grams across ~2.3k positions, so
+    * removal genuinely bites. The oracle replays window hashes, the
+    * corpus-wide occurrence counts, every duplicated position, and the
+    * token-level reconstruction.
+    */
+  def q129SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.SpanDedup.removeDuplicateSpans(
+      Tables.documents(spark, dir), "doc_id", "text", spanTokens = 5)
+
+  def q129Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |), tt AS (
+      |  SELECT doc_id, norm, string_split(norm, ' ') AS w
+      |  FROM t WHERE length(norm) > 0
+      |), g AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')), 1, 8) AS BIGINT) % 2147483647 AS h
+      |  FROM tt, unnest(range(len(w) - 4)) AS u(i)
+      |  WHERE len(w) >= 5
+      |), dups AS (
+      |  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+      |), dp AS (
+      |  SELECT doc_id, list(pos) AS dup FROM g JOIN dups USING (h) GROUP BY doc_id
+      |), rec AS (
+      |  SELECT tt.doc_id, tt.w, COALESCE(dp.dup, CAST([] AS BIGINT[])) AS dup
+      |  FROM tt LEFT JOIN dp USING (doc_id)
+      |)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+      |FROM (
+      |  SELECT doc_id, w,
+      |    list_filter(w, (x, i) ->
+      |      len(list_filter(dup, p -> p <= i - 1 AND i - 1 <= p + 4)) = 0) AS kept
+      |  FROM rec) q""".stripMargin
+
   /** q122: the END-TO-END CURATION PIPELINE
     * ([[graft.pipelines.CurationPipeline]] — the LLM-side analog of the
     * tiki_dag gate q68): line cleaning → language filter (en) → quality
