@@ -65,4 +65,60 @@ object CurationPipeline {
         TextFns.tokenCountWs(col("clean_text")).as("n_tokens"),
         col("split_name"))
   }
+
+  /** The SPAN-GRAIN curation chain — [[run]]'s sibling composing the
+    * round-13 operator additions in production order:
+    *
+    *  1. per-source document CAP ([[Sampling.capPerSource]]) FIRST —
+    *     domain balancing cuts volume before anything else pays for it;
+    *  2. exact-substring SPAN removal
+    *     ([[graft.operators.dedup.SpanDedup]]) over the capped corpus —
+    *     duplicate counting deliberately runs on what survived the cap
+    *     (a span duplicated only via capped-away documents is NOT
+    *     removed; the oracle pins this ordering);
+    *  3. Gopher-style rule FILTER ([[graft.functions.QualityRules]])
+    *     over the CLEANED text — rules must judge what a model would
+    *     train on, the same read-after-clean discipline as [[run]];
+    *  4. exact dedup on the cleaned text's fingerprint, min-id survivor
+    *     (span removal canonicalizes near-copies into exact copies —
+    *     dedup AFTER it catches strictly more);
+    *  5. deterministic md5 split LAST (contamination-auditable).
+    *
+    * Scale shape: stage 1 is TopK's map-side k-buffers; stage 2 is
+    * SpanDedup's linear hash-count/join-back; stage 3 per-row; stage 4
+    * one fingerprint shuffle; stage 5 a projection. The id-keyed stage
+    * joins shuffle on the doc id — fact-grain, AQE-handled.
+    *
+    * @return one surviving row per document:
+    *         (idCol, sourceCol, n_words, n_removed, split_name)
+    */
+  def runSpanGrain(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, cap: Int, spanTokens: Int,
+                   th: graft.functions.QualityRules.Thresholds,
+                   trainPct: Int): DataFrame = {
+    import graft.operators.dedup.SpanDedup
+    import graft.functions.QualityRules
+    // capped feeds span removal AND the source join-back
+    val capped = graft.operators.OpCache.cache(
+      Sampling.capPerSource(
+        docs.select(col(idCol), col(sourceCol), col(textCol)),
+        idCol, sourceCol, cap).drop("cap_rank"))
+    // cleaned feeds the rules, the fingerprint dedup AND the output —
+    // uncached, the whole span-removal lineage would run three times
+    val cleaned = graft.operators.OpCache.cache(
+      SpanDedup.removeDuplicateSpans(capped, idCol, textCol, spanTokens)
+        .join(capped.select(col(idCol), col(sourceCol)), Seq(idCol)))
+    val scored = QualityRules.report(cleaned, idCol, "clean_text", th)
+      .filter(col("passed"))
+      .select(col(idCol), col("n_words"))
+    val kept = cleaned.join(scored, Seq(idCol))
+    val survivors = kept.join(
+      kept.withColumn("__fp", TextFns.fingerprint(col("clean_text")))
+        .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol)),
+      Seq(idCol))
+    Sampling.deterministicSplit(survivors, idCol, trainPct)
+      .select(col(idCol), col(sourceCol), col("n_words"),
+        col("n_removed"), col("split_name"))
+  }
 }

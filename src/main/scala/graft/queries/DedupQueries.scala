@@ -423,6 +423,75 @@ object DedupQueries {
       |      len(list_filter(dup, p -> p <= i - 1 AND i - 1 <= p + 4)) = 0) AS kept
       |  FROM rec) q""".stripMargin
 
+  /** q130: the SPAN-GRAIN curation chain
+    * ([[graft.pipelines.CurationPipeline.runSpanGrain]] — q122's sibling
+    * composing the round-13 additions in production order: per-source cap
+    * (q128) → exact-substring span removal over the CAPPED corpus (q129)
+    * → Gopher rule filter over the CLEANED text (q127) → exact dedup on
+    * the cleaned fingerprint → deterministic split). The DuckDB oracle
+    * replays the WHOLE chain — the per-source hash rank, the span hashes
+    * counted over capped survivors only, every rule statistic on the
+    * reconstructed text, the dedup window, the split buckets — so a
+    * mis-ordered stage (span counts over the uncapped corpus, rules on
+    * raw text) hash-fails.
+    */
+  def q130SpanCuration(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CurationPipeline.runSpanGrain(
+      Tables.documents(spark, dir), "doc_id", "text", "source",
+      cap = 15, spanTokens = 5, th = TextQueries.Q127Th, trainPct = 90)
+
+  def q130Oracle: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, text,
+       |    row_number() OVER (PARTITION BY COALESCE(source, '<null>') ORDER BY
+       |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 13) AS BIGINT) ASC,
+       |      doc_id ASC) AS rn
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |), capped AS (
+       |  SELECT doc_id, source, text FROM ranked WHERE rn <= 15
+       |), spt AS (
+       |  SELECT doc_id, source, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM capped WHERE text IS NOT NULL
+       |), sptt AS (
+       |  SELECT doc_id, source, norm, string_split(norm, ' ') AS w
+       |  FROM spt WHERE length(norm) > 0
+       |), spg AS (
+       |  SELECT doc_id, i AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')), 1, 8) AS BIGINT) % 2147483647 AS h
+       |  FROM sptt, unnest(range(len(w) - 4)) AS u(i)
+       |  WHERE len(w) >= 5
+       |), spdups AS (
+       |  SELECT h FROM spg GROUP BY h HAVING COUNT(*) >= 2
+       |), spdp AS (
+       |  SELECT doc_id, list(pos) AS dup FROM spg JOIN spdups USING (h) GROUP BY doc_id
+       |), cleaned AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+       |    COALESCE(array_to_string(kept, ' '), '') AS ct
+       |  FROM (
+       |    SELECT s.doc_id, s.source, s.w,
+       |      list_filter(s.w, (x, i) ->
+       |        len(list_filter(COALESCE(d.dup, CAST([] AS BIGINT[])),
+       |          p -> p <= i - 1 AND i - 1 <= p + 4)) = 0) AS kept
+       |    FROM sptt s LEFT JOIN spdp d USING (doc_id)) q
+       |),
+       |${TextQueries.qualityCtes("SELECT doc_id, ct AS text FROM cleaned", TextQueries.Q127Th)},
+       |kept AS (
+       |  SELECT c.doc_id, c.source, c.n_removed, c.ct, s.n_words
+       |  FROM cleaned c JOIN qrstats s USING (doc_id)
+       |  WHERE ${TextQueries.qualityPassedSql(TextQueries.Q127Th)}
+       |), surv AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g')))) AS m
+       |    FROM kept) x
+       |  WHERE doc_id = m
+       |)
+       |SELECT k.doc_id, k.source, k.n_words, k.n_removed,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) % 100 < 90
+       |       THEN 'train' ELSE 'eval' END AS split_name
+       |FROM kept k JOIN surv USING (doc_id)""".stripMargin
+
   /** q122: the END-TO-END CURATION PIPELINE
     * ([[graft.pipelines.CurationPipeline]] — the LLM-side analog of the
     * tiki_dag gate q68): line cleaning → language filter (en) → quality

@@ -26,7 +26,7 @@ object TextQueries {
     * [[graft.functions.QualityRules.Thresholds]]) so both polarities of
     * `passed` occur on the synthetic corpus (251/500 pass at sf0.01).
     */
-  private val Q127Th = graft.functions.QualityRules.Thresholds(minStops = 1)
+  private[queries] val Q127Th = graft.functions.QualityRules.Thresholds(minStops = 1)
 
   /** q127: Gopher-style quality RULES ([[graft.functions.QualityRules]] —
     * the per-rule production filter discipline, Rae et al. 2021 A1.1/A1.2,
@@ -39,23 +39,33 @@ object TextQueries {
     graft.functions.QualityRules.report(
       Tables.documents(spark, dir), "doc_id", "text", Q127Th)
 
-  def q127Oracle: String = {
-    import graft.functions.QualityRules._
-    val stops = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH d AS (
+  /** CTE chain (for a WITH list) replaying
+    * [[graft.functions.QualityRules.report]] over an arbitrary
+    * (doc_id, text) subquery, ending in `qrstats(doc_id, n_words,
+    * mean_word_len, symbol_ratio, alpha_frac, n_stops, top_bigram_frac,
+    * passed)`. CTE names are qr-prefixed so composed oracles (q130) can
+    * splice it after their own chains. Shared by q127 (raw documents)
+    * and q130 (span-cleaned text) — the composed replay is
+    * definitionally the per-stage replay.
+    */
+  private[queries] def qualityCtes(
+      docSql: String, th: graft.functions.QualityRules.Thresholds): String = {
+    val stops = graft.functions.QualityRules.StopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qrd AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-       |), t AS (
+       |  FROM ($docSql) WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), qrt AS (
        |  SELECT doc_id, norm, string_split(norm, ' ') AS w
-       |  FROM d WHERE length(norm) > 0
-       |), bg AS (
+       |  FROM qrd WHERE length(norm) > 0
+       |), qrbg AS (
        |  SELECT doc_id, CASE WHEN len(w) >= 2
        |    THEN list_transform(range(len(w)-1),
        |      i -> CAST('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 8) AS BIGINT) % 2147483647)
        |    ELSE [CAST('0x' || substr(md5(norm), 1, 8) AS BIGINT) % 2147483647]
        |    END AS h
-       |  FROM t
-       |), stats AS (
+       |  FROM qrt
+       |), qrstats AS (
        |  SELECT t.doc_id,
        |    CAST(len(w) AS BIGINT) AS n_words,
        |    CAST(length(norm) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
@@ -66,18 +76,25 @@ object TextQueries {
        |    CAST(len(list_intersect(list_distinct(w), $stops)) AS BIGINT) AS n_stops,
        |    CAST(list_max(list_transform(list_distinct(b.h),
        |      g -> len(list_filter(b.h, x -> x = g)))) AS DOUBLE) / len(b.h) AS top_bigram_frac
-       |  FROM t JOIN bg b USING (doc_id)
-       |)
+       |  FROM qrt t JOIN qrbg b USING (doc_id)
+       |)""".stripMargin
+  }
+
+  private[queries] def qualityPassedSql(
+      th: graft.functions.QualityRules.Thresholds): String =
+    s"""(n_words BETWEEN ${th.minWords} AND ${th.maxWords}
+       |    AND mean_word_len BETWEEN ${th.minMeanLen} AND ${th.maxMeanLen}
+       |    AND symbol_ratio <= ${th.maxSymbolRatio}
+       |    AND alpha_frac >= ${th.minAlphaFrac}
+       |    AND n_stops >= ${th.minStops}
+       |    AND top_bigram_frac <= ${th.maxTopBigramFrac})""".stripMargin
+
+  def q127Oracle: String =
+    s"""WITH ${qualityCtes("SELECT doc_id, text FROM documents", Q127Th)}
        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
        |  n_stops, top_bigram_frac,
-       |  (n_words BETWEEN ${Q127Th.minWords} AND ${Q127Th.maxWords}
-       |    AND mean_word_len BETWEEN ${Q127Th.minMeanLen} AND ${Q127Th.maxMeanLen}
-       |    AND symbol_ratio <= ${Q127Th.maxSymbolRatio}
-       |    AND alpha_frac >= ${Q127Th.minAlphaFrac}
-       |    AND n_stops >= ${Q127Th.minStops}
-       |    AND top_bigram_frac <= ${Q127Th.maxTopBigramFrac}) AS passed
-       |FROM stats""".stripMargin
-  }
+       |  ${qualityPassedSql(Q127Th)} AS passed
+       |FROM qrstats""".stripMargin
 
   def q26Oracle: String =
     """WITH m AS (
