@@ -622,4 +622,37 @@ object DedupQueries {
       |JOIN keptlines k USING (line)
       |JOIN rawlen r ON r.doc_id = f.doc_id
       |GROUP BY f.doc_id, r.n_lines""".stripMargin
+
+  private val q131Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q131: INCREMENTAL span-dedup maintenance
+    * ([[graft.operators.dedup.IncrementalSpanDedup]] — the daily-append
+    * form of q129). The gate splits the corpus into three "days" by
+    * `doc_id % 3` and ingests them sequentially through the state
+    * machine (counts segments, postings, selective re-cleans, versioned
+    * clean MERGE); the returned frame is the CONVERGED maintained
+    * output. The oracle is q129's batch replay VERBATIM — the
+    * convergence contract (N appends ≡ one from-scratch pass over the
+    * union) is the whole point, so any missed re-clean (an old doc whose
+    * span became duplicated by a later day) hash-fails against the
+    * batch answer. The day split is residue-based, so duplicated spans
+    * land across days at every shipped SF and the crossing-hash re-clean
+    * path is exercised for real (IncrementalSpanDedupSpec pins that its
+    * audit counters are non-zero on this exact split).
+    */
+  def q131SpanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.dedup.IncrementalSpanDedup
+    val root = s"${PipelineQueries.scratch}/q131_${q131Invocation.incrementAndGet()}"
+    val docs = Tables.documents(spark, dir)
+    for (day <- 0 to 2)
+      IncrementalSpanDedup.append(spark, root,
+        docs.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(3)) === day),
+        "doc_id", "text", spanTokens = 5)
+    IncrementalSpanDedup.result(spark, root, "doc_id")
+  }
+
+  /** Batch replay: the converged incremental state must equal q129. */
+  def q131Oracle: String = q129Oracle
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.dedup.{IncrementalSpanDedup, SpanDedup}
+
+/** Contracts of the incremental span-dedup state machine (q131's operator)
+  * beyond the oracle gate's convergence check:
+  *   - batching invariance: the converged output is the SAME whether the
+  *     corpus arrives in one, two, or three appends, and equals the batch
+  *     operator row-for-row;
+  *   - the crossing-hash re-clean path really fires on the q131 day split
+  *     (an old doc whose span becomes duplicated by a later day is found
+  *     via postings and re-cleaned) — without this audit the convergence
+  *     gate could pass vacuously on a corpus where every duplicate pair
+  *     lands within one day;
+  *   - hand-built edge semantics: a day-2 second copy strips the span
+  *     from the day-1 doc; a within-doc self-repeat is duplicated from
+  *     day one; short docs pass through.
+  */
+class IncrementalSpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_isd_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def sorted(df: DataFrame) =
+    df.select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .orderBy("doc_id").collect().toSeq
+
+  test("batching invariance: 1 append == 3 appends == batch operator") {
+    val docs = Tables.documents(spark, sf("0.001"))
+    val one = scratch("one")
+    IncrementalSpanDedup.append(spark, one, docs, "doc_id", "text", 5)
+    val three = scratch("three")
+    for (day <- 0 to 2)
+      IncrementalSpanDedup.append(spark, three,
+        docs.filter(pmod(col("doc_id"), lit(3)) === day), "doc_id", "text", 5)
+    val batch = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", 5)
+    val b = sorted(batch)
+    assert(sorted(IncrementalSpanDedup.result(spark, one, "doc_id")) == b)
+    assert(sorted(IncrementalSpanDedup.result(spark, three, "doc_id")) == b)
+  }
+
+  test("the re-clean path fires on the q131 day split") {
+    val docs = Tables.documents(spark, sf("0.001"))
+    val root = scratch("audit")
+    val stats = (0 to 2).map { day =>
+      IncrementalSpanDedup.append(spark, root,
+        docs.filter(pmod(col("doc_id"), lit(3)) === day), "doc_id", "text", 5)
+    }
+    assert(stats.map(_.deltaDocs).sum ==
+      docs.filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        length(graft.functions.TextFns.normalizeText(col("text"))) > 0).count())
+    // later days must create crossings AND re-clean earlier docs — the
+    // convergence gate is only non-vacuous if duplicate spans straddle days
+    assert(stats.tail.map(_.crossingHashes).sum > 0,
+      s"no hash crossed the >=2 threshold after day 0: $stats")
+    assert(stats.tail.map(_.recleanedOldDocs).sum > 0,
+      s"no old doc was re-cleaned by a later day: $stats")
+  }
+
+  test("a later copy strips the span from the earlier doc; self-repeats and short docs") {
+    val root = scratch("edge")
+    // day 1: unique span (a..e), a self-repeating doc (x y x y — no 2-gram
+    // repeats at width 2? use width 2 with 'p q p q': windows pq,qp,pq ->
+    // pq twice = self-dup), and a short doc (single token, no window)
+    val day1 = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q p q"),
+      (3L, "z")).toDF("doc_id", "text")
+    val s1 = IncrementalSpanDedup.append(spark, root, day1, "doc_id", "text", 2)
+    val r1 = IncrementalSpanDedup.result(spark, root, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(r1(1L) == "a b c d e")              // unique so far: untouched
+    assert(r1(2L) == "")                       // pq/qp/pq: all positions covered
+    assert(r1(3L) == "z")                      // no window: passthrough
+    assert(s1.recleanedOldDocs == 0)
+    // day 2: a second copy of "c d" arrives — doc 1 must be re-cleaned
+    val day2 = Seq((10L, "c d")).toDF("doc_id", "text")
+    val s2 = IncrementalSpanDedup.append(spark, root, day2, "doc_id", "text", 2)
+    assert(s2.crossingHashes == 1 && s2.recleanedOldDocs == 1)
+    val r2 = IncrementalSpanDedup.result(spark, root, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(r2(1L) == "a b e")                  // "c d" span cut from the old doc
+    assert(r2(10L) == "")                      // and from the new copy
+    assert(r2(2L) == "" && r2(3L) == "z")      // untouched docs carried over
+  }
+}
