@@ -79,7 +79,7 @@ object Bench {
       "q103_analytics_dag", "q104_trends_dag", "q105_fx_rate_dag",
       "q106_upsert_sink", "q108_streaming_dedup", "q110_sessionize_tws",
       "q111_streaming_funnel", "q112_backfill", "q113_streaming_hll",
-      "q114_streaming_cms")
+      "q114_streaming_cms", "q131_span_incremental")
     val harnessTotal = results.collect {
       case (k, v) if harness(k) && v >= 0 => v }.sum
     val dataTotal = total - harnessTotal
