@@ -106,6 +106,27 @@ object IncrementalSpanDedup {
       s"$idCol long, n_tokens long, n_removed long, clean_text string")
   }
 
+  /** Fold the count segments back to one (#49e's compaction discipline
+    * applied to the span-count state): the logical count is already the
+    * segment-sum, so compaction is a pure layout rewrite — one
+    * partial-agg shuffle over the narrow (h, c) rows into a single
+    * `seg=0`, swapped in with the retire-then-rename discipline. Run it
+    * on whatever cadence keeps the per-append segment fan-in bounded;
+    * the maintained output is invariant (spec-pinned).
+    */
+  def compactCounts(spark: SparkSession, root: String): Unit = {
+    if (!dirExists(spark, s"$root/counts")) return
+    val merged = spark.read.parquet(s"$root/counts")
+      .groupBy(col("__h")).agg(sum(col("__c")).as("__c"))
+    merged.write.mode("overwrite").parquet(s"$root/counts_tmp/seg=0")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/counts"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/counts_tmp"),
+      new org.apache.hadoop.fs.Path(s"$root/counts"))
+    (): Unit
+  }
+
   /** Ingest one day's delta; updates every state table and the maintained
     * clean output. Returns the bounded audit scalars.
     */

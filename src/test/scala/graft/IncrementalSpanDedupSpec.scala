@@ -64,6 +64,23 @@ class IncrementalSpanDedupSpec extends SparkSpec {
       s"no old doc was re-cleaned by a later day: $stats")
   }
 
+  test("count-segment compaction is result-invariant mid-stream") {
+    val docs = Tables.documents(spark, sf("0.001"))
+    val root = scratch("compact")
+    for (day <- 0 to 1)
+      IncrementalSpanDedup.append(spark, root,
+        docs.filter(pmod(col("doc_id"), lit(3)) === day), "doc_id", "text", 5)
+    IncrementalSpanDedup.compactCounts(spark, root)
+    // one segment dir remains after the fold
+    assert(new java.io.File(s"$root/counts").listFiles()
+      .count(_.getName.startsWith("seg=")) == 1)
+    IncrementalSpanDedup.append(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", 5)
+    val batch = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", 5)
+    assert(sorted(IncrementalSpanDedup.result(spark, root, "doc_id")) ==
+      sorted(batch))
+  }
+
   test("a later copy strips the span from the earlier doc; self-repeats and short docs") {
     val root = scratch("edge")
     // day 1: unique span (a..e), a self-repeating doc (x y x y — no 2-gram
