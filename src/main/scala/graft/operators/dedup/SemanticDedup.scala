@@ -52,6 +52,15 @@ object SemanticDedup {
   val BaseCells = 8
   /** Cell cap: assignment scores every cell per vector (n·k work), so k
     * is bounded like [[graft.operators.similarity.NswAnn.MaxHubs]].
+    * Coverage is MaxCells·TargetCell ≈ 1.05M vectors; past it, cells
+    * grow linearly and pair mass grows with them (the 100× probe of the
+    * q124 chunk corpus measured the first ~30% overshoot as a mild 1.3×
+    * — not a cliff, but the trend). Raising the cap alone would push the
+    * flat n·k assignment toward quadratic; the next rung is a TWO-LEVEL
+    * assignment (coarse cells ≤256, then fine cells trained within each
+    * coarse cell) making assignment n·(k_c + k_f) while the ladder keeps
+    * scaling — the standard IVF hierarchy, left for the next decade of
+    * corpus growth.
     */
   val MaxCells = 4096
   /** Target cell occupancy: cells grow with the corpus so the per-cell
