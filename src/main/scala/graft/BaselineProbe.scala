@@ -51,22 +51,22 @@ object BaselineProbe {
     // Order-free field hash over the parse-relevant columns, mirrored in
     // DuckDB by tools/baseline_bench.py over ITS generated frame: the
     // "exactly the same records" premise fails loudly instead of drifting
-    // silently if either generator changes alone.
-    val rawChecksum = raw.select(
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.conv(
-          org.apache.spark.sql.functions.substring(
-            org.apache.spark.sql.functions.md5(
-              org.apache.spark.sql.functions.concat_ws("|",
-                org.apache.spark.sql.functions.col("product_id"),
-                org.apache.spark.sql.functions.col("sku"),
-                org.apache.spark.sql.functions.col("price"),
-                org.apache.spark.sql.functions.col("quantity_sold"),
-                org.apache.spark.sql.functions.col("rating"),
-                org.apache.spark.sql.functions.col("review_count"),
-                org.apache.spark.sql.functions.col("_extracted_at"))
-              .cast("binary")), 1, 8), 16, 10).cast("long")))
-      .head.getLong(0)
+    // silently if either generator changes alone. Each hashed field is
+    // EXPLICITLY cast to string and null-coalesced to a sentinel on BOTH
+    // sides — concat_ws skips nulls while SQL '||' nulls the whole string,
+    // so without the pin a single null field would silently diverge the
+    // two checksums (the fields are generator-produced strings today; the
+    // coalesce keeps the assertion honest if that ever changes).
+    val rawChecksum = {
+      import org.apache.spark.sql.functions._
+      val hashed = Seq("product_id", "sku", "price", "quantity_sold",
+        "rating", "review_count", "_extracted_at")
+        .map(c => coalesce(col(c).cast("string"), lit("")))
+      raw.select(
+        sum(conv(substring(md5(concat_ws("|", hashed: _*).cast("binary")),
+          1, 8), 16, 10).cast("long")))
+        .head.getLong(0)
+    }
 
     def once(): Unit = {
       val deduped = graft.pipelines.TikiDailyPipeline.dedupedOf(raw).cache()

@@ -103,11 +103,19 @@ object Bench {
     val shortKeys = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
     require(shortKeys.values.toSet.size == shortKeys.size,
       "short qNN keys collide; fix SparkEntry naming")
+    // keys are the bare query NUMBER (the "q" prefix dropped): at 130
+    // queries the compact line must leave ~30 queries of headroom inside
+    // the driver's 2000-char stdout tail, and every byte of key costs
+    // 130+ bytes of line
     val qsMs = results.map { case (k, v) =>
-      s"\"${shortKeys(k)}\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+      s"\"${shortKeys(k).drop(1)}\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"queries_ms":$qsMs,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","full_artifact":"$outPath","note":"queries_ms: per-query best-of-$runs in INTEGER MILLISECONDS keyed by qNN prefix; full names and double-precision seconds in full_artifact"}""")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"queries_ms":$qsMs,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","full_artifact":"$outPath"}"""
     spark.stop()
+    // printed AFTER spark.stop(), as the process's last stdout line, with
+    // build.sbt's StdoutOutput strategy keeping sbt's "[info] " prefix off
+    // it — the driver's tail-parse needs a bare JSON line
+    println(compact)
   }
 }

@@ -71,6 +71,14 @@ object IvfIncremental {
   /** Top-k probe search over the maintained index (same contract as
     * [[IvfAnn.search]]: probe the `probes` closest cells, exact cosine
     * re-rank). Appended vectors participate as queries AND neighbors.
+    *
+    * Cache lifecycle contract: the assignment frame is pinned via
+    * [[graft.operators.OpCache.cache]], which registers it for release
+    * only when the CALLER runs inside `OpCache.scoped { ... }` (Verify
+    * and Bench wrap every query that way; q126 therefore leaks nothing).
+    * A long-lived session calling this directly must wrap the call AND
+    * its terminal action in `OpCache.scoped`, or the cached assignment
+    * lineage persists until session-level cache eviction.
     */
   def search(index: Index, queryPred: Column => Column, k: Int,
              probes: Int): DataFrame =

@@ -81,6 +81,88 @@ class IncrementalSpanDedupSpec extends SparkSpec {
       sorted(batch))
   }
 
+  test("clean MERGE is partition-pruned: untouched buckets stay byte-identical") {
+    val root = scratch("buckets")
+    // day 1: docs land in buckets 1, 2, 3 (pmod(doc_id, 8))
+    val day1 = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q r s t"),
+      (3L, "u v w x y")).toDF("doc_id", "text")
+    IncrementalSpanDedup.append(spark, root, day1, "doc_id", "text", 2)
+    def bucketFiles(b: Int): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$root/clean/__db=$b")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> (f.length(), java.util.Arrays.hashCode(bytes).toLong)
+        }.toMap
+    }
+    val before2 = bucketFiles(2)
+    val before3 = bucketFiles(3)
+    assert(before2.nonEmpty && before3.nonEmpty)
+    // day 2: a second copy of "c d" — changes docs 1 (bucket 1) and 10
+    // (bucket 2); bucket 3 must not be rewritten, not even re-committed
+    val day2 = Seq((10L, "c d")).toDF("doc_id", "text")
+    IncrementalSpanDedup.append(spark, root, day2, "doc_id", "text", 2)
+    assert(bucketFiles(3) == before3,
+      "bucket 3 held no changed doc but its files changed — the clean " +
+        "MERGE rewrote an untouched bucket")
+    assert(bucketFiles(2) != before2,
+      "bucket 2 holds changed doc 10 but its files did not change")
+    // and the merged output is still exactly right
+    val r = IncrementalSpanDedup.result(spark, root, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) == "a b e" && r(10L) == "" && r(3L) == "u v w x y")
+  }
+
+  test("the pruned bucket read reaches the scan's PartitionFilters") {
+    val root = scratch("prune")
+    val docs = Tables.documents(spark, sf("0.001"))
+    IncrementalSpanDedup.append(spark, root, docs, "doc_id", "text", 5)
+    val probed = IncrementalSpanDedup.cleanBucketScan(spark, root, "doc_id",
+      Seq(0, 3))
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*__db[^\\]]*\\].*"),
+      s"__db filter did not reach the scan's partition filters:\n$plan")
+    def partitionCount(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.head
+    val full = partitionCount(spark.read.parquet(s"$root/clean"))
+    val pruned = partitionCount(probed)
+    assert(pruned <= 2 && full > pruned,
+      s"pruning ineffective: $pruned of $full bucket dirs scanned")
+  }
+
+  test("compaction swap recovers from a crash between the renames") {
+    val docs = Tables.documents(spark, sf("0.001"))
+    val root = scratch("crash")
+    for (day <- 0 to 1)
+      IncrementalSpanDedup.append(spark, root,
+        docs.filter(pmod(col("doc_id"), lit(3)) === day), "doc_id", "text", 5)
+    // simulate the compaction crash window: counts_tmp fully written,
+    // counts already retired, promote never ran
+    val merged = spark.read.parquet(s"$root/counts")
+      .groupBy(col("__h")).agg(sum(col("__c")).as("__c"))
+    merged.write.mode("overwrite").parquet(s"$root/counts_tmp/seg=0")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/counts"),
+      new org.apache.hadoop.fs.Path(s"$root/counts_retired")))
+    // next append must recover the tmp side (NOT treat history as zero)
+    IncrementalSpanDedup.append(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/counts_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/counts_retired")))
+    val batch = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", 5)
+    assert(sorted(IncrementalSpanDedup.result(spark, root, "doc_id")) ==
+      sorted(batch))
+  }
+
   test("a later copy strips the span from the earlier doc; self-repeats and short docs") {
     val root = scratch("edge")
     // day 1: unique span (a..e), a self-repeating doc (x y x y — no 2-gram

@@ -124,11 +124,18 @@ for mult in (1, 10):
         # the two generators are asserted identical further down, so silent
         # arithmetic drift between the python replica and snapRecord fails
         # loudly instead of quietly unleveling the comparison
+        # each field explicitly CAST + COALESCE'd to mirror BaselineProbe:
+        # '||' nulls the whole string on one NULL field while Spark's
+        # concat_ws would skip it — pin both sides to the same bytes
         "raw_checksum": int(con.execute(
             """SELECT SUM(CAST('0x' || substr(md5(
-                 product_id || '|' || sku || '|' || price || '|' ||
-                 quantity_sold || '|' || rating || '|' || review_count ||
-                 '|' || _extracted_at), 1, 8) AS BIGINT))
+                 COALESCE(CAST(product_id AS VARCHAR), '') || '|' ||
+                 COALESCE(CAST(sku AS VARCHAR), '') || '|' ||
+                 COALESCE(CAST(price AS VARCHAR), '') || '|' ||
+                 COALESCE(CAST(quantity_sold AS VARCHAR), '') || '|' ||
+                 COALESCE(CAST(rating AS VARCHAR), '') || '|' ||
+                 COALESCE(CAST(review_count AS VARCHAR), '') || '|' ||
+                 COALESCE(CAST(_extracted_at AS VARCHAR), '')), 1, 8) AS BIGINT))
                FROM raw_df""").fetchone()[0]),
         "transform_s": round(best_of(3, lambda: transform_tiki.transform_data(raw_df)), 3),
         "n_fact_rows": len(transform_tiki.transform_data(raw_df)[0]),
