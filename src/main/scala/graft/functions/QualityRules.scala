@@ -20,10 +20,11 @@ import graft.operators.dedup.TextShingles
   *  - `alpha_frac` ≥ MinAlphaFrac                 (A1.1: ≥80% words have a letter)
   *  - `n_stops` ≥ MinStops                        (A1.1: ≥2 of 8 designated stop words)
   *  - `top_bigram_frac` ≤ MaxTopBigramFrac        (A1.2: most-frequent 2-gram ≤ 20%)
-  * Line-grain rules (bullet/ellipsis line fractions, duplicate-line
-  * fraction) live in [[graft.operators.dedup.LineDedup]] territory and are
-  * omitted here: the testdata corpus is newline-free, and the repo's line
-  * operators (#30b) already carry that grain.
+  * Line-grain rules (A1.1's bullet/ellipsis line fractions, A1.2's
+  * duplicate-line and duplicate-paragraph fractions) are [[lineReport]]:
+  * they take a caller-built lines array (the corpus is newline-free, so
+  * line construction is the gate's tokenizer concern — the q109
+  * discipline) and measure each statistic per document.
   *
   * All statistics derive from ONE normalization (lower, collapse
   * whitespace, trim — [[TextFns.normalizeText]], the corpus-wide
@@ -112,5 +113,68 @@ object QualityRules {
           col("alpha_frac") >= th.minAlphaFrac &&
           col("n_stops") >= th.minStops &&
           col("top_bigram_frac") <= th.maxTopBigramFrac).as("passed"))
+  }
+
+  // -----------------------------------------------------------------------
+  // Line-grain rules (Rae et al. 2021 A1.1 bullet/ellipsis lines, A1.2
+  // duplicate lines/paragraphs)
+  // -----------------------------------------------------------------------
+
+  /** The paper's line-grain thresholds: fail a document whose lines are
+    * > 90% bullet-started or > 30% ellipsis-ended (A1.1), or whose
+    * duplicate-line / duplicate-paragraph fraction exceeds 30% (A1.2).
+    * Like [[Thresholds]], production tunes per corpus; the q127 gate
+    * passes tighter values so both polarities occur on the synthetic
+    * decorated lines.
+    */
+  final case class LineThresholds(maxBulletFrac: Double = 0.9,
+                                  maxEllipsisFrac: Double = 0.3,
+                                  maxDupLineFrac: Double = 0.3,
+                                  maxDupParaFrac: Double = 0.3)
+
+  /** Bullet markers counted by the A1.1 rule. */
+  val BulletPrefixes: Seq[String] = Seq("- ", "* ", "• ")
+
+  /** Per-document LINE-GRAIN rule report over `docs(idCol, linesCol:
+    * array<string>)`: (idCol, n_lines, bullet_line_frac,
+    * ellipsis_line_frac, dup_line_frac, dup_para_frac, passed_lines).
+    * Paragraphs are consecutive non-overlapping line PAIRS (odd tail line
+    * = its own paragraph) — the synthesized-grain analog of the paper's
+    * blank-line paragraph splits, chosen because it is exactly replayable
+    * from the same lines array in any engine. Duplicate fractions are
+    * (n − n_distinct) / n. All statistics are single divisions of exact
+    * counts; pure per-row array work, document-bounded, zero shuffles.
+    */
+  def lineReport(docs: DataFrame, idCol: String, linesCol: String,
+                 th: LineThresholds = LineThresholds()): DataFrame = {
+    val isBullet = (l: Column) => BulletPrefixes
+      .map(p => l.startsWith(p)).reduce(_ || _)
+    docs
+      .filter(col(idCol).isNotNull && col(linesCol).isNotNull)
+      .filter(size(col(linesCol)) > 0)
+      .withColumn("n_lines", size(col(linesCol)).cast("long"))
+      .withColumn("__paras", transform(
+        sequence(lit(1), ((size(col(linesCol)) + 1) / 2).cast("int")),
+        j => when(j * 2 <= size(col(linesCol)),
+          concat(element_at(col(linesCol), (j * 2 - 1).cast("int")),
+            lit("\n"), element_at(col(linesCol), (j * 2).cast("int"))))
+          .otherwise(element_at(col(linesCol), (j * 2 - 1).cast("int")))))
+      .withColumn("bullet_line_frac",
+        size(filter(col(linesCol), isBullet)).cast("double") / col("n_lines"))
+      .withColumn("ellipsis_line_frac",
+        size(filter(col(linesCol), l => l.endsWith("...")))
+          .cast("double") / col("n_lines"))
+      .withColumn("dup_line_frac",
+        (col("n_lines") - size(array_distinct(col(linesCol))))
+          .cast("double") / col("n_lines"))
+      .withColumn("dup_para_frac",
+        (size(col("__paras")) - size(array_distinct(col("__paras"))))
+          .cast("double") / size(col("__paras")))
+      .select(col(idCol), col("n_lines"), col("bullet_line_frac"),
+        col("ellipsis_line_frac"), col("dup_line_frac"), col("dup_para_frac"),
+        (col("bullet_line_frac") <= th.maxBulletFrac &&
+          col("ellipsis_line_frac") <= th.maxEllipsisFrac &&
+          col("dup_line_frac") <= th.maxDupLineFrac &&
+          col("dup_para_frac") <= th.maxDupParaFrac).as("passed_lines"))
   }
 }

@@ -50,19 +50,25 @@ object SemanticDedup {
     * test scale factors land here, so the ladder changes nothing locally).
     */
   val BaseCells = 8
-  /** Cell cap: assignment scores every cell per vector (n·k work), so k
-    * is bounded like [[graft.operators.similarity.NswAnn.MaxHubs]].
-    * Coverage is MaxCells·TargetCell ≈ 1.05M vectors; past it, cells
-    * grow linearly and pair mass grows with them (the 100× probe of the
-    * q124 chunk corpus measured the first ~30% overshoot as a mild 1.3×
-    * — not a cliff, but the trend). Raising the cap alone would push the
-    * flat n·k assignment toward quadratic; the next rung is a TWO-LEVEL
-    * assignment (coarse cells ≤256, then fine cells trained within each
-    * coarse cell) making assignment n·(k_c + k_f) while the ladder keeps
-    * scaling — the standard IVF hierarchy, left for the next decade of
-    * corpus growth.
+  /** FLAT-ladder cell cap = the coarse-cell count of the two-level rung:
+    * one-level assignment scores every cell per vector (n·k work), so the
+    * flat ladder stops here; past MaxCoarse·TargetCell ≈ 65k vectors the
+    * ladder keeps doubling TOTAL cells but splits them `kc = MaxCoarse`
+    * coarse × `kf` fine ([[graft.operators.similarity.KMeansTwoLevel]] —
+    * the standard IVF hierarchy), so assignment stays n·(kc + kf) while
+    * occupancy holds at TargetCell. Below the boundary kf = 1 and the
+    * path (and every shipped oracle) is EXACTLY the flat ladder.
     */
-  val MaxCells = 4096
+  val MaxCoarse = 256
+  /** Fine-cells-per-coarse-cell cap: total-cell coverage is
+    * MaxCoarse·MaxFine·TargetCell = 2^20·256 ≈ 268M vectors. The binding
+    * cost at the cap is the fine-centroid broadcast and the per-iteration
+    * driver collect — kc·kf·dims doubles, ~0.5 GB at dims 64 (the
+    * [[graft.operators.similarity.KMeansTwoLevel]] scaladoc's documented
+    * trade); past it, fine centroids must become a join table, not a
+    * broadcast — a different operator, out of this ladder's scope.
+    */
+  val MaxFine = 4096
   /** Target cell occupancy: cells grow with the corpus so the per-cell
     * pair scan stays ~TargetCell² per cell. A FIXED cell count saturates
     * quadratically — the round-12 100× probe measured exactly that
@@ -72,26 +78,51 @@ object SemanticDedup {
     */
   val TargetCell = 256
 
+  /** (coarse, fine) cell counts for a corpus of n vectors: total cells
+    * double from BaseCells while occupancy exceeds TargetCell (the same
+    * integer ladder as before — the DuckDB oracle replays it as a CASE
+    * chain); while the total fits MaxCoarse the split is (total, 1) — the
+    * FLAT regime, bit-identical to the pre-two-level ladder — and past it
+    * the total factors as MaxCoarse coarse × (total/MaxCoarse) fine.
+    */
+  def adaptiveTwoLevel(n: Long): (Int, Int) = {
+    require(MaxCoarse >= BaseCells && (MaxCoarse & (MaxCoarse - 1)) == 0 &&
+      (MaxFine & (MaxFine - 1)) == 0 && (BaseCells & (BaseCells - 1)) == 0,
+      s"cell caps must be powers of two: base=$BaseCells coarse=$MaxCoarse fine=$MaxFine")
+    var k = BaseCells.toLong
+    while (n > k * TargetCell && k < MaxCoarse.toLong * MaxFine) k <<= 1
+    if (k <= MaxCoarse) (k.toInt, 1) else (MaxCoarse, (k / MaxCoarse).toInt)
+  }
+
+  /** Flat-regime cell count (kf = 1): kept as the named form the one-level
+    * oracles replay.
+    */
   def adaptiveCells(n: Long): Int = {
-    require(MaxCells >= BaseCells && (MaxCells & (MaxCells - 1)) == 0 &&
-      (BaseCells & (BaseCells - 1)) == 0,
-      s"MaxCells=$MaxCells must be a power-of-2 multiple of BaseCells=$BaseCells")
-    var k = BaseCells
-    while (n > k.toLong * TargetCell && k < MaxCells) k <<= 1
-    k
+    val (kc, kf) = adaptiveTwoLevel(n)
+    require(kf == 1, s"n=$n is past the flat ladder (kc=$kc kf=$kf); " +
+      "use adaptiveTwoLevel")
+    kc
   }
 
   /** (vec_id, cluster_id, kept) with OCCUPANCY-ADAPTIVE cells and a
     * capped training sample ([[graft.operators.similarity.NswAnn
     * .trainModulus]]): the production entry — pair mass stays ~n·TargetCell
-    * and training stays TrainCap-bounded as the corpus grows.
+    * and training stays TrainCap-bounded as the corpus grows. Below
+    * MaxCoarse·TargetCell occupancy the assignment is the flat trained
+    * ladder (every shipped SF; bit-identical to the pre-two-level path);
+    * past it the TWO-LEVEL rung takes over (q133 pins that path's full
+    * oracle replay at forced knobs).
     */
   def flaggedAdaptive(vectors: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, trainIters: Int,
                       dims: Int): DataFrame = {
     val n = vectors.count()
-    flagged(vectors, idCol, vecCol, threshold, adaptiveCells(n), trainIters,
-      dims, graft.operators.similarity.NswAnn.trainModulus(n))
+    val (kc, kf) = adaptiveTwoLevel(n)
+    val m = graft.operators.similarity.NswAnn.trainModulus(n)
+    if (kf == 1) flagged(vectors, idCol, vecCol, threshold, kc, trainIters,
+      dims, m)
+    else flaggedTwoLevel(vectors, idCol, vecCol, threshold, kc, kf,
+      trainIters, dims, m)
   }
 
   /** (vec_id, cluster_id, kept): every input vector flagged. Survivors =
@@ -100,10 +131,30 @@ object SemanticDedup {
     */
   def flagged(vectors: DataFrame, idCol: String, vecCol: String,
               threshold: Double, nCentroids: Int, trainIters: Int,
-              dims: Int, sampleModulus: Int = 1): DataFrame = {
-    val assigned = graft.operators.OpCache.cache(
+              dims: Int, sampleModulus: Int = 1): DataFrame =
+    flagFromAssigned(graft.operators.OpCache.cache(
       IvfAnn.assignTrainedSampled(vectors, idCol, vecCol, nCentroids,
-        trainIters, dims, sampleModulus))
+        trainIters, dims, sampleModulus)), threshold)
+
+  /** [[flagged]] with the TWO-LEVEL assignment
+    * ([[graft.operators.similarity.KMeansTwoLevel]]): kc coarse × kf fine
+    * cells, cluster_id = gid·kf + fid. The drop rule, pair confinement,
+    * and output shape are identical — only the cell function changes,
+    * which is exactly the ladder contract.
+    */
+  def flaggedTwoLevel(vectors: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, kc: Int, kf: Int, trainIters: Int,
+                      dims: Int, sampleModulus: Int = 1): DataFrame =
+    flagFromAssigned(graft.operators.OpCache.cache(
+      IvfAnn.assignTrainedTwoLevel(vectors, idCol, vecCol, kc, kf,
+        trainIters, dims, sampleModulus)), threshold)
+
+  /** The SemDeDup drop rule over any (vid, vec, nrm, cluster_id) frame:
+    * within-cluster pairs only, min-id-wins per pair, kept flags for the
+    * whole corpus.
+    */
+  private def flagFromAssigned(assigned: DataFrame,
+                               threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster_id"), col("vid").as("a_id"),
       col("vec").as("a_vec"), col("nrm").as("a_nrm"))
     val b = assigned.select(col("cluster_id"), col("vid").as("b_id"),

@@ -115,6 +115,27 @@ object IvfAnn {
     assignViaProbe(v, trained)
   }
 
+  /** [[assignTrainedSampled]]'s TWO-LEVEL sibling ([[KMeansTwoLevel]] —
+    * the rung past the flat cell ladder): train kc coarse cells, then kf
+    * fine cells within each, and assign the full corpus with two
+    * broadcast probes (kc + kf scans per row instead of kc·kf).
+    * cluster_id = coarse·kf + fine.
+    */
+  def assignTrainedTwoLevel(vectors: DataFrame, idCol: String, vecCol: String,
+                            kc: Int, kf: Int, trainIters: Int, dims: Int,
+                            sampleModulus: Int): DataFrame = {
+    require(sampleModulus >= 1, s"bad sample modulus $sampleModulus")
+    val v = graft.operators.OpCache.cache(
+      vectors.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        VectorFns.norm(col(vecCol)).as("nrm")))
+    val sample =
+      if (sampleModulus == 1) v else v.filter(col("vid") % sampleModulus === 0)
+    val qz = graft.operators.OpCache.cache(
+      KMeansExact.quantized(sample, "vid", "vec", dims))
+    val tl = KMeansTwoLevel.train(qz, kc, kf, trainIters, dims)
+    KMeansTwoLevel.assign(v, tl, kf)
+  }
+
   /** Trained-centroid assignment through the codegen'd
     * [[graft.plans.HubTopTwo]] broadcast probe (slot i1 = argmax cosine,
     * strict `>` with cids scanned ascending — exactly the fold's and the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.similarity.{IvfAnn, KMeansExact}
+import graft.operators.similarity.{IvfAnn, KMeansExact, KMeansTwoLevel}
 
 /** q33: IVF ANN — the partition-prunable similarity-search scale path
   * (SURVEY §2 item 36, complementing LSH q25), now with TRAINED centroids:
@@ -157,12 +157,16 @@ object IvfQueries {
     val sumsq = dot("embedding", "embedding")
     // occupancy-adaptive cell ladder + training-sample modulus, replayed
     // as integer CASE ladders exactly like the NSW oracle's
+    // the ladder's FLAT regime (kf = 1), which covers every shipped SF by
+    // orders of magnitude (boundary: MaxCoarse·TargetCell = 65536
+    // vectors); past it flaggedAdaptive switches to the two-level rung,
+    // whose full replay q133 pins at forced knobs
     val cellLadder = {
       val steps = Iterator.iterate(SemanticDedup.BaseCells)(_ << 1)
-        .takeWhile(_ < SemanticDedup.MaxCells)
+        .takeWhile(_ < SemanticDedup.MaxCoarse)
         .map(k => s"WHEN count(*) <= ${k.toLong * SemanticDedup.TargetCell} THEN $k")
         .mkString(" ")
-      s"SELECT CASE $steps ELSE ${SemanticDedup.MaxCells} END AS k FROM semcorpus"
+      s"SELECT CASE $steps ELSE ${SemanticDedup.MaxCoarse} END AS k FROM semcorpus"
     }
     val modLadder = {
       val steps = Iterator.iterate(1)(_ << 1)
@@ -173,7 +177,7 @@ object IvfQueries {
     }
     val training = KMeansExact.oracleCtes("km",
       "(SELECT * FROM semcorpus WHERE vec_id % (SELECT m FROM smod) = 0)",
-      "vec_id", "embedding", SemanticDedup.MaxCells, TrainIters, dims,
+      "vec_id", "embedding", SemanticDedup.MaxCoarse, TrainIters, dims,
       kSql = "SELECT k FROM nc")
     s"""semcorpus AS MATERIALIZED ($corpusSql),
        |nc AS ($cellLadder),
@@ -198,6 +202,74 @@ object IvfQueries {
        |      AND (${dot("a.e", "b.e")}) / (a.nrm * b.nrm) > $threshold
        |  ) AS kept
        |FROM asg a)""".stripMargin
+  }
+
+  /** q133 knobs: the two-level rung FORCED at gate scale. Production
+    * enters this path only past MaxCoarse·TargetCell = 65k vectors
+    * ([[graft.operators.dedup.SemanticDedup.adaptiveTwoLevel]]); the gate
+    * pins the identical code path at kc=4 × kf=4 so the full replay —
+    * coarse training, the sample's coarse assignment, fine seeding, every
+    * grouped fine Lloyd iteration, the two-probe cosine assignment, and
+    * the pair-drop rule — runs against DuckDB at sf0.01.
+    */
+  val TlCoarse = 4
+  val TlFine = 4
+
+  /** q133: TWO-LEVEL (coarse→fine) semantic dedup
+    * ([[graft.operators.similarity.KMeansTwoLevel]] through
+    * [[graft.operators.dedup.SemanticDedup.flaggedTwoLevel]]) — the
+    * assignment rung that moves the cell ladder's ceiling from ~1M to
+    * ~268M vectors by scoring kc+kf centroids per row instead of kc·kf.
+    * Same output shape and drop rule as q121; cluster_id = gid·kf + fid.
+    */
+  def q133SemanticTwoLevel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.SemanticDedup.flaggedTwoLevel(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = SemThreshold, kc = TlCoarse, kf = TlFine,
+      trainIters = TrainIters, dims = SimilarityQueries.Dims)
+
+  def q133Oracle: String = {
+    val dims = SimilarityQueries.Dims
+    def dot(a: String, b: String) = (1 to dims)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def dotW(a: String, c: String) = (0 until dims)
+      .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*$c.w$i")
+      .mkString(" + ")
+    val sumsq = dot("embedding", "embedding")
+    val training = KMeansTwoLevel.oracleCtes("tl", "embeddings", "vec_id",
+      "embedding", TlCoarse, TlFine, TrainIters, dims)
+    s"""WITH $training
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
+       |), gscore AS (
+       |  SELECT v.vec_id AS vid, v.e, v.nrm, c.cid,
+       |    (${dotW("v.e", "c")}) / (v.nrm * c.cnrm) AS ccos
+       |  FROM n v CROSS JOIN tlccw c
+       |), gasg AS MATERIALIZED (
+       |  SELECT vid, e, nrm, cid AS gid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM gscore) t
+       |  WHERE rn = 1
+       |), fpick AS (
+       |  SELECT vid, fcid FROM (
+       |    SELECT g.vid, f.fcid,
+       |      row_number() OVER (PARTITION BY g.vid
+       |        ORDER BY (${dotW("g.e", "f")}) / (g.nrm * f.cnrm) DESC, f.fcid ASC) AS rn
+       |    FROM gasg g JOIN tlfcw f ON f.gid = g.gid) t
+       |  WHERE rn = 1
+       |), asg AS MATERIALIZED (
+       |  SELECT g.vid, g.e, g.nrm,
+       |    g.gid * $TlFine + COALESCE(p.fcid, 0) AS cluster_id
+       |  FROM gasg g LEFT JOIN fpick p USING (vid)
+       |)
+       |SELECT a.vid AS vec_id, a.cluster_id,
+       |  NOT EXISTS (
+       |    SELECT 1 FROM asg b
+       |    WHERE b.cluster_id = a.cluster_id AND b.vid < a.vid
+       |      AND (${dot("a.e", "b.e")}) / (a.nrm * b.nrm) > $SemThreshold
+       |  ) AS kept
+       |FROM asg a""".stripMargin
   }
 
   /** q124: the END-TO-END EMBEDDING PIPELINE

@@ -189,12 +189,12 @@ object StreamingQueries {
   // private[graft] (not [queries]) so StatefulGatesSpec audits the SAME
   // constants the gates drive — a spec-local copy could silently audit a
   // different feed than the one the oracles replay
-  private[graft] val FeedDays = 8
+  private[graft] val FeedDays = 5
   private[graft] val UserCap = 100L
 
   /** The capped feed every streaming gate (q108/q110/q111) derives from:
     * ts/user null filters, the `user_id < UserCap` keyspace bound (the
-    * feed collect stays SF-invariant) and the first-`FeedDays` day window.
+    * feed collect stays SF-invariant) and the first-`FeedDays` day window (5 days: enough batches to re-admit q108 keys, straddle q110 lateness, and complete q111 chains, audited by StatefulGatesSpec; was 8 — cut for harness cost, round-14 task #6).
     * `withValue` additionally drops null values — q108/q110 carry `value`
     * into typed rows where a NULL would silently unbox to 0.0 — and must
     * match the oracle's filter set exactly. Returns (feed, minDay).
@@ -269,7 +269,7 @@ object StreamingQueries {
       |      ORDER BY ts, event_id) AS rn
       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |    AND value IS NOT NULL AND user_id < 100
-      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8
+      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 5
       |                            FROM events
       |                            WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |                              AND value IS NOT NULL AND user_id < 100)
@@ -410,7 +410,7 @@ object StatefulGates {
     """WITH e AS (
       |  SELECT user_id, ts, event_type FROM events
       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
-      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 5 FROM events
       |        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100)
       |), s1 AS (
       |  SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1
@@ -467,7 +467,7 @@ object StatefulGates {
     s"""WITH fed AS (
        |  SELECT event_id FROM events
        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
-       |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+       |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 5 FROM events
        |        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100)
        |), h AS (
        |  SELECT md5(CAST(event_id AS VARCHAR)) AS hx FROM fed
@@ -502,7 +502,7 @@ object StatefulGates {
     s"""WITH fed AS (
        |  SELECT event_type FROM events
        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100
-       |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+       |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 5 FROM events
        |        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 100)
        |    AND event_type IS NOT NULL
        |)
@@ -519,7 +519,7 @@ object StatefulGates {
       |  FROM events
       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
       |    AND user_id < 100
-      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 8 FROM events
+      |    AND CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + 5 FROM events
       |        WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |          AND value IS NOT NULL AND user_id < 100)
       |), wm AS (

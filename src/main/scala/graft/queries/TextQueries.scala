@@ -28,16 +28,66 @@ object TextQueries {
     */
   private[queries] val Q127Th = graft.functions.QualityRules.Thresholds(minStops = 1)
 
+  /** q127's line-grain thresholds: tightened from the paper defaults
+    * (0.9/0.3/0.3/0.3) so both polarities occur on the decorated-line
+    * corpus — the same knob-for-polarity precedent as minStops above.
+    */
+  private[queries] val Q127LineTh = graft.functions.QualityRules
+    .LineThresholds(maxBulletFrac = 0.25, maxEllipsisFrac = 0.25,
+      maxDupLineFrac = 0.2, maxDupParaFrac = 0.15)
+
+  /** q127's LINE corpus: deterministic token-bigram lines (the q109
+    * synthesis — the raw corpus is newline-free) with three DECORATIONS,
+    * replayed verbatim by the oracle, that give every line rule a live
+    * distribution: (a) every doc with doc_id % 4 = 0 repeats a fixed
+    * bullet-started, ellipsis-ended boilerplate PARAGRAPH (two fixed
+    * lines) at every third paragraph slot — the nav-bar/cookie-banner
+    * shape A1.2 exists to catch; (b) sparse bullet prefixes at
+    * (doc_id + lpos) % 7 = 0; (c) sparse ellipsis suffixes at
+    * (doc_id + lpos) % 5 = 1.
+    */
+  private def q127Lines(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("lines", expr(
+        """transform(sequence(1, (size(__toks) + 1) div 2), i ->
+          |  CASE WHEN doc_id % 4 = 0 AND ((i + 1) div 2) % 3 = 0 THEN
+          |         CASE WHEN i % 2 = 1 THEN '- nav home ...'
+          |              ELSE '- nav about ...' END
+          |       WHEN (doc_id + i) % 7 = 0 THEN concat('- ',
+          |         CASE WHEN 2 * i <= size(__toks)
+          |              THEN concat(element_at(__toks, CAST(2 * i - 1 AS INT)), ' ',
+          |                          element_at(__toks, CAST(2 * i AS INT)))
+          |              ELSE element_at(__toks, CAST(2 * i - 1 AS INT)) END)
+          |       WHEN (doc_id + i) % 5 = 1 THEN concat(
+          |         CASE WHEN 2 * i <= size(__toks)
+          |              THEN concat(element_at(__toks, CAST(2 * i - 1 AS INT)), ' ',
+          |                          element_at(__toks, CAST(2 * i AS INT)))
+          |              ELSE element_at(__toks, CAST(2 * i - 1 AS INT)) END, ' ...')
+          |       ELSE CASE WHEN 2 * i <= size(__toks)
+          |              THEN concat(element_at(__toks, CAST(2 * i - 1 AS INT)), ' ',
+          |                          element_at(__toks, CAST(2 * i AS INT)))
+          |              ELSE element_at(__toks, CAST(2 * i - 1 AS INT)) END
+          |  END)""".stripMargin))
+      .select(col("doc_id"), col("lines"))
+
   /** q127: Gopher-style quality RULES ([[graft.functions.QualityRules]] —
     * the per-rule production filter discipline, Rae et al. 2021 A1.1/A1.2,
-    * vs q27's single blended score). The oracle recomputes every statistic
-    * from the normalized text with the identical arithmetic: exact counts,
-    * single divisions, the n=2 ShingleHash pipeline for the top-bigram
-    * fraction.
+    * vs q27's single blended score): the six text-grain rules joined with
+    * the four LINE-grain rules ([[graft.functions.QualityRules.lineReport]]
+    * over the decorated bigram lines). The oracle recomputes every
+    * statistic with the identical arithmetic: exact counts, single
+    * divisions, the n=2 ShingleHash pipeline for the top-bigram fraction,
+    * and the same line/paragraph constructions.
     */
-  def q127QualityRules(spark: SparkSession, dir: String): DataFrame =
-    graft.functions.QualityRules.report(
+  def q127QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val text = graft.functions.QualityRules.report(
       Tables.documents(spark, dir), "doc_id", "text", Q127Th)
+    val lines = graft.functions.QualityRules.lineReport(
+      q127Lines(spark, dir), "doc_id", "lines", Q127LineTh)
+    text.join(lines, Seq("doc_id"))
+  }
 
   /** CTE chain (for a WITH list) replaying
     * [[graft.functions.QualityRules.report]] over an arbitrary
@@ -89,12 +139,63 @@ object TextQueries {
        |    AND n_stops >= ${th.minStops}
        |    AND top_bigram_frac <= ${th.maxTopBigramFrac})""".stripMargin
 
-  def q127Oracle: String =
-    s"""WITH ${qualityCtes("SELECT doc_id, text FROM documents", Q127Th)}
-       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
-       |  n_stops, top_bigram_frac,
-       |  ${qualityPassedSql(Q127Th)} AS passed
-       |FROM qrstats""".stripMargin
+  /** CTE chain replaying [[q127Lines]] + [[graft.functions.QualityRules
+    * .lineReport]] over (doc_id, text) from `docSql`, ending in
+    * `qlstats(doc_id, n_lines, bullet_line_frac, ellipsis_line_frac,
+    * dup_line_frac, dup_para_frac)`.
+    */
+  private[queries] def lineCtes(docSql: String): String = {
+    val bigram = "CASE WHEN 2*i <= len(w) THEN w[2*i-1] || ' ' || w[2*i] " +
+      "ELSE w[2*i-1] END"
+    s"""qld AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM ($docSql) WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), qll AS (
+       |  SELECT doc_id, list_transform(range(1, (len(w) + 1) // 2 + 1, 1), i ->
+       |    CASE WHEN doc_id % 4 = 0 AND ((i + 1) // 2) % 3 = 0 THEN
+       |           CASE WHEN i % 2 = 1 THEN '- nav home ...'
+       |                ELSE '- nav about ...' END
+       |         WHEN (doc_id + i) % 7 = 0 THEN '- ' || $bigram
+       |         WHEN (doc_id + i) % 5 = 1 THEN $bigram || ' ...'
+       |         ELSE $bigram
+       |    END) AS ls
+       |  FROM qld
+       |), qlp AS (
+       |  SELECT doc_id, ls, list_transform(range(1, (len(ls) + 1) // 2 + 1, 1), j ->
+       |    CASE WHEN 2*j <= len(ls) THEN ls[2*j-1] || chr(10) || ls[2*j]
+       |         ELSE ls[2*j-1] END) AS ps
+       |  FROM qll WHERE len(ls) > 0
+       |), qlstats AS (
+       |  SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+       |      OR starts_with(x, '* ') OR starts_with(x, '• '))) AS DOUBLE)
+       |      / len(ls) AS bullet_line_frac,
+       |    CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS DOUBLE)
+       |      / len(ls) AS ellipsis_line_frac,
+       |    CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+       |      / len(ls) AS dup_line_frac,
+       |    CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE)
+       |      / len(ps) AS dup_para_frac
+       |  FROM qlp
+       |)""".stripMargin
+  }
+
+  def q127Oracle: String = {
+    val lt = Q127LineTh
+    s"""WITH ${qualityCtes("SELECT doc_id, text FROM documents", Q127Th)},
+       |${lineCtes("SELECT doc_id, text FROM documents")}
+       |SELECT t.doc_id, t.n_words, t.mean_word_len, t.symbol_ratio,
+       |  t.alpha_frac, t.n_stops, t.top_bigram_frac,
+       |  ${qualityPassedSql(Q127Th)} AS passed,
+       |  l.n_lines, l.bullet_line_frac, l.ellipsis_line_frac,
+       |  l.dup_line_frac, l.dup_para_frac,
+       |  (l.bullet_line_frac <= ${lt.maxBulletFrac}
+       |    AND l.ellipsis_line_frac <= ${lt.maxEllipsisFrac}
+       |    AND l.dup_line_frac <= ${lt.maxDupLineFrac}
+       |    AND l.dup_para_frac <= ${lt.maxDupParaFrac}) AS passed_lines
+       |FROM qrstats t JOIN qlstats l ON l.doc_id = t.doc_id""".stripMargin
+  }
 
   def q26Oracle: String =
     """WITH m AS (
@@ -326,6 +427,81 @@ object TextQueries {
       |  CAST(LEAST(len(t) - s, 32) AS INTEGER) AS n_tokens
       |FROM starts
       |WHERE s = 0 OR s < len(t) - 8""".stripMargin
+
+  /** q132's literal query set: terms drawn from the synthetic vocabulary
+    * (df 380-400 of 500 docs at sf0.01 — every query matches both many
+    * and partially-matching docs, so the pivot, the missing-term zero,
+    * and the tie-broken top-k all carry weight). The oracle repeats the
+    * set verbatim.
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("hash", "merge", "sort"),
+    3 -> Seq("stream", "window"))
+  val Bm25TopK = 10
+
+  /** q132: BM25 ranking ([[graft.operators.Bm25]] — the retrieval scorer
+    * on top of q54's term statistics and q84's postings): top-10 docs per
+    * literal query, rational ln-free idf, k1/b at the Okapi defaults. The
+    * oracle replays document lengths, avgdl, tf, df, every per-term
+    * contribution in pinned evaluation order, the explicit left-to-right
+    * term sum, and the (score DESC, doc_id ASC) top-k.
+    */
+  def q132Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.rank(Tables.documents(spark, dir), "doc_id", "text",
+      Bm25Queries, Bm25TopK)
+
+  def q132Oracle: String = {
+    import graft.operators.Bm25.{B, K1}
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val perQuery = Bm25Queries.map { case (qid, ts) =>
+      val slot = (t: String) => s"max(CASE WHEN term = '$t' THEN c END)"
+      val matched = ts.map(t => s"CASE WHEN ${slot(t)} IS NULL THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      val score = ts.map(t => s"COALESCE(${slot(t)}, 0.0)").mkString(" + ")
+      s"""SELECT $qid AS query_id, doc_id,
+         |    CAST($matched AS INTEGER) AS n_terms_matched,
+         |    $score AS score
+         |  FROM contrib WHERE term IN (${ts.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS w
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length($norm) > 0
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base
+       |), stats AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS term FROM base) GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT t.doc_id, t.term,
+       |    ((CAST(s.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+       |      * ((CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+       |         (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
+       |          (CAST(d.dl AS DOUBLE) / s.avgdl)))) AS c
+       |  FROM tf t
+       |  JOIN dfreq f USING (term)
+       |  JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE t.term IN ($allTerms)
+       |), scored AS (
+       |  $perQuery
+       |)
+       |SELECT query_id, doc_id, n_terms_matched, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $Bm25TopK""".stripMargin
+  }
 
   def q84Oracle: String =
     """WITH raw AS (

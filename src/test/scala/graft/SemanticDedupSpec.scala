@@ -70,13 +70,61 @@ class SemanticDedupSpec extends SparkSpec {
     assert(r8 >= 0.2, s"cluster confinement collapsed: $r8")
   }
 
-  test("adaptive cell ladder: base at shipped scale, doubles with occupancy, capped") {
+  test("adaptive cell ladder: flat below the coarse cap, two-level past it, capped") {
     import graft.operators.dedup.SemanticDedup._
+    assert(adaptiveTwoLevel(500) == ((BaseCells, 1)))
+    assert(adaptiveTwoLevel(BaseCells.toLong * TargetCell) == ((BaseCells, 1)))
+    assert(adaptiveTwoLevel(BaseCells.toLong * TargetCell + 1) == ((BaseCells * 2, 1)))
+    // the flat/two-level boundary: MaxCoarse·TargetCell occupancy
+    assert(adaptiveTwoLevel(MaxCoarse.toLong * TargetCell) == ((MaxCoarse, 1)))
+    assert(adaptiveTwoLevel(MaxCoarse.toLong * TargetCell + 1) == ((MaxCoarse, 2)))
+    // total cells keep tracking occupancy in the two-level regime
+    val (kc, kf) = adaptiveTwoLevel(1350000) // ~the sf10 chunk corpus
+    assert(kc == MaxCoarse && kc.toLong * kf * TargetCell >= 1350000)
+    assert(adaptiveTwoLevel(Long.MaxValue) == ((MaxCoarse, MaxFine)))
+    // the flat-named form still answers its regime and refuses the other
     assert(adaptiveCells(500) == BaseCells)
-    assert(adaptiveCells(BaseCells.toLong * TargetCell) == BaseCells)
-    assert(adaptiveCells(BaseCells.toLong * TargetCell + 1) == BaseCells * 2)
-    assert(adaptiveCells(200000) * TargetCell >= 200000 ||
-      adaptiveCells(200000) == MaxCells)
-    assert(adaptiveCells(Long.MaxValue) == MaxCells)
+    assertThrows[IllegalArgumentException](
+      adaptiveCells(MaxCoarse.toLong * TargetCell + 1))
+  }
+
+  test("two-level with kf=1 is bit-identical to the flat path") {
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val flat = SemanticDedup.flagged(vecs, "vec_id", "embedding",
+      Threshold, nCentroids = 8, trainIters = 3, dims = Dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val two = SemanticDedup.flaggedTwoLevel(vecs, "vec_id", "embedding",
+      Threshold, kc = 8, kf = 1, trainIters = 3, dims = Dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(two == flat,
+      "kf=1 must collapse the two-level rung onto the flat ladder exactly")
+  }
+
+  test("two-level assignment: composite cells nest inside coarse cells") {
+    import graft.operators.similarity.IvfAnn
+    val vecs = Tables.embeddings(spark, sf("0.001"))
+    val kc = 4
+    val kf = 4
+    val two = IvfAnn.assignTrainedTwoLevel(vecs, "vec_id", "embedding",
+      kc, kf, trainIters = 3, dims = Dims, sampleModulus = 1)
+      .select(col("vid"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(two.length == vecs.count())
+    // cluster ids live in [0, kc·kf) and decompose as gid·kf + fid
+    assert(two.forall { case (_, c) => c >= 0 && c < kc.toLong * kf })
+    // refining must never MERGE coarse cells: vectors in different
+    // composite cells of the same coarse cell share gid; vectors in
+    // different coarse cells never share a composite cell
+    val byCluster = two.groupBy(_._2 / kf)
+    assert(byCluster.size > 1, "coarse structure collapsed to one cell")
+    // deterministic rerun
+    val again = IvfAnn.assignTrainedTwoLevel(vecs, "vec_id", "embedding",
+      kc, kf, trainIters = 3, dims = Dims, sampleModulus = 1)
+      .select(col("vid"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.toSet == two.toSet)
+    // and the fine level genuinely subdivides at least one coarse cell
+    assert(two.map(_._2).distinct.length > byCluster.size,
+      "no coarse cell was subdivided — the fine level did nothing")
   }
 }
