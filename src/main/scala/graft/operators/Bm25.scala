@@ -58,6 +58,12 @@ object Bm25 {
            k1: Double = K1, b: Double = B): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "need at least one query with at least one term")
+    require(queries.forall(q => q._2.distinct == q._2),
+      "duplicate terms within a query: each term becomes one __c_<term> " +
+        "agg slot, so a repeat makes the post-agg column reference ambiguous")
+    require(queries.flatMap(_._2).forall(_.matches("[a-z0-9]+")),
+      "terms must match [a-z0-9]+: they name agg slot columns and are " +
+        "interpolated into the oracle SQL as literals")
     val base = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol),

@@ -41,8 +41,10 @@ import graft.operators.{BloomFilter, OpCache}
   *    re-clean": the probe filters to the crossing hashes' buckets
   *    (partition pruning — the filter reaches the scan's
   *    PartitionFilters, spec-pinned) and then through a deterministic
-  *    [[BloomFilter]] pre-pass before the exact join, so probe volume is
-  *    bounded by the crossing buckets, not the corpus.
+  *    [[BloomFilter]] pre-pass before the exact join (skipped above
+  *    [[MaxBloomCrossing]] keys, where the build's driver collect would
+  *    outgrow its budget — the exact join alone is still correct), so
+  *    probe volume is bounded by the crossing buckets, not the corpus.
   *  - `docs/__db=B/` — accumulated normalized text, append-only,
   *    partitioned by `pmod(doc_id, Buckets)`: the token source for
   *    re-cleans, re-read SELECTIVELY (bucket prune + doc-id semi-join,
@@ -82,6 +84,63 @@ object IncrementalSpanDedup {
 
   /** Bloom probe hash count for the postings pre-pass (#90's k). */
   private val BloomK = 3
+
+  /** Crossing-set size past which the Bloom pre-pass is SKIPPED and the
+    * probe falls back to the plain bucket-pruned exact join. The build's
+    * distinct-positions collect is bounded by min(m, n·k) rows; at 2^20
+    * crossing hashes that is ≤ ~3M longs (tens of MB) — fine — but
+    * [[BloomFilter.mFor]] keeps growing to 2^28 bits, and a crawl-sized
+    * delta could otherwise drive a tens-of-millions-row driver collect,
+    * exactly the hazard the BloomFilter scaladoc warns to cap. Results
+    * are identical either way (the Bloom only pre-reduces the exact join).
+    */
+  private val MaxBloomCrossing = 1L << 20
+
+  /** State-layout version — bumped whenever the on-disk shape changes
+    * incompatibly (v2 = bucket-partitioned clean/__db, postings/__hb,
+    * docs/__db).
+    */
+  private val LayoutVersion = 2
+
+  private def layoutText = s"version=$LayoutVersion\nbuckets=$Buckets\n"
+
+  /** Enforce the layout contract the scaladoc warns about: a `_layout`
+    * marker (version + Buckets) is written into the state root the first
+    * time state is created, and every later [[append]]/[[compactCounts]]
+    * requires it to match — so an append against a pre-v2 root, or after
+    * a Buckets change that would strand rows in directories the prune no
+    * longer reads, fails loudly instead of resolving phantom columns or
+    * silently dropping buckets.
+    */
+  private def checkOrWriteLayout(spark: SparkSession, root: String): Unit = {
+    val fs = hfs(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_layout")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      require(txt == layoutText,
+        s"state root $root has layout marker ${txt.trim.replace("\n", " ")} " +
+          s"but this build expects ${layoutText.trim.replace("\n", " ")}: " +
+          "bucket membership is pmod(key, Buckets), so reading it with a " +
+          "different layout would strand rows — migrate the root first")
+    } else {
+      val stateExists = Seq("counts", "postings", "docs", "clean")
+        .exists(d => dirExists(spark, s"$root/$d"))
+      require(!stateExists,
+        s"state root $root has tables but no _layout marker: it predates " +
+          "the bucket-partitioned layout (v2) and cannot be appended to " +
+          "in place — rebuild it from the source deltas")
+      val out = fs.create(marker, false)
+      try out.write(layoutText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 
   /** Bounded per-append audit (driver-side scalars, each one aggregate
     * row): what the spec pins to prove the re-clean path really fires.
@@ -156,6 +215,7 @@ object IncrementalSpanDedup {
   def compactCounts(spark: SparkSession, root: String): Unit = {
     recoverCounts(spark, root)
     if (!dirExists(spark, s"$root/counts")) return
+    checkOrWriteLayout(spark, root)
     val merged = spark.read.parquet(s"$root/counts")
       .groupBy(col("__h")).agg(sum(col("__c")).as("__c"))
     merged.write.mode("overwrite").parquet(s"$root/counts_tmp/seg=0")
@@ -175,6 +235,7 @@ object IncrementalSpanDedup {
              idCol: String, textCol: String, spanTokens: Int): AppendStats = {
     require(spanTokens >= 2, s"span width must be >= 2, got $spanTokens")
     recoverCounts(spark, root)
+    checkOrWriteLayout(spark, root)
     OpCache.scoped {
       // --- delta projections (SpanDedup's base/occ shapes) ---
       val base = OpCache.cache(delta
@@ -210,11 +271,17 @@ object IncrementalSpanDedup {
           val xBuckets = crossing
             .select(pmod(col("__h"), lit(Buckets.toLong)).cast("int").as("__hb"))
             .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ Buckets
-          val m = BloomFilter.mFor(nCrossing)
-          val bits = BloomFilter.build(crossing, "__h", m, BloomK)
-          readOr(spark, s"$root/postings", s"__h long, $idCol long, __hb int")
+          val pruned = readOr(spark, s"$root/postings",
+              s"__h long, $idCol long, __hb int")
             .filter(col("__hb").isin(xBuckets.map(Int.box): _*))
-            .filter(BloomFilter.mightContain(col("__h"), bits, m, BloomK))
+          val preFiltered =
+            if (nCrossing > MaxBloomCrossing) pruned // collect too big: exact join only
+            else {
+              val m = BloomFilter.mFor(nCrossing)
+              val bits = BloomFilter.build(crossing, "__h", m, BloomK)
+              pruned.filter(BloomFilter.mightContain(col("__h"), bits, m, BloomK))
+            }
+          preFiltered
             .join(crossing, Seq("__h"))
             .select(col(idCol)).distinct()
             .join(base.select(col(idCol)), Seq(idCol), "left_anti")

@@ -114,10 +114,17 @@ object SemanticDedup {
     * oracle replay at forced knobs).
     */
   def flaggedAdaptive(vectors: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, trainIters: Int,
-                      dims: Int): DataFrame = {
+                      threshold: Double, trainIters: Int, dims: Int,
+                      oracleFlatLadder: Boolean = false): DataFrame = {
     val n = vectors.count()
     val (kc, kf) = adaptiveTwoLevel(n)
+    if (oracleFlatLadder) require(kf == 1,
+      s"corpus n=$n is past the flat-ladder boundary " +
+        s"(${MaxCoarse.toLong * TargetCell}): the caller's DuckDB oracle " +
+        "replays only the flat cell ladder, so the two-level assignment " +
+        "would hash-mismatch the gate even though the engine is correct — " +
+        "run without oracleFlatLadder (production) or gate the two-level " +
+        "path via its forced-knob replay (q133)")
     val m = graft.operators.similarity.NswAnn.trainModulus(n)
     if (kf == 1) flagged(vectors, idCol, vecCol, threshold, kc, trainIters,
       dims, m)

@@ -60,9 +60,17 @@ object EmbeddingPipeline {
     *         (doc_id, chunk_no, n_dups, vec_id, cluster_id, kept) —
     *         kept = survived semantic dedup too.
     */
+  /** `oracleFlatLadder = true` (gate runs only) asserts the chunk corpus
+    * is still inside the flat cell-ladder regime the q124 DuckDB oracle
+    * replays — past it [[SemanticDedup.flaggedAdaptive]] would correctly
+    * switch to the two-level assignment and the gate would hash-mismatch;
+    * the require turns that divergence into a clear failure. Production
+    * leaves it false and takes the two-level rung (q133's gated path).
+    */
   def run(docs: DataFrame, embeddings: DataFrame, idCol: String,
           textCol: String, chunkTokens: Int, overlap: Int,
-          threshold: Double, trainIters: Int, dims: Int): DataFrame = {
+          threshold: Double, trainIters: Int, dims: Int,
+          oracleFlatLadder: Boolean = false): DataFrame = {
     val chunks = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol),
@@ -88,7 +96,8 @@ object EmbeddingPipeline {
     // single-run
     val flags = SemanticDedup.flaggedAdaptive(
         withVec.select(col("chunk_id"), col("embedding")),
-        "chunk_id", "embedding", threshold, trainIters, dims)
+        "chunk_id", "embedding", threshold, trainIters, dims,
+        oracleFlatLadder = oracleFlatLadder)
       .withColumnRenamed("vec_id", "chunk_id")
     withVec.select(col("chunk_id"), col("n_dups"), col("vec_id"))
       .join(flags, Seq("chunk_id"))

@@ -126,7 +126,8 @@ object IvfQueries {
     graft.operators.dedup.SemanticDedup.flaggedAdaptive(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
       threshold = SemThreshold, trainIters = TrainIters,
-      dims = SimilarityQueries.Dims)
+      dims = SimilarityQueries.Dims,
+      oracleFlatLadder = true) // q121Oracle replays the flat ladder only
 
   def q121Oracle: String =
     s"""WITH ${semFlagCtes("SELECT vec_id, embedding FROM embeddings", SemThreshold)}
@@ -289,7 +290,8 @@ object IvfQueries {
       Tables.documents(spark, dir), Tables.embeddings(spark, dir),
       "doc_id", "text", chunkTokens = 32, overlap = 8,
       threshold = SemThreshold, trainIters = TrainIters,
-      dims = SimilarityQueries.Dims)
+      dims = SimilarityQueries.Dims,
+      oracleFlatLadder = true) // q124Oracle replays the flat ladder only
 
   def q124Oracle: String = {
     val stride = graft.pipelines.EmbeddingPipeline.ChunkIdStride

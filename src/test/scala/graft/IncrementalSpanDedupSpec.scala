@@ -189,4 +189,31 @@ class IncrementalSpanDedupSpec extends SparkSpec {
     assert(r2(10L) == "")                      // and from the new copy
     assert(r2(2L) == "" && r2(3L) == "z")      // untouched docs carried over
   }
+
+  test("layout marker: written on first append, enforced afterwards") {
+    val root = scratch("layout")
+    val day1 = Seq((1L, "a b c")).toDF("doc_id", "text")
+    IncrementalSpanDedup.append(spark, root, day1, "doc_id", "text", 2)
+    val marker = java.nio.file.Paths.get(root, "_layout")
+    assert(java.nio.file.Files.exists(marker), "first append must stamp _layout")
+    val txt = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(txt.contains("version=2") &&
+      txt.contains(s"buckets=${IncrementalSpanDedup.Buckets}"))
+    // a marker written under a different Buckets refuses the append — a
+    // silent bucket change would strand rows in unread directories
+    // (tampering bypasses Hadoop's local FS, so drop its .crc sidecar too)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, "._layout.crc"))
+    java.nio.file.Files.write(marker, "version=2\nbuckets=4\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSpanDedup.append(spark, root, day1, "doc_id", "text", 2)
+    }
+    assert(e.getMessage.contains("layout"))
+    // a pre-marker root (state exists, no marker) refuses instead of
+    // resolving phantom __hb/__db columns against the old flat layout
+    java.nio.file.Files.delete(marker)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalSpanDedup.append(spark, root, day1, "doc_id", "text", 2)
+    }
+    assert(e2.getMessage.contains("_layout"))
+  }
 }

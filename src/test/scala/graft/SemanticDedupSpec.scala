@@ -33,6 +33,24 @@ class SemanticDedupSpec extends SparkSpec {
     assert(again == rows.toSet, "reruns must keep identical survivors")
   }
 
+  test("oracleFlatLadder guard fails clearly past the flat boundary") {
+    // past MaxCoarse·TargetCell the adaptive path would take the two-level
+    // rung, which the q121/q124 DuckDB oracles do NOT replay — the guard
+    // must turn that silent gate divergence into a clear failure (the
+    // require fires right after the count, before any training runs)
+    val n = SemanticDedup.MaxCoarse.toLong * SemanticDedup.TargetCell + 1
+    val vecs = spark.range(n)
+      .select(col("id").as("vec_id"), array(lit(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      SemanticDedup.flaggedAdaptive(vecs, "vec_id", "embedding",
+        Threshold, trainIters = 1, dims = 1, oracleFlatLadder = true)
+    }
+    assert(e.getMessage.contains("flat-ladder"))
+    // and the boundary itself is still inside the guarded regime
+    assert(SemanticDedup.adaptiveTwoLevel(n - 1)._2 == 1)
+    assert(SemanticDedup.adaptiveTwoLevel(n)._2 > 1)
+  }
+
   test("within-cluster confinement catches most brute-force duplicate pairs") {
     val vecs = Tables.embeddings(spark, sf("0.001"))
     val v = vecs.select(col("vec_id").as("vid"), col("embedding").as("vec"),
