@@ -503,6 +503,118 @@ object TextQueries {
        |WHERE rank <= $Bm25TopK""".stripMargin
   }
 
+  /** q134's hybrid-retrieval shape: the three q132 term queries, each
+    * paired with the query EMBEDDING whose vec_id equals the query id
+    * (the testdata contract aligns doc_id and vec_id spaces). Each leg
+    * over-retrieves to depth [[HybridLegK]] and the fusion keeps
+    * [[HybridTopK]].
+    */
+  val HybridVecIds: Seq[Long] = Bm25Queries.map(_._1.toLong)
+  val HybridLegK = 20
+  val HybridTopK = 10
+
+  /** q134: reciprocal-rank fusion of the BM25 sparse leg (q132's exact
+    * machinery at depth 20) with the brute-force dense cosine leg (q24's
+    * machinery at depth 20) — [[graft.operators.Rrf]]. The oracle replays
+    * both legs end-to-end (every BM25 contribution, every cosine) plus
+    * the pinned two-term fusion sum and the (rrf DESC, doc_id ASC) cut.
+    */
+  def q134HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = graft.operators.Bm25
+      .rank(Tables.documents(spark, dir), "doc_id", "text",
+        Bm25Queries, HybridLegK)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = graft.operators.similarity.CosineTopK
+      .search(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        v => v.isin(HybridVecIds: _*), HybridLegK)
+      .select(col("query_id").cast("int").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Rrf.fuse(Seq("sparse" -> sparse, "dense" -> dense),
+      HybridTopK)
+  }
+
+  def q134Oracle: String = {
+    import graft.operators.Bm25.{B, K1}
+    import graft.operators.Rrf.K0
+    val dims = 64
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val perQuery = Bm25Queries.map { case (qid, ts) =>
+      val slot = (t: String) => s"max(CASE WHEN term = '$t' THEN c END)"
+      val score = ts.map(t => s"COALESCE(${slot(t)}, 0.0)").mkString(" + ")
+      s"""SELECT $qid AS query_id, doc_id, $score AS score
+         |  FROM contrib WHERE term IN (${ts.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val dot = (1 to dims)
+      .map(i => s"CAST(q.e[$i] AS DOUBLE)*CAST(c.e[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val sumsq = (1 to dims)
+      .map(i => s"CAST(e[$i] AS DOUBLE)*CAST(e[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val vecIds = HybridVecIds.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS w
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length($norm) > 0
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base
+       |), stats AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS term FROM base) GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT t.doc_id, t.term,
+       |    ((CAST(s.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+       |      * ((CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+       |         (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B *
+       |          (CAST(d.dl AS DOUBLE) / s.avgdl)))) AS c
+       |  FROM tf t
+       |  JOIN dfreq f USING (term)
+       |  JOIN dl d ON d.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE t.term IN ($allTerms)
+       |), sparse_scored AS (
+       |  $perQuery
+       |), sparse AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |    FROM sparse_scored) t
+       |  WHERE rank <= $HybridLegK
+       |), nv AS (
+       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
+       |), dense AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT CAST(q.vec_id AS INTEGER) AS query_id, c.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ($dot) / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+       |    FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id IN ($vecIds)) t
+       |  WHERE rank <= $HybridLegK
+       |), fused AS (
+       |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+       |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       |    CAST(CASE WHEN s.rank IS NULL THEN 0 ELSE 1 END +
+       |         CASE WHEN d.rank IS NULL THEN 0 ELSE 1 END AS INTEGER) AS n_legs,
+       |    COALESCE(1.0 / ($K0.0 + CAST(s.rank AS DOUBLE)), 0.0) +
+       |    COALESCE(1.0 / ($K0.0 + CAST(d.rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM sparse s FULL OUTER JOIN dense d
+       |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+       |)
+       |SELECT query_id, doc_id, n_legs, rrf, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM fused) t
+       |WHERE rank <= $HybridTopK""".stripMargin
+  }
+
   def q84Oracle: String =
     """WITH raw AS (
       |  SELECT doc_id,
