@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-integer PageRank by power iteration — the graph-centrality
+  * scorer web-scale curation pipelines weight documents with (CCNet /
+  * RefinedWeb rank Common Crawl hosts by centrality before filtering;
+  * the reference's affinity mart (q88) stops at co-occurrence counts,
+  * this closes the loop to a stationary importance score).
+  *
+  * Exact-arithmetic discipline (the q54/q67 rule — floats never cross an
+  * aggregate): ranks are BIGINTs scaled by [[Scale]]; every step is
+  * integer multiply / truncating integer division (`DIV`) / integer SUM,
+  * so results are bit-replayable on any engine — float PageRank sums
+  * per-edge doubles in shuffle order and is not. The truncation loses at
+  * most 1/[[Scale]] of mass per edge per iteration (documented, both
+  * engines identical). With damping d = [[DampNum]]/[[DampDen]]:
+  * {{{
+  *   base    = Scale DIV n
+  *   r_0(v)  = base
+  *   r_k(v)  = ((DampDen−DampNum)·base) DIV DampDen
+  *           + (DampNum · (Σ_{u→v} (r_{k−1}(u) DIV deg(u))
+  *                         + dangling_{k−1} DIV n)) DIV DampDen
+  * }}}
+  * where `dangling` is the summed rank of zero-out-degree nodes,
+  * redistributed uniformly.
+  *
+  * Scale shape: one iteration = one src-keyed join of the rank frame to
+  * the (edge, out-degree) frame plus one dst-keyed integer-SUM shuffle —
+  * the standard Pregel-on-DataFrames step, linear in |E| per iteration.
+  * The (edge, deg) frame is localCheckpointed ONCE and re-read every
+  * round (the DupClusters lineage rule); each iteration's rank frame is
+  * localCheckpointed so the plan does not grow with k (rank is consumed
+  * twice per round — contribution join and dangling sum — and an
+  * uncheckpointed lineage would double per round). Driver state: the
+  * node count, one long. The dangling mass is a 1-row broadcast
+  * cross-join, never a per-iteration collect.
+  */
+object PageRank {
+
+  /** Rank fixed-point scale: ranks carry 12 integer digits of mass. */
+  val Scale = 1000000000000L
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Iterate `iterations` rounds over the DISTINCT (src, dst) edge set
+    * (multi-edges collapse — simple-digraph PageRank; pre-weight edges
+    * upstream if multiplicity should count). Returns (node, pr) with pr
+    * the scaled integer rank after the last round.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg): built once, re-read every iteration
+    val ew = e.join(outdeg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count() // the one driver scalar
+    require(n > 0, "empty graph")
+    val base = Scale / n
+    val base15 = ((DampDen - DampNum) * base) / DampDen
+    var rank = nodes.select(col("node"), lit(base).as("r"))
+    for (_ <- 1 to iterations) {
+      val sums = ew
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val dang = rank
+        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
+      rank = nodes
+        .join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          expr(s"${base15}L + (($DampNum * (coalesce(s, 0L) + (d DIV ${n}L)))" +
+            s" DIV $DampDen)").as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("node"), col("r").as("pr"))
+  }
+}

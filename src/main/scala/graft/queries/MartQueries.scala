@@ -693,4 +693,74 @@ object MartQueries {
       |JOIN r USING (o_orderpriority)
       |JOIN c USING (o_orderstatus)
       |CROSS JOIN n""".stripMargin
+
+  /** q135's shape: [[PageRankIters]] exact-integer power-iteration rounds
+    * over the directed co-purchase graph (distinct part→part pairs within
+    * an order — q88's pair substrate as a digraph), top-[[PageRankTopK]]
+    * by stationary mass. The oracle replays every integer division, the
+    * dangling-mass redistribution, and all five rounds as unrolled CTEs
+    * with the node count as a scalar CTE (no SF-specific literal).
+    */
+  val PageRankIters = 5
+  val PageRankTopK = 100
+
+  /** q135: exact-integer PageRank ([[graft.operators.PageRank]] — the
+    * graph-centrality quality weight of web-corpus curation, run on the
+    * co-purchase digraph).
+    */
+  def q135PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val pr = graft.operators.PageRank.run(edges, "src", "dst", PageRankIters)
+    graft.operators.TopK.perGroup(pr, Seq.empty, sortCol = "pr",
+      idCol = "node", k = PageRankTopK)
+  }
+
+  def q135Oracle: String = {
+    import graft.operators.PageRank.{DampDen, DampNum, Scale}
+    val iters = (1 to PageRankIters).map { k =>
+      val p = k - 1
+      s"""s$k AS (
+         |  SELECT e.dst AS node, CAST(SUM(r.r // e.deg) AS BIGINT) AS s
+         |  FROM ew e JOIN r$p r ON r.node = e.src GROUP BY 1
+         |), d$k AS (
+         |  SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS d
+         |  FROM r$p r LEFT JOIN outdeg o ON o.src = r.node
+         |  WHERE o.src IS NULL
+         |), r$k AS (
+         |  SELECT nd.node,
+         |    ((($DampDen - $DampNum) * c0.base) // $DampDen) +
+         |    (($DampNum * (COALESCE(s.s, 0) + (d$k.d // c0.n))) // $DampDen) AS r
+         |  FROM nodes nd LEFT JOIN s$k s ON s.node = nd.node
+         |  CROSS JOIN d$k CROSS JOIN c0
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |), outdeg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1
+       |), ew AS (
+       |  SELECT e.src, e.dst, o.deg FROM e JOIN outdeg o USING (src)
+       |), nodes AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |), c0 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    $Scale // CAST(COUNT(*) AS BIGINT) AS base
+       |  FROM nodes
+       |), r0 AS (
+       |  SELECT nd.node, c0.base AS r FROM nodes nd CROSS JOIN c0
+       |), $iters
+       |SELECT node, pr, rank FROM (
+       |  SELECT node, r AS pr, CAST(row_number() OVER (
+       |    ORDER BY r DESC, node ASC) AS INTEGER) AS rank
+       |  FROM r$PageRankIters) t
+       |WHERE rank <= $PageRankTopK""".stripMargin
+  }
 }
