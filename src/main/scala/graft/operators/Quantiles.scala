@@ -38,6 +38,47 @@ object Quantiles {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must lie in (0, 1]: ${qs.mkString(", ")}")
     val spark = df.sparkSession
+    val (cum, n) = cumAndN(df, valueCol, partitions)
+    val qDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          qs.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      .withColumn("target", ceil(col("q") * lit(n.toDouble)).cast("long"))
+    cum.join(broadcast(qDf), col("cum") >= col("target"))
+      .groupBy(col("q")).agg(min(col("v")).as("value"))
+  }
+
+  /** Value at an EXACT ascending rank — the integer-rank sibling of
+    * [[exactDiscrete]] for callers whose cut is defined in counts, not
+    * float quantiles (e.g. "drop the bottom n − (n·keepPct) DIV 100 rows"
+    * — [[graft.operators.Dsir]]). `rankOf` maps the non-null row count n
+    * to the 1-based target rank; returns one row (value) = the smallest v
+    * whose cumulative count reaches the target, or zero rows when the
+    * target exceeds n (an empty selection, not an error — callers decide).
+    * Same two-phase exact prefix sum as [[exactDiscrete]]; no float q
+    * enters the arithmetic, so the cut is bit-replayable from pure
+    * integer SQL.
+    */
+  def exactDiscreteAtRank(df: DataFrame, valueCol: Column,
+                          rankOf: Long => Long,
+                          partitions: Int = 64): DataFrame = {
+    val (cum, n) = cumAndN(df, valueCol, partitions)
+    val target = rankOf(n)
+    require(target >= 1, s"target rank must be >= 1, got $target (n=$n)")
+    cum.filter(col("cum") >= lit(target)).agg(min(col("v")).as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** Shared two-phase exact prefix sum: per-value counts, range-partition
+    * by value, one sorted local cumsum pass, P partition totals to the
+    * driver (the deliberate bounded collect), broadcast prefix offsets
+    * back. Returns the (v, cum) frame and the total non-null count.
+    */
+  private def cumAndN(df: DataFrame, valueCol: Column,
+                      partitions: Int): (DataFrame, Long) = {
+    val spark = df.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
     val counts = df.filter(valueCol.isNotNull)
@@ -81,14 +122,7 @@ object Quantiles {
 
     val cum = cached.join(broadcast(offsetDf), Seq("pid"))
       .select(col("v"), (col("local_cum") + col("offset")).as("cum"))
-    val qDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          qs.map(org.apache.spark.sql.Row(_)), 1),
-        StructType(Seq(StructField("q",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
-      .withColumn("target", ceil(col("q") * lit(n.toDouble)).cast("long"))
-    cum.join(broadcast(qDf), col("cum") >= col("target"))
-      .groupBy(col("q")).agg(min(col("v")).as("value"))
+    (cum, n)
   }
 
   /** PER-GROUP exact discrete quantiles. Here a window IS the right tool —

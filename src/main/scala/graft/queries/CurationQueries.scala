@@ -279,4 +279,79 @@ object CurationQueries {
       |SELECT r.doc_id, r.src_class, r.lang
       |FROM ranked r JOIN ks USING (src_class)
       |WHERE r.rn <= ks.k""".stripMargin
+
+  /** q136's shape: DSIR selection with the `lang = 'en'` subcorpus as the
+    * target distribution, hashed bigram features, keep the top
+    * [[DsirKeepPct]]%. The oracle replays the shingle hashing (the
+    * q21/q22 md5 discipline at n=2, every occurrence), the 256-bucket
+    * fold, both smoothed integer weight divisions, the exact per-doc
+    * BIGINT score, and the integer rank-threshold cut — no float enters.
+    */
+  val DsirKeepPct = 20
+
+  /** q136: DSIR hashed-ngram importance selection
+    * ([[graft.operators.Dsir]] — the statistical target-matching filter
+    * of an LLM curation stack, in exact integer arithmetic).
+    */
+  def q136Dsir(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.select(Tables.documents(spark, dir),
+      "doc_id", "text", col("lang") === "en", DsirKeepPct)
+
+  def q136Oracle: String = {
+    import graft.operators.Dsir.{Buckets, RScale, WScale}
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, $norm AS norm FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), docsf AS (
+       |  SELECT * FROM docs WHERE length(norm) > 0
+       |), toks AS (
+       |  SELECT doc_id, lang, norm, string_split(norm, ' ') AS t FROM docsf
+       |), sh AS (
+       |  SELECT doc_id, lang, CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))
+       |    ELSE [norm] END AS shingles
+       |  FROM toks
+       |), hs AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(shingles,
+       |      s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS h
+       |  FROM sh
+       |), cnt AS (
+       |  SELECT doc_id, h % $Buckets AS f, CAST(COUNT(*) AS BIGINT) AS c,
+       |    bool_or(lang = 'en') AS tgt
+       |  FROM hs GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT f, CAST(SUM(c) AS BIGINT) AS rf,
+       |    CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS tf
+       |  FROM cnt GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(rf) AS BIGINT) AS rt, CAST(SUM(tf) AS BIGINT) AS tt
+       |  FROM stats
+       |), twc AS (
+       |  SELECT ($WScale * (rt + $Buckets)) // (tt + $Buckets) AS tw FROM tot
+       |), w AS (
+       |  SELECT f, ((tf + 1) * tw) // (rf + 1) AS w
+       |  FROM stats CROSS JOIN twc
+       |), scored AS (
+       |  SELECT c.doc_id, CAST(SUM(c.c * w.w) AS BIGINT) AS score,
+       |    CAST(SUM(c.c) AS BIGINT) AS n_feat
+       |  FROM cnt c JOIN w USING (f) GROUP BY 1
+       |), spt AS (
+       |  SELECT doc_id, n_feat, score,
+       |    (score * $RScale) // n_feat AS score_per_tok
+       |  FROM scored
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spt
+       |), cum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT score_per_tok AS v, COUNT(*) AS c FROM spt GROUP BY 1)
+       |), thr AS (
+       |  SELECT MIN(v) AS t FROM cum CROSS JOIN nn
+       |  WHERE cum >= n - ((n * $DsirKeepPct) // 100) + 1
+       |)
+       |SELECT doc_id, n_feat, score, score_per_tok
+       |FROM spt CROSS JOIN thr
+       |WHERE score_per_tok >= thr.t""".stripMargin
+  }
 }
