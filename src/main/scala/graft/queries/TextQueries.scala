@@ -615,6 +615,65 @@ object TextQueries {
        |WHERE rank <= $HybridTopK""".stripMargin
   }
 
+  /** q137's merge budget: 8 rounds exercises the interesting regimes at
+    * gate scale — early rounds merge inside distinct characters, later
+    * rounds chain onto previously-merged symbols and the `</w>` marker.
+    */
+  val BpeMergeSteps = 8
+
+  /** q137: distributed BPE merge training ([[graft.operators.BpeTrain]]
+    * — the tokenizer-trainer pass): the first 8 learned merges with
+    * their pair counts. The oracle replays the word-frequency table, the
+    * symbol encoding, and ALL 8 rounds — each round's pair explode,
+    * integer-weighted count, (count DESC, pair ASC) argmax, and the
+    * symbol-exact greedy merge fold (`list_reduce` over the delimited
+    * symbol string — the same merge-with-last lambda the engine folds
+    * with `aggregate`) — as unrolled CTE stages.
+    */
+  def q137BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.merges(Tables.documents(spark, dir), "text",
+      BpeMergeSteps)
+
+  def q137Oracle: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val stages = (1 to BpeMergeSteps).map { k =>
+      val p = k - 1
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(a) >= 2
+         |      THEN list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS pair, f
+         |    FROM (SELECT string_split(s, '|') AS a, f FROM w$p))
+         |  GROUP BY 1
+         |), m$k AS (
+         |  SELECT pair, cnt,
+         |    string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r
+         |  FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1
+         |), w$k AS (
+         |  SELECT list_reduce(string_split(w.s, '|'), (acc, x) -> CASE
+         |    WHEN (acc = m.l OR substr(acc, length(acc) - length(m.l)) = '|' || m.l)
+         |      AND x = m.r
+         |    THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r
+         |    ELSE acc || '|' || x END) AS s, f
+         |  FROM w$p w CROSS JOIN m$k m
+         |)""".stripMargin
+    }.mkString(", ")
+    val sel = (1 to BpeMergeSteps).map(k =>
+      s"SELECT $k AS step, pair, replace(pair, ' ', '') AS merged, " +
+        s"cnt AS pair_count FROM m$k").mkString("\nUNION ALL\n")
+    s"""WITH vocab AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split($norm, ' ')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY 1
+       |), w0 AS (
+       |  SELECT array_to_string(regexp_extract_all(word, '.') || ['</w>'], '|') AS s, f
+       |  FROM vocab
+       |), $stages
+       |$sel""".stripMargin
+  }
+
   def q84Oracle: String =
     """WITH raw AS (
       |  SELECT doc_id,

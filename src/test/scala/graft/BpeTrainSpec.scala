@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.BpeTrain
+
+/** Contracts of the BPE trainer beyond q137's oracle gate: textbook
+  * merge order on a hand corpus, the symbol-exact greedy fold on
+  * repeated-symbol runs (the case naive string replacement gets wrong),
+  * tie-breaking, and early exhaustion.
+  */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train(texts: Seq[String], m: Int) =
+    BpeTrain.merges(texts.toDF("text"), "text", m)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("textbook merge order on a weighted corpus") {
+    // "lo" appears in every word; (l,o) count 5 wins round 1, then
+    // (lo,w) count 5 wins round 2 (low x3 + lower x2 both contain l o w)
+    val out = train(Seq("low low low lower lower widest"), 2)
+    assert(out(0) == ((1, "l o", "lo", 5L)))
+    assert(out(1) == ((2, "lo w", "low", 5L)))
+  }
+
+  test("repeated-symbol runs merge greedily, never re-merging") {
+    // aaaa -> [a,a,a,a,</w>]: pairs (a,a) x3 beat (a,</w>) x1
+    // greedy apply -> [aa,aa,</w>]; round 2's top pair is (aa,aa) x1...
+    // with freq 2 it stays ahead of singles
+    val out = train(Seq("aaaa aaaa"), 2)
+    assert(out(0) == ((1, "a a", "aa", 6L)))
+    // after [aa,aa,</w>] x2: pairs (aa,aa) x2, (aa,</w>) x2 -> tie broken
+    // by pair ASC: "aa </w>" < "aa aa"
+    assert(out(1)._2 == "aa </w>" && out(1)._4 == 2L)
+  }
+
+  test("five-symbol run: fold yields [aa,aa,a], not the re-merged [aaaa,a]") {
+    // aaaaa -> round1 pair (a,a) count 4; apply -> [aa,aa,a,</w>]
+    // round2 pairs: (aa,aa) x1, (aa,a) x1, (a,</w>) x1 -> tie by ASC:
+    // "a </w>" < "aa a" < "aa aa"
+    val out = train(Seq("aaaaa"), 2)
+    assert(out(0) == ((1, "a a", "aa", 4L)))
+    assert(out(1)._2 == "a </w>",
+      s"expected the fold's [aa,aa,a,</w>] pair table, got ${out(1)}")
+  }
+
+  test("exhaustion stops early with fewer rows") {
+    // single word collapses after 4 merges ("ab" has symbols a,b,</w>)
+    val out = train(Seq("ab"), 10)
+    assert(out.length < 10 && out.nonEmpty)
+    val last = out.last
+    assert(last._3 == "ab</w>")
+  }
+
+  test("guards") {
+    intercept[IllegalArgumentException](
+      BpeTrain.merges(Seq("x").toDF("text"), "text", 0))
+  }
+}
