@@ -58,17 +58,6 @@ object Bench {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val dt = run(fn)
-        // leaked per-query caches must not skew later timings (Verify does
-        // the same); clearing is outside the recorded interval
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }
-    val total = results.values.filter(_ >= 0).sum
     // Queries whose wall-clock is dominated by a deterministic HARNESS
     // (sequential micro-batch loops, multi-run DAG drives, failure+resume
     // scenarios) rather than the data path — their cost is bounded by the
@@ -80,6 +69,25 @@ object Bench {
       "q106_upsert_sink", "q108_streaming_dedup", "q110_sessionize_tws",
       "q111_streaming_funnel", "q112_backfill", "q113_streaming_hll",
       "q114_streaming_cms", "q131_span_incremental")
+    val results = selected.map { case (name, fn) =>
+      // Harness-bucket gates run ONCE regardless of best-of-N: their
+      // wall-clock is a scenario drive (dozens of sequential jobs /
+      // micro-batches), so min-of-N converges to the same number as one
+      // shot while costing N× the wall time — at 13 gates × ~10 s × 2
+      // extra runs that was ~2/3 of the whole bench's wall budget. They
+      // are already excluded from data_path_total, so nothing the rounds
+      // compare loses precision.
+      val nRuns = if (harness(name)) 1 else runs
+      val times = (1 to nRuns).map { _ =>
+        val dt = run(fn)
+        // leaked per-query caches must not skew later timings (Verify does
+        // the same); clearing is outside the recorded interval
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }
+    val total = results.values.filter(_ >= 0).sum
     val harnessTotal = results.collect {
       case (k, v) if harness(k) && v >= 0 => v }.sum
     val dataTotal = total - harnessTotal
