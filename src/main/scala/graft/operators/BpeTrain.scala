@@ -42,16 +42,52 @@ object BpeTrain {
 
   val DefaultWordPattern = "[a-z0-9]+"
 
-  def merges(docs: DataFrame, textCol: String, numMerges: Int,
-             wordPattern: String = DefaultWordPattern): DataFrame = {
-    require(numMerges >= 1, "need at least one merge step")
-    val spark = docs.sparkSession
+  /** Symbols interpolate into SQL literals (the fold lambda) and join on
+    * the `|` replay delimiter — restrict to the charset the trainer can
+    * produce from [[DefaultWordPattern]]-shaped words before building
+    * either.
+    */
+  private val SymbolCharset = "[a-z0-9</>]+"
+
+  private def requireSafeSymbol(s: String): Unit =
+    require(s.matches(SymbolCharset),
+      s"merge symbol '$s' outside the safe charset $SymbolCharset — " +
+        "cannot be interpolated into the fold expression")
+
+  /** The symbol-exact leftmost non-overlapping greedy merge of pair
+    * (l, r) into `merged`, as a single left-to-right `aggregate` fold
+    * over symbol-array column `arrCol` (see the class scaladoc for why
+    * the fold IS the non-overlapping scan). Shared by the trainer's
+    * per-round apply and [[encodeVocab]]'s replay of a learned list.
+    */
+  private def foldSql(arrCol: String, l: String, r: String,
+                      merged: String): String = {
+    Seq(l, r, merged).foreach(requireSafeSymbol)
+    s"aggregate($arrCol, cast(array() as array<string>), (acc, x) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' " +
+      s"AND x = '$r' " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array('$merged')) " +
+      s"ELSE concat(acc, array(x)) END)"
+  }
+
+  /** The distinct-word frequency table — the ONE corpus-sized pass both
+    * training and encoding ride (everything after runs at vocab grain).
+    */
+  private def vocabOf(docs: DataFrame, textCol: String,
+                      wordPattern: String): DataFrame = {
     val norm = graft.functions.TextFns.normalizeText(col(textCol))
-    val vocab = docs
+    docs
       .filter(col(textCol).isNotNull)
       .select(explode(split(norm, " ")).as("word"))
       .filter(col("word").rlike(s"^$wordPattern$$"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
+  }
+
+  def merges(docs: DataFrame, textCol: String, numMerges: Int,
+             wordPattern: String = DefaultWordPattern): DataFrame = {
+    require(numMerges >= 1, "need at least one merge step")
+    val spark = docs.sparkSession
+    val vocab = vocabOf(docs, textCol, wordPattern)
     var words = vocab
       .select(expr("concat(regexp_extract_all(word, '(.)', 1), array('</w>'))")
         .as("a"), col("f"))
@@ -75,12 +111,7 @@ object BpeTrain {
           val Array(l, rt) = pair.split(" ", 2)
           val merged = l + rt
           words = words
-            .select(expr(
-              s"aggregate(a, cast(array() as array<string>), (acc, x) -> " +
-                s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' " +
-                s"AND x = '$rt' " +
-                s"THEN concat(slice(acc, 1, size(acc) - 1), array('$merged')) " +
-                s"ELSE concat(acc, array(x)) END)").as("a"), col("f"))
+            .select(expr(foldSql("a", l, rt, merged)).as("a"), col("f"))
             .localCheckpoint()
           step += 1
         case None => exhausted = true
@@ -96,5 +127,46 @@ object BpeTrain {
         StructField("pair", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** ENCODING — the other half of the tokenizer story: apply a learned
+    * merge list to the corpus and get tokens out. The distributed shape is
+    * the same vocab decoupling the trainer rides: tokenization is a pure
+    * function of the WORD, so encode the distinct-word table once and the
+    * corpus never pays per-occurrence fold cost — at 100 TB the vocab is
+    * millions of rows against a corpus of trillions of words, and
+    * downstream doc-grain token counts are a (word → n_tokens) join
+    * (broadcast while the vocab fits, shuffle join past that) instead of a
+    * corpus-sized re-encode.
+    *
+    * One projection, zero extra shuffles: symbol split + all `merges`
+    * folds (in learn order — BPE application order IS the learned order)
+    * collapse into a single whole-stage-codegen'd pass over the vocab
+    * frame; nothing is checkpointed because, unlike training, no
+    * intermediate state is consumed twice.
+    *
+    * `merges` is the (pair → merged) list exactly as [[merges]] learns it
+    * — pass the collected (pair split on the single space) rows; symbols
+    * are charset-checked before interpolating into the fold expression.
+    *
+    * Returns the tokenized vocabulary: (word, f, n_tokens, tokens) with
+    * `tokens` the `|`-joined symbol sequence (`</w>` marker included) and
+    * `f` the corpus frequency — Σ f·n_tokens over this frame is the
+    * corpus token budget, group the join-back by source for the
+    * per-source accounting a mixture recipe needs.
+    */
+  def encodeVocab(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)],
+                  wordPattern: String = DefaultWordPattern): DataFrame = {
+    require(merges.nonEmpty, "need at least one learned merge")
+    var enc = vocabOf(docs, textCol, wordPattern)
+      .withColumn("a",
+        expr("concat(regexp_extract_all(word, '(.)', 1), array('</w>'))"))
+    merges.foreach { case (l, r) =>
+      enc = enc.withColumn("a", expr(foldSql("a", l, r, l + r)))
+    }
+    enc.select(col("word"), col("f"),
+      size(col("a")).as("n_tokens"),
+      array_join(col("a"), "|").as("tokens"))
   }
 }

@@ -674,6 +674,73 @@ object TextQueries {
        |$sel""".stripMargin
   }
 
+  /** q138: BPE ENCODING under the q137-trained merges
+    * ([[graft.operators.BpeTrain.encodeVocab]]) — the apply half of the
+    * tokenizer story: the full tokenized vocabulary (word, corpus
+    * frequency, token count, the `|`-joined symbol sequence), every
+    * word's complete encoding gated. Training reuses q137's exact
+    * configuration; the learned list is a bounded driver collect (8
+    * rows), then encoding is one corpus vocab pass + a single
+    * all-folds-collapsed projection.
+    */
+  def q138BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val learned = graft.operators.BpeTrain
+      .merges(docs, "text", BpeMergeSteps)
+      .orderBy(col("step")).collect()
+      .map { r =>
+        val Array(l, rt) = r.getString(1).split(" ", 2)
+        (l, rt)
+      }.toSeq
+    graft.operators.BpeTrain.encodeVocab(docs, "text", learned)
+  }
+
+  /** q138's oracle: q137's training replay with the WORD carried through
+    * every merge stage, then the tokenized-vocab readout. The pair-count
+    * and argmax stages are textually identical to q137's (they project
+    * the word away before exploding pairs); only the fold stages keep the
+    * word key.
+    */
+  def q138Oracle: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val stages = (1 to BpeMergeSteps).map { k =>
+      val p = k - 1
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(a) >= 2
+         |      THEN list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS pair, f
+         |    FROM (SELECT string_split(s, '|') AS a, f FROM w$p))
+         |  GROUP BY 1
+         |), m$k AS (
+         |  SELECT pair, cnt,
+         |    string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r
+         |  FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1
+         |), w$k AS (
+         |  SELECT w.word, list_reduce(string_split(w.s, '|'), (acc, x) -> CASE
+         |    WHEN (acc = m.l OR substr(acc, length(acc) - length(m.l)) = '|' || m.l)
+         |      AND x = m.r
+         |    THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r
+         |    ELSE acc || '|' || x END) AS s, f
+         |  FROM w$p w CROSS JOIN m$k m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH vocab AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split($norm, ' ')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY 1
+       |), w0 AS (
+       |  SELECT word,
+       |    array_to_string(regexp_extract_all(word, '.') || ['</w>'], '|') AS s, f
+       |  FROM vocab
+       |), $stages
+       |SELECT word, f, CAST(len(string_split(s, '|')) AS INTEGER) AS n_tokens,
+       |  s AS tokens
+       |FROM w$BpeMergeSteps""".stripMargin
+  }
+
   def q84Oracle: String =
     """WITH raw AS (
       |  SELECT doc_id,

@@ -56,4 +56,47 @@ class BpeTrainSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       BpeTrain.merges(Seq("x").toDF("text"), "text", 0))
   }
+
+  private def encode(texts: Seq[String], merges: Seq[(String, String)]) =
+    BpeTrain.encodeVocab(texts.toDF("text"), "text", merges)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+
+  test("encodeVocab applies merges in learn order") {
+    // merges (l,o) then (lo,w): low -> [low,</w>], lower -> [low,e,r,</w>],
+    // widest untouched -> 7 symbols
+    val out = encode(Seq("low low low lower lower widest"),
+      Seq(("l", "o"), ("lo", "w")))
+    assert(out.toSeq == Seq(
+      ("low", 3L, 2, "low|</w>"),
+      ("lower", 2L, 4, "low|e|r|</w>"),
+      ("widest", 1L, 7, "w|i|d|e|s|t|</w>")))
+  }
+
+  test("encodeVocab run-of-5 greedy matches the trainer's fold") {
+    // (a,a) over aaaaa -> [aa,aa,a,</w>]: leftmost non-overlapping, no
+    // re-merge of the just-built aa with the next a
+    val out = encode(Seq("aaaaa"), Seq(("a", "a")))
+    assert(out.head == (("aaaaa", 1L, 4, "aa|aa|a|</w>")))
+  }
+
+  test("encodeVocab matches what training itself learned end-to-end") {
+    val corpus = Seq("low low low lower lower widest newest newest")
+    val learned = train(corpus, 4).map { t =>
+      val Array(l, r) = t._2.split(" ", 2); (l, r)
+    }.toSeq
+    val enc = encode(corpus, learned)
+    // every word's token sequence must re-concatenate to word + </w>
+    enc.foreach { case (w, _, n, toks) =>
+      assert(toks.split("\\|").mkString == w + "</w>")
+      assert(toks.split("\\|").length == n)
+    }
+  }
+
+  test("encodeVocab rejects unsafe merge symbols") {
+    intercept[IllegalArgumentException](
+      encode(Seq("ab"), Seq(("a'", "b"))))
+    intercept[IllegalArgumentException](
+      encode(Seq("ab"), Seq.empty))
+  }
 }
