@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.similarity.SqAnn
+
+/** q139: int8 scalar-quantization ANN ([[SqAnn]]) — the training-free
+  * compressed-domain path beside PQ (q102): one signed byte per dimension,
+  * per-vector symmetric maxabs scaling, integer-dot quantized-cosine cut,
+  * exact float re-rank of the top-`Rerank` survivors. FULLY oracle-checked:
+  * the DuckDB oracle replays every quantization (the same pinned
+  * multiply/divide/+0.5/floor chain), both integer norms, every quantized
+  * cosine (exact ints through one multiply, one sqrt, one division — all
+  * correctly rounded, so the doubles match bitwise), the top-`Rerank` cut,
+  * and the exact-cosine re-rank. The oracle reads the UNPACKED codes; that
+  * the engine's scan unpacks the same codes from the 8-per-long packed
+  * frame is pinned by SqAnnSpec's pack/unpack identity test.
+  */
+object SqQueries {
+
+  val Rerank = 50
+
+  def q139SqAnn(spark: SparkSession, dir: String): DataFrame =
+    SqAnn.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      _ < 10, k = SimilarityQueries.K, rerank = Rerank,
+      dims = SimilarityQueries.Dims)
+
+  def q139Oracle: String = {
+    val dims = SimilarityQueries.Dims
+    def dot(a: String, b: String) = (1 to dims)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+    val sumsq = dot("embedding", "embedding")
+    val maxabs = "GREATEST(" + (1 to dims)
+      .map(i => s"ABS(CAST(embedding[$i] AS DOUBLE))").mkString(", ") + ")"
+    // code_i replays SqAnn.codesCol's pinned order: multiply, divide,
+    // +0.5, floor; the all-zero vector (maxabs = 0) codes to all zeros
+    def code(i: Int) =
+      s"CASE WHEN maxabs > 0 THEN CAST(FLOOR(CAST(e[$i] AS DOUBLE) * 127.0" +
+        s" / maxabs + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    val codeList = (1 to dims).map(code).mkString(",\n      ")
+    val n2 = (1 to dims).map(i => s"c[$i]*c[$i]").mkString(" + ")
+    val qdot = (1 to dims).map(i => s"q.qc[$i]*v.c[$i]").mkString(" + ")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm,
+       |    $maxabs AS maxabs
+       |  FROM embeddings
+       |), enc AS MATERIALIZED (
+       |  SELECT vec_id, e, nrm,
+       |    [$codeList] AS c
+       |  FROM n
+       |), encn AS MATERIALIZED (
+       |  SELECT vec_id, e, nrm, c, ($n2) AS n2 FROM enc
+       |), q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, c AS qc, n2 AS qn2
+       |  FROM encn WHERE vec_id < 10
+       |), scored AS MATERIALIZED (
+       |  SELECT q.query_id, v.vec_id AS vid,
+       |    CAST(($qdot) AS DOUBLE)
+       |      / sqrt(CAST(v.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS qcos
+       |  FROM encn v JOIN q ON v.vec_id <> q.query_id AND q.qn2 > 0
+       |  WHERE v.n2 > 0
+       |), cand AS MATERIALIZED (
+       |  SELECT query_id, vid FROM (
+       |    SELECT query_id, vid,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vid ASC) AS rnk
+       |    FROM scored) t WHERE rnk <= $Rerank
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT c.query_id, v.vec_id AS neighbor_id,
+       |    (${dot("qr.qe", "v.e")}) / (qr.qnrm * v.nrm) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY (${dot("qr.qe", "v.e")}) / (qr.qnrm * v.nrm) DESC, v.vec_id ASC) AS INTEGER) AS rank
+       |  FROM cand c
+       |  JOIN encn v ON v.vec_id = c.vid
+       |  JOIN q qr ON qr.query_id = c.query_id
+       |) t WHERE rank <= ${SimilarityQueries.K}""".stripMargin
+  }
+}

@@ -39,6 +39,22 @@ ALLOW = {
          "before broadcast); corpus x queries with a non-equi self-exclusion "
          "is the brute-force baseline's defining shape (Similarity.scala)"),
     ],
+    "q134_hybrid_rrf": [
+        ("BNLJ-nonscalar",
+         "the dense leg IS q24's CosineTopK shape: broadcast side is the "
+         "query embedding set (bounded |Q|=3, filtered before broadcast) "
+         "against the corpus with a non-equi self-exclusion; the sparse "
+         "BM25 leg hashes normally (Rrf.scala composes the two legs' own "
+         "scale paths)"),
+    ],
+    "q139_sq_ann": [
+        ("BNLJ-nonscalar",
+         "broadcast side is the QUANTIZED query-code set (bounded |Q|, "
+         "filtered before encoding) against the packed int8 corpus frame "
+         "with a non-equi self-exclusion — the compressed-domain scan is "
+         "q24's brute-force shape at 1/4 the bytes; only <= rerank rows "
+         "per query rejoin the float vectors (SqAnn.scala)"),
+    ],
     "q100_nsw_ann": [
         ("BNLJ-nonscalar",
          "beam seed: query set x hub set, BOTH knob-bounded (|Q| queries; "
