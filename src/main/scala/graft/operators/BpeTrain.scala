@@ -169,4 +169,33 @@ object BpeTrain {
       size(col("a")).as("n_tokens"),
       array_join(col("a"), "|").as("tokens"))
   }
+
+  /** Doc-grain token counts under a learned merge list — the join the
+    * [[encodeVocab]] scaladoc promises: the corpus explodes to words ONCE
+    * (the same normalize/split/filter as the vocab pass, so every emitted
+    * word is present in the encoded vocab by construction) and joins the
+    * (word → n_tokens) frame, which AQE broadcasts while the vocab fits;
+    * the corpus never pays per-occurrence fold cost. One doc-keyed
+    * integer-SUM shuffle after the join. Docs with a null `textCol` or no
+    * `wordPattern`-shaped words have zero tokens and emit NO row — the
+    * packing caller's frame is docs-with-tokens by contract.
+    *
+    * Returns (idCol, doc_tokens): exact BIGINT per-document token counts
+    * — Σ over this frame equals Σ f·n_tokens over [[encodeVocab]]'s
+    * output (the corpus token budget; spec-pinned).
+    */
+  def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)],
+                     wordPattern: String = DefaultWordPattern): DataFrame = {
+    val enc = encodeVocab(docs, textCol, merges, wordPattern)
+      .select(col("word"), col("n_tokens"))
+    val norm = graft.functions.TextFns.normalizeText(col(textCol))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(norm, " ")).as("word"))
+      .filter(col("word").rlike(s"^$wordPattern$$"))
+      .join(enc, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tokens").cast("long")).as("doc_tokens"))
+  }
 }

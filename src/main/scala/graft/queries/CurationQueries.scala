@@ -354,4 +354,69 @@ object CurationQueries {
        |FROM spt CROSS JOIN thr
        |WHERE score_per_tok >= thr.t""".stripMargin
   }
+
+  /** q140's pack budget: per-doc BPE token counts under only 8 learned
+    * merges run near character grain (~1.5-2k tokens on the ~300-word
+    * synthetic docs), so 8192 gives a few docs per pack — both the
+    * multi-doc and the budget-crossing regimes live at gate scale.
+    */
+  val TokenizerPackBudget = 8192L
+
+  /** q140: the composed TOKENIZER-AWARE packing chain — the end-to-end
+    * shape a pretraining pipeline ships where q48 stops at a whitespace
+    * proxy: train BPE merges on the raw corpus (q137's trainer), tokenize
+    * the distinct-word vocab once under them (q138's encoder), join doc
+    * words → EXACT per-doc token counts under the learned tokenizer
+    * ([[graft.operators.BpeTrain.docTokenCounts]] — the vocab-decoupled
+    * join, never a corpus re-encode), then assign docs to token-budgeted
+    * packs on those counts. Stage gates can each be right while the
+    * composition is wrong (grain drift, count-column mixups, docs dropped
+    * between stages) — this gate replays the WHOLE chain from raw
+    * documents in DuckDB: the 8 training rounds, every word's encoding,
+    * every doc's token sum, the hash-bucketing and the running-sum pack
+    * assignment.
+    */
+  def q140TokenizerPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val learned = graft.operators.BpeTrain
+      .merges(docs, "text", TextQueries.BpeMergeSteps)
+      .orderBy(col("step")).collect()
+      .map { r =>
+        val Array(l, rt) = r.getString(1).split(" ", 2)
+        (l, rt)
+      }.toSeq
+    val docToks = graft.operators.BpeTrain
+      .docTokenCounts(docs, "doc_id", "text", learned)
+    Packing.byTokenBudget(docToks, "doc_id", "doc_tokens",
+      TokenizerPackBudget, PackBuckets)
+  }
+
+  def q140Oracle: String = {
+    val steps = TextQueries.BpeMergeSteps
+    s"""WITH ${TextQueries.bpeEncodeCtes},
+       |enc AS (
+       |  SELECT word, CAST(len(string_split(s, '|')) AS BIGINT) AS n_tokens
+       |  FROM w$steps
+       |), docw AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL
+       |), dt AS (
+       |  SELECT d.doc_id, CAST(SUM(e.n_tokens) AS BIGINT) AS doc_tokens
+       |  FROM docw d JOIN enc e USING (word)
+       |  GROUP BY 1
+       |), bucketed AS (
+       |  SELECT doc_id, doc_tokens,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8) AS BIGINT) % $PackBuckets AS pack_bucket
+       |  FROM dt
+       |), cum AS (
+       |  SELECT doc_id, doc_tokens, pack_bucket,
+       |    SUM(doc_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM bucketed
+       |)
+       |SELECT doc_id, doc_tokens, pack_bucket,
+       |  CAST((c - doc_tokens) // $TokenizerPackBudget AS BIGINT) AS pack_id
+       |FROM cum""".stripMargin
+  }
 }

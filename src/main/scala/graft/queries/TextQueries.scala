@@ -701,7 +701,12 @@ object TextQueries {
     * the word away before exploding pairs); only the fold stages keep the
     * word key.
     */
-  def q138Oracle: String = {
+  /** The WITH-body replaying q137's training with the WORD carried through
+    * every merge stage (vocab, w0, all [[BpeMergeSteps]] unrolled rounds) —
+    * `w$BpeMergeSteps` holds (word, s, f). Shared by q138's tokenized-vocab
+    * readout and q140's doc-grain token-count chain.
+    */
+  private[queries] def bpeEncodeCtes: String = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     val stages = (1 to BpeMergeSteps).map { k =>
       val p = k - 1
@@ -725,7 +730,7 @@ object TextQueries {
          |  FROM w$p w CROSS JOIN m$k m
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH vocab AS (
+    s"""vocab AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(string_split($norm, ' ')) AS word
        |    FROM documents WHERE text IS NOT NULL)
@@ -735,11 +740,14 @@ object TextQueries {
        |  SELECT word,
        |    array_to_string(regexp_extract_all(word, '.') || ['</w>'], '|') AS s, f
        |  FROM vocab
-       |), $stages
+       |), $stages""".stripMargin
+  }
+
+  def q138Oracle: String =
+    s"""WITH $bpeEncodeCtes
        |SELECT word, f, CAST(len(string_split(s, '|')) AS INTEGER) AS n_tokens,
        |  s AS tokens
        |FROM w$BpeMergeSteps""".stripMargin
-  }
 
   def q84Oracle: String =
     """WITH raw AS (

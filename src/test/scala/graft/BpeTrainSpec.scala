@@ -99,4 +99,31 @@ class BpeTrainSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       encode(Seq("ab"), Seq.empty))
   }
+
+  test("docTokenCounts: per-doc sums under learned merges, tokenless docs dropped") {
+    // merges (l,o),(lo,w): low=2 tokens, lower=4, widest=7 (see the
+    // learn-order test); doc 1 = low lower low -> 2+4+2 = 8;
+    // doc 2 = widest low -> 7+2 = 9; doc 3 has no pattern words -> no row
+    val docs = Seq((1L, "low lower low"), (2L, "widest low"), (3L, "!!! ???"))
+      .toDF("doc_id", "text")
+    val out = BpeTrain.docTokenCounts(docs, "doc_id", "text",
+        Seq(("l", "o"), ("lo", "w")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 8L), (2L, 9L)))
+  }
+
+  test("corpus token budget: sum of doc counts equals sum of f x n_tokens over the vocab") {
+    // the accounting identity a mixture recipe relies on, on real docs
+    val docs = Tables.documents(spark, sf("0.001"))
+    val merges = BpeTrain.merges(docs, "text", 4)
+      .orderBy("step").collect()
+      .map { r => val Array(l, rt) = r.getString(1).split(" ", 2); (l, rt) }.toSeq
+    val vocabBudget = BpeTrain.encodeVocab(docs, "text", merges)
+      .selectExpr("CAST(sum(f * n_tokens) AS LONG) AS b").collect()(0).getLong(0)
+    val docBudget = BpeTrain.docTokenCounts(docs, "doc_id", "text", merges)
+      .selectExpr("CAST(sum(doc_tokens) AS LONG) AS b").collect()(0).getLong(0)
+    assert(vocabBudget == docBudget && vocabBudget > 0L,
+      s"vocab-grain budget $vocabBudget != doc-grain budget $docBudget")
+  }
 }
