@@ -419,4 +419,64 @@ object CurationQueries {
        |  CAST((c - doc_tokens) // $TokenizerPackBudget AS BIGINT) AS pack_id
        |FROM cum""".stripMargin
   }
+
+  /** q141: per-SOURCE token accounting under the learned tokenizer — the
+    * budget table a mixture recipe actually consumes (the per-source
+    * accounting [[graft.operators.BpeTrain.encodeVocab]]'s scaladoc
+    * points at): per source, document count, total exact BPE tokens, and
+    * each source's share of the corpus budget. Share is ONE double
+    * division of two exact BIGINTs (both ≤ 2^53 at any realistic corpus
+    * — correctly rounded, engine-reproducible); the corpus total rides a
+    * 1-row broadcast cross-join (the PageRank dangling-mass shape), never
+    * a single-partition window. Source grain is domain-bounded, so the
+    * output is dim-sized whatever the corpus.
+    */
+  def q141SourceBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val learned = graft.operators.BpeTrain
+      .merges(docs, "text", TextQueries.BpeMergeSteps)
+      .orderBy(col("step")).collect()
+      .map { r =>
+        val Array(l, rt) = r.getString(1).split(" ", 2)
+        (l, rt)
+      }.toSeq
+    val perSource = graft.operators.BpeTrain
+      .docTokenCounts(docs, "doc_id", "text", learned)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).as("src_tokens"))
+    val total = perSource.agg(sum(col("src_tokens")).as("__total"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("src_tokens").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+  }
+
+  def q141Oracle: String = {
+    val steps = TextQueries.BpeMergeSteps
+    s"""WITH ${TextQueries.bpeEncodeCtes},
+       |enc AS (
+       |  SELECT word, CAST(len(string_split(s, '|')) AS BIGINT) AS n_tokens
+       |  FROM w$steps
+       |), docw AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL
+       |), dt AS (
+       |  SELECT d.doc_id, CAST(SUM(e.n_tokens) AS BIGINT) AS doc_tokens
+       |  FROM docw d JOIN enc e USING (word)
+       |  GROUP BY 1
+       |), per_src AS (
+       |  SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(t.doc_tokens) AS BIGINT) AS src_tokens
+       |  FROM dt t JOIN documents s USING (doc_id)
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total FROM per_src
+       |)
+       |SELECT source, n_docs, src_tokens,
+       |  CAST(src_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share
+       |FROM per_src CROSS JOIN tot""".stripMargin
+  }
 }
