@@ -440,12 +440,15 @@ object CurationQueries {
         val Array(l, rt) = r.getString(1).split(" ", 2)
         (l, rt)
       }.toSeq
-    val perSource = graft.operators.BpeTrain
+    // both the rollup and its grand total consume this frame: cache the
+    // dim-sized aggregate or the corpus-scale token chain computes TWICE
+    // (the q141 100x probe measured exactly that before the cache)
+    val perSource = graft.operators.OpCache.cache(graft.operators.BpeTrain
       .docTokenCounts(docs, "doc_id", "text", learned)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("doc_tokens")).as("src_tokens"))
+        sum(col("doc_tokens")).as("src_tokens")))
     val total = perSource.agg(sum(col("src_tokens")).as("__total"))
     perSource.crossJoin(broadcast(total))
       .withColumn("token_share",
