@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Mixture materialization: EXECUTE the per-source token budget a mixture
+  * recipe prescribes (the step after [[graft.operators.BpeTrain
+  * .docTokenCounts]] measures and q141's accounting table reports): each
+  * source contributes documents, in deterministic `idCol` order, until its
+  * token quota is exhausted — the token-grain sibling of
+  * [[Sampling.capPerSource]]'s doc-grain cap, with [[Packing]]'s
+  * start-offset convention (a document whose FIRST token falls inside the
+  * quota is kept whole, so a source may overshoot by at most one
+  * document; exact-to-the-token truncation would split documents).
+  *
+  * The cut needs each document's cumulative token offset WITHIN its
+  * source. A per-source window sort is the natural Spark expression but
+  * serializes every source into one partition — a corpus-scale sort per
+  * source at 100 TB. This is instead the GROUPED two-phase exact prefix
+  * sum ([[Quantiles]]' core, keyed): range-partition by (source, id),
+  * one sorted local-cumsum pass per partition (sums reset on source
+  * change), per-(partition, source) totals to the driver — bounded by
+  * P × |source domain|, the deliberate collect — and the prefix offsets
+  * broadcast back. All-integer arithmetic: the offsets and cumsums are
+  * BIGINT sums in a pinned order, bit-replayable by any engine's
+  * per-source ordered window.
+  *
+  * Rows with a NULL source are EXCLUDED (a document with no source can
+  * draw no source's budget — [[Sampling.deterministicSplit]]'s
+  * unattributable-row convention); null token counts draw 0. `idCol`
+  * must be unique and non-null or the order — and therefore the cut — is
+  * nondeterministic.
+  */
+object Mixture {
+
+  /** Per-source running token offsets: (idCol, srcCol, tokenCol order
+    * pinned) → one row per non-null-source input row with `src_cum` =
+    * the inclusive per-source cumulative token sum in `idCol` order.
+    */
+  def groupedPrefixSum(df: DataFrame, idCol: String, srcCol: String,
+                       tokenCol: String, partitions: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(srcCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(srcCol).cast("string").as("src"),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("tok"))
+    val ranged = base.repartitionByRange(partitions, col("src"), col("id"))
+      .sortWithinPartitions(col("src"), col("id"))
+
+    val cumSchema = StructType(Seq(
+      StructField("pid", LongType, nullable = false),
+      StructField("id", LongType),
+      StructField("src", StringType),
+      StructField("tok", LongType, nullable = false),
+      StructField("local_cum", LongType, nullable = false)))
+    val localCum = ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var curSrc: String = null
+      var started = false
+      var cum = 0L
+      rows.map { r =>
+        val src = r.getString(1)
+        if (!started || src != curSrc) { cum = 0L; curSrc = src; started = true }
+        cum += r.getLong(2)
+        Row(pid, r.getLong(0), src, r.getLong(2), cum)
+      }
+    }(org.apache.spark.sql.Encoders.row(cumSchema))
+    val cached = OpCache.cache(localCum)
+
+    // per-(partition, source) totals: bounded by P x |source domain| —
+    // the same deliberate driver collect as Quantiles' offsets
+    val totals = cached.groupBy(col("pid"), col("src"))
+      .agg(max(col("local_cum")).as("t"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val offsets = totals.toSeq
+      .groupBy(_._1._2)
+      .flatMap { case (src, byPid) =>
+        val sorted = byPid.sortBy(_._1._1)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._2)).map {
+          case (((pid, s), _), off) => Row(pid, s, off)
+        }
+      }.toSeq
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1),
+      StructType(Seq(StructField("pid", LongType, nullable = false),
+        StructField("src", StringType),
+        StructField("off", LongType, nullable = false))))
+
+    cached.join(broadcast(offDf), Seq("pid", "src"))
+      .select(col("id").as(idCol), col("src").as(srcCol),
+        col("tok").as(tokenCol),
+        (col("local_cum") + col("off")).as("src_cum"))
+  }
+
+  /** The quota cut: keep each source's documents, in `idCol` order, while
+    * the document's START offset (src_cum − tokens) is inside
+    * `tokenQuotaPerSource`. Open source set — no per-source
+    * configuration, exactly [[Sampling.capPerSource]]'s contract at token
+    * grain. Output: (idCol, srcCol, tokenCol, src_cum) for the kept rows.
+    */
+  def materializeByQuota(df: DataFrame, idCol: String, srcCol: String,
+                         tokenCol: String, tokenQuotaPerSource: Long,
+                         partitions: Int = 64): DataFrame = {
+    require(tokenQuotaPerSource > 0,
+      s"quota must be positive: $tokenQuotaPerSource")
+    groupedPrefixSum(df, idCol, srcCol, tokenCol, partitions)
+      .filter(col("src_cum") - col(tokenCol) < tokenQuotaPerSource)
+  }
+}

@@ -482,4 +482,42 @@ object CurationQueries {
        |  CAST(src_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share
        |FROM per_src CROSS JOIN tot""".stripMargin
   }
+
+  /** q142's per-source token quota: ~25 docs x ~56 ws-tokens ≈ 1.36k
+    * tokens per source at sf0.01, so 600 keeps roughly the first eleven
+    * docs of each source — the cut, the kept-whole overshoot, and the
+    * survives-whole regimes all live at gate scale.
+    */
+  val MixtureQuota = 600L
+
+  /** q142: mixture materialization ([[graft.operators.Mixture]]) — the
+    * quota EXECUTION step after q141's accounting: each source
+    * contributes docs in doc_id order until its token quota is spent
+    * (start-offset convention — a doc starting inside the quota is kept
+    * whole). The engine computes per-source offsets with the grouped
+    * two-phase exact prefix sum (no per-source window sort); the oracle
+    * IS the per-source ordered window — the equivalence under test.
+    */
+  def q142MixtureQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFns.tokenCountWs(col("text")).as("n_tokens"))
+    graft.operators.Mixture.materializeByQuota(d, "doc_id", "source",
+      "n_tokens", MixtureQuota)
+  }
+
+  def q142Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN text IS NULL THEN 0
+       |         ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) END AS n_tokens
+       |  FROM documents WHERE source IS NOT NULL
+       |), cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS src_cum
+       |  FROM toks
+       |)
+       |SELECT doc_id, source, n_tokens, src_cum FROM cum
+       |WHERE src_cum - n_tokens < $MixtureQuota""".stripMargin
 }
