@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.similarity.SqAnn
@@ -76,5 +77,55 @@ object SqQueries {
        |  JOIN encn v ON v.vec_id = c.vid
        |  JOIN q qr ON qr.query_id = c.query_id
        |) t WHERE rank <= ${SimilarityQueries.K}""".stripMargin
+  }
+
+  /** q143's output width: 64 → 16 dims; 1/√16 = 0.25 is an exact binary
+    * scale, so the one post-dot multiply is replayable without a
+    * round-tripped literal.
+    */
+  val JlOutDims = 16
+
+  /** q143: Johnson–Lindenstrauss random projection
+    * ([[graft.operators.similarity.RandomProjection]]) — the
+    * dimensionality-reduction projection before the ANN/dedup ladders.
+    * The oracle regenerates the full 16×64 LCG weight matrix as double
+    * literals (Java shortest-repr round-trips through DuckDB's parser —
+    * the q25 plane discipline) and replays every coordinate's
+    * in-element-order dot product and the scale multiply bitwise.
+    */
+  def q143RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    // the gate flattens the library's array column to scalar p<j> columns
+    // (the driver compare cannot hash list cells); Catalyst folds
+    // element_at(array(...), j) back to the bare coordinate expression
+    val projected = graft.operators.similarity.RandomProjection.project(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      SimilarityQueries.Dims, JlOutDims)
+    projected.select(col("vid") +:
+      (0 until JlOutDims).map(j =>
+        element_at(col("proj"), j + 1).as(s"p$j")): _*)
+  }
+
+  /** Render a double as a DuckDB DOUBLE literal: a bare decimal literal
+    * parses as DECIMAL(38,s) and its per-term products round differently
+    * (the q143 gate caught real ulp drift); an exponent suffix forces the
+    * correctly-rounded double parse path. The existing LSH-plane oracles
+    * get away with bare literals only because they feed a sign test.
+    */
+  private def dlit(v: Double): String = {
+    val r = v.toString
+    if (r.contains('E') || r.contains('e')) r else r + "e0"
+  }
+
+  def q143Oracle: String = {
+    val dims = SimilarityQueries.Dims
+    val scale = 1.0d / math.sqrt(JlOutDims.toDouble)
+    def coord(j: Int) = "(" + (1 to dims)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)*" +
+        dlit(graft.operators.similarity.RandomProjection.weight(j, i - 1)))
+      .mkString(" + ") + s") * ${dlit(scale)} AS p$j"
+    val elems = (0 until JlOutDims).map(coord).mkString(",\n  ")
+    s"""SELECT CAST(vec_id AS BIGINT) AS vid,
+       |  $elems
+       |FROM embeddings""".stripMargin
   }
 }
