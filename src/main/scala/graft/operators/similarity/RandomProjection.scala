@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * LSH/IVF/SemDeDup ladders at a fraction of the dot-product cost and
   * 1/(dims/outDims) the storage.
   *
-  * Determinism discipline: weights come from the same fixed-LCG family as
-  * [[LshAnn.weight]] (own seed namespace — reducing and bucketing the same
-  * corpus must not correlate), so any engine can regenerate the exact
-  * matrix from the (outDim, dim) indices; each output coordinate is ONE
+  * Determinism discipline: weights come from a fixed splitmix64 mix of
+  * the (outDim, dim) index (own seed namespace — reducing and bucketing
+  * the same corpus must not correlate), so any engine can regenerate the
+  * exact matrix; each output coordinate is ONE
   * in-element-order dot product (the codegen'd [[graft.plans.DotProduct]]
   * fold) followed by ONE multiply by the scale literal — the same pinned
   * IEEE chain the q24 oracle replays, bitwise reproducible. Scale shape:
@@ -25,14 +25,23 @@ import org.apache.spark.sql.functions._
 object RandomProjection {
 
   /** Deterministic pseudo-random weight in [-0.5, 0.5) for output
-    * coordinate `outDim`, input dimension `dim`. Public so an external
-    * oracle can reproduce the exact matrix. Seed multiplier keeps the
-    * LCG product far from Long overflow at any sane width.
+    * coordinate `outDim`, input dimension `dim` — a splitmix64
+    * finalization over the (outDim, dim) index, NOT the single-step LCG
+    * the LSH planes use: one LCG step is an affine sawtooth in the seed,
+    * which is fine for sign buckets but correlates the rows of a JL
+    * matrix (RandomProjectionSpec measured only 73% of pairwise distance
+    * ratios inside the chi-square band before the mixer; 97% is the
+    * i.i.d. expectation). Public so an external oracle can reproduce the
+    * exact matrix — though gates embed the printed literals, so only
+    * Scala-side determinism is load-bearing.
     */
   def weight(outDim: Int, dim: Int): Double = {
-    val seed = outDim.toLong * 100003L + dim
-    val x = (1103515245L * seed + 12345L) % 2147483648L
-    x.toDouble / 2147483648.0d - 0.5d
+    var z = outDim.toLong * 0x9E3779B97F4A7C15L +
+      dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5d
   }
 
   /** (idCol as vid, proj) — `proj` the `outDims`-element array of scaled

@@ -116,16 +116,65 @@ object SqQueries {
     if (r.contains('E') || r.contains('e')) r else r + "e0"
   }
 
-  def q143Oracle: String = {
+  /** Coordinate j of the JL projection as SQL over an `embedding` column
+    * — the forced-double weight literals and pinned order shared by the
+    * q143 readout and q144's projected-search replay.
+    */
+  private def jlCoordSql(j: Int): String = {
     val dims = SimilarityQueries.Dims
     val scale = 1.0d / math.sqrt(JlOutDims.toDouble)
-    def coord(j: Int) = "(" + (1 to dims)
+    "(" + (1 to dims)
       .map(i => s"CAST(embedding[$i] AS DOUBLE)*" +
         dlit(graft.operators.similarity.RandomProjection.weight(j, i - 1)))
-      .mkString(" + ") + s") * ${dlit(scale)} AS p$j"
-    val elems = (0 until JlOutDims).map(coord).mkString(",\n  ")
+      .mkString(" + ") + s") * ${dlit(scale)}"
+  }
+
+  def q143Oracle: String = {
+    val elems = (0 until JlOutDims)
+      .map(j => s"${jlCoordSql(j)} AS p$j").mkString(",\n  ")
     s"""SELECT CAST(vec_id AS BIGINT) AS vid,
        |  $elems
        |FROM embeddings""".stripMargin
+  }
+
+  /** q144: the COMPOSED reduced-space search — q143's projection feeding
+    * q24's brute-force cosine top-k in 16 dims instead of 64 (the shape a
+    * wide-embedding corpus actually searches at scale: project once, run
+    * every downstream dot at a quarter the width). Stage gates pass while
+    * a composition drifts — this gate replays projection AND search
+    * end-to-end from raw embeddings: every coordinate, every reduced-space
+    * dot/norm/cosine (all in pinned element order over the
+    * bitwise-replayed projected doubles), and the ranked cut.
+    */
+  def q144ProjectedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val proj = graft.operators.similarity.RandomProjection.project(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      SimilarityQueries.Dims, JlOutDims)
+    graft.operators.similarity.CosineTopK.search(proj, "vid", "proj",
+      _ < 10, SimilarityQueries.K)
+  }
+
+  def q144Oracle: String = {
+    val elems = (0 until JlOutDims).map(jlCoordSql).mkString(",\n    ")
+    def pdot(a: String, b: String) = (1 to JlOutDims)
+      .map(i => s"$a.p[$i]*$b.p[$i]").mkString(" + ")
+    val psumsq = (1 to JlOutDims).map(i => s"p[$i]*p[$i]").mkString(" + ")
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid,
+       |    [$elems] AS p
+       |  FROM embeddings
+       |), n AS MATERIALIZED (
+       |  SELECT vid, p, sqrt($psumsq) AS nrm FROM pr
+       |), scored AS (
+       |  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+       |    (${pdot("q", "c")}) / (q.nrm * c.nrm) AS cosine
+       |  FROM n q JOIN n c ON c.vid <> q.vid
+       |  WHERE q.vid < 10
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= ${SimilarityQueries.K}""".stripMargin
   }
 }

@@ -58,4 +58,34 @@ class RandomProjectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RandomProjection.project(vecs, "vec_id", "embedding", 64, 65))
   }
+
+  test("pairwise distances are preserved in aggregate (the JL guarantee)") {
+    // What JL promises is DISTANCE preservation within (1 +- eps), and
+    // that is what this pins: mean of 12*|proj(a)-proj(b)|^2 / |a-b|^2
+    // over many pairs ~ 1, per-pair spread ~ sqrt(2/16). Top-k neighbor
+    // RECALL is deliberately NOT asserted: the synthetic embeddings are
+    // i.i.d. uniform, every pairwise cosine concentrates at the same
+    // value, and rank order among near-equal distances is destroyed by
+    // any reduction (measured recall@10 = 0.06 here) — that is distance
+    // concentration in structureless data, not a projection defect.
+    val e = vecs.filter(col("vec_id") < 200).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).map(_._2)
+    val scale = 1.0d / math.sqrt(16.0d)
+    def proj(x: Array[Double]) = Array.tabulate(16) { j =>
+      var a = 0.0d
+      (0 until 64).foreach(d => a += x(d) * RandomProjection.weight(j, d))
+      a * scale
+    }
+    val ps = e.map(proj)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (i <- e.indices; k <- (i + 1) until e.length if k <= i + 7)
+      yield 12.0d * d2(ps(i), ps(k)) / d2(e(i), e(k))
+    val mean = ratios.sum / ratios.size
+    val within = ratios.count(r => r > 0.4 && r < 1.9).toDouble / ratios.size
+    info(s"pairs=${ratios.size} mean ratio=$mean within[0.4,1.9]=$within")
+    assert(mean > 0.85 && mean < 1.15, s"JL distance mean off: $mean")
+    assert(within > 0.9, s"too many distorted pairs: $within")
+  }
 }

@@ -47,6 +47,13 @@ ALLOW = {
          "BM25 leg hashes normally (Rrf.scala composes the two legs' own "
          "scale paths)"),
     ],
+    "q144_projected_topk": [
+        ("BNLJ-nonscalar",
+         "q24's CosineTopK shape over the PROJECTED frame: broadcast side "
+         "is the bounded query set (|Q|=10, filtered before broadcast) "
+         "against the 16-dim reduced corpus with a non-equi "
+         "self-exclusion (SqQueries.q144ProjectedTopk)"),
+    ],
     "q139_sq_ann": [
         ("BNLJ-nonscalar",
          "broadcast side is the QUANTIZED query-code set (bounded |Q|, "
