@@ -109,4 +109,42 @@ object Mixture {
     groupedPrefixSum(df, idCol, srcCol, tokenCol, partitions)
       .filter(col("src_cum") - col(tokenCol) < tokenQuotaPerSource)
   }
+
+  /** WEIGHTED quota cut — the non-uniform recipe (a DoReMi/Llama-style
+    * mixture executes per-source weights, not a flat cap): source s gets
+    * quota = budget·wₛ DIV Σw (exact integer division — no float share
+    * enters the cut), then the same start-offset kept-whole rule as
+    * [[materializeByQuota]]. Sources ABSENT from the weight map
+    * contribute nothing (weight 0 ≡ unlisted — the closed-recipe
+    * convention; use [[materializeByQuota]] for open-set balancing). The
+    * weight table is recipe-sized and broadcasts.
+    */
+  def materializeByWeights(df: DataFrame, idCol: String, srcCol: String,
+                           tokenCol: String, budget: Long,
+                           weights: Map[String, Long],
+                           partitions: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(weights.nonEmpty, "need at least one weighted source")
+    require(weights.values.forall(_ >= 0), s"negative weight in $weights")
+    val sumW = weights.values.sum
+    require(sumW > 0, "weights sum to zero")
+    require(weights.values.max <= Long.MaxValue / budget,
+      s"budget x max weight overflows: $budget x ${weights.values.max}")
+    val spark = df.sparkSession
+    val qRows = weights.toSeq.sortBy(_._1).map { case (s, w) =>
+      Row(s, budget * w / sumW)
+    }
+    val quotaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__quota",
+          LongType, nullable = false))))
+      .withColumnRenamed("src", srcCol)
+    groupedPrefixSum(df, idCol, srcCol, tokenCol, partitions)
+      .join(broadcast(quotaDf), Seq(srcCol))
+      .filter(col("src_cum") - col(tokenCol) < col("__quota"))
+      .drop("__quota")
+  }
 }

@@ -506,6 +506,51 @@ object CurationQueries {
       "n_tokens", MixtureQuota)
   }
 
+  /** q145's recipe: four weighted sources over a 4000-token budget —
+    * quotas 2000/1200/400/400 against ~1.36k tokens per source at
+    * sf0.01, so src0 survives whole, src1 barely cuts, src2/src3 cut
+    * hard, and the 16 unlisted sources contribute nothing.
+    */
+  val MixtureBudget = 4000L
+  val MixtureWeights: Seq[(String, Long)] =
+    Seq("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L)
+
+  /** q145: WEIGHTED mixture materialization — the non-uniform recipe on
+    * the same grouped prefix sum as q142: quota = budget·w DIV Σw per
+    * listed source, unlisted sources dropped (closed-recipe convention).
+    */
+  def q145MixtureWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFns.tokenCountWs(col("text")).as("n_tokens"))
+    graft.operators.Mixture.materializeByWeights(d, "doc_id", "source",
+      "n_tokens", MixtureBudget, MixtureWeights.toMap)
+  }
+
+  def q145Oracle: String = {
+    val sumW = MixtureWeights.map(_._2).sum
+    val values = MixtureWeights
+      .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""WITH w(source, wt) AS (VALUES $values),
+       |q AS (
+       |  SELECT source, CAST(($MixtureBudget * wt) // $sumW AS BIGINT) AS quota
+       |  FROM w
+       |), toks AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN text IS NULL THEN 0
+       |         ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) END AS n_tokens
+       |  FROM documents WHERE source IS NOT NULL
+       |), cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS src_cum
+       |  FROM toks
+       |)
+       |SELECT c.source, doc_id, n_tokens, src_cum
+       |FROM cum c JOIN q USING (source)
+       |WHERE src_cum - n_tokens < quota""".stripMargin
+  }
+
   def q142Oracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source,

@@ -55,9 +55,30 @@ class MixtureSpec extends SparkSpec {
     assert(cums("a") == 12L && cums("b") == 14L)
   }
 
+  test("weighted quotas: integer DIV split, unlisted sources excluded") {
+    // budget 12, weights a:2 b:1 c:1 -> quotas 6/3/3; d unlisted -> dropped
+    val df = Seq((1L, "a", 4L), (2L, "a", 4L), (3L, "a", 4L),
+        (10L, "b", 2L), (11L, "b", 2L), (12L, "b", 2L),
+        (20L, "c", 5L), (30L, "d", 1L))
+      .toDF("id", "src", "tok")
+    val kept = Mixture.materializeByWeights(df, "id", "src", "tok",
+        budget = 12L, weights = Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+      .collect().map(_.getLong(1)).toSet
+    // a (quota 6): starts 0,4,8 -> 1,2 kept; b (3): starts 0,2,4 -> 10,11
+    // kept; c (3): start 0 -> 20 kept whole (size 5 > quota: kept-whole);
+    // d: unlisted, dropped
+    assert(kept == Set(1L, 2L, 10L, 11L, 20L))
+  }
+
   test("guards") {
     val df = Seq((1L, "a", 4L)).toDF("id", "src", "tok")
     intercept[IllegalArgumentException](
       Mixture.materializeByQuota(df, "id", "src", "tok", 0L))
+    intercept[IllegalArgumentException](
+      Mixture.materializeByWeights(df, "id", "src", "tok", 0L, Map("a" -> 1L)))
+    intercept[IllegalArgumentException](
+      Mixture.materializeByWeights(df, "id", "src", "tok", 10L, Map.empty))
+    intercept[IllegalArgumentException](
+      Mixture.materializeByWeights(df, "id", "src", "tok", 10L, Map("a" -> -1L)))
   }
 }
