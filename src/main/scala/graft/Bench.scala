@@ -106,20 +106,15 @@ object Bench {
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qsFull,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
-    // qNN prefixes are unique by construction (SparkEntry key discipline);
-    // fail the run rather than emit a silently-merged map if that breaks
-    val shortKeys = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
-    require(shortKeys.values.toSet.size == shortKeys.size,
-      "short qNN keys collide; fix SparkEntry naming")
-    // keys are the bare query NUMBER (the "q" prefix dropped): at 130
-    // queries the compact line must leave ~30 queries of headroom inside
-    // the driver's 2000-char stdout tail, and every byte of key costs
-    // 130+ bytes of line
-    val qsMs = results.map { case (k, v) =>
-      s"\"${shortKeys(k).drop(1)}\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
-    }.mkString("{", ",", "}")
+    // The compact stdout line carries NO per-query map — at 144+ queries
+    // even bare-number keys with integer-ms values overflow the driver's
+    // 2000-char stdout tail and null the parsed field (the r10–r13 failure
+    // mode). Totals + failure names + a pointer to the complete artifact
+    // fit at any query count; per-query numbers live in the file.
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .toSeq.sorted.mkString("[", ",", "]")
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"queries_ms":$qsMs,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","full_artifact":"$outPath"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","full_artifact":"$outPath"}"""
     spark.stop()
     // printed AFTER spark.stop(), as the process's last stdout line, with
     // build.sbt's StdoutOutput strategy keeping sbt's "[info] " prefix off

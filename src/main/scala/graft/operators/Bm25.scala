@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -40,9 +39,11 @@ import graft.functions.TextFns
   * term set prunes tf BEFORE the per-query pivot (a term IN (...) filter
   * — at 100 TB this is the posting-list read, term-bucket-prunable like
   * every #96 consumer); the per-query score is a conditional-aggregate
-  * pivot over ≤ |terms| matched rows per doc, and the final top-k is a
-  * per-query window over docs that matched at least one term. No
-  * corpus-quadratic step, no unbounded driver state.
+  * pivot over ≤ |terms| matched rows per doc, and the final top-k is
+  * [[TopK.perGroup]]'s partial aggregation — ≤ k rows per (query,
+  * mapper) cross the shuffle, so a stopword-grade high-df term never
+  * concentrates a corpus-sized sort on one reducer. No corpus-quadratic
+  * step, no unbounded driver state.
   */
 object Bm25 {
 
@@ -106,9 +107,13 @@ object Bm25 {
           matched.cast("int").as("n_terms_matched"), score.as("score"))
     }
     val scored = perQuery.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= topK)
+    // NOT a per-query window: partitionBy(query_id) puts every doc matching
+    // >= 1 term of a query into ONE reducer and sorts it — for a high-df
+    // term that is a corpus-sized single-partition sort per query. TopK's
+    // partial aggregation keeps a k-sized buffer per group on the map side
+    // instead, so the shuffle carries <= k rows per (query, mapper); the
+    // ordering contract (score desc, id asc) matches the window formulation
+    // exactly (TopKSpec asserts it, Bm25Spec asserts no WindowExec remains).
+    TopK.perGroup(scored, Seq("query_id"), "score", idCol, topK)
   }
 }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * one 1-row argmax collect (count DESC, pair ASC — fully tie-broken),
   * and one merge-apply projection; the vocab frame is localCheckpointed
   * per round (consumed twice: pair count + merge apply — the
-  * DupClusters lineage rule).
+  * DupClusters lineage rule), and the PRIOR round's checkpoint blocks
+  * are released once the new round's materialize
+  * ([[Checkpoints.releasable]]) — a realistic 30k-merge run must not pin
+  * thousands of dead vocab copies.
   *
   * Merge application is SYMBOL-EXACT leftmost non-overlapping greedy
   * (the reference trainer's scan): a word is an `array<string>` of
@@ -88,10 +91,9 @@ object BpeTrain {
     require(numMerges >= 1, "need at least one merge step")
     val spark = docs.sparkSession
     val vocab = vocabOf(docs, textCol, wordPattern)
-    var words = vocab
+    var (words, releaseWords) = Checkpoints.releasable(vocab
       .select(expr("concat(regexp_extract_all(word, '(.)', 1), array('</w>'))")
-        .as("a"), col("f"))
-      .localCheckpoint()
+        .as("a"), col("f")))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var exhausted = false
@@ -110,13 +112,17 @@ object BpeTrain {
           learned += ((step, pair, r.getLong(1)))
           val Array(l, rt) = pair.split(" ", 2)
           val merged = l + rt
-          words = words
-            .select(expr(foldSql("a", l, rt, merged)).as("a"), col("f"))
-            .localCheckpoint()
+          val (next, releaseNext) = Checkpoints.releasable(words
+            .select(expr(foldSql("a", l, rt, merged)).as("a"), col("f")))
+          releaseWords() // prior round's blocks, after `next` is live
+          words = next
+          releaseWords = releaseNext
           step += 1
         case None => exhausted = true
       }
     }
+    // the learned list is driver-side; the last vocab frame is dead too
+    releaseWords()
     val rows = learned.toSeq.map { case (s, pair, cnt) =>
       Row(s, pair, pair.replace(" ", ""), cnt)
     }

@@ -38,10 +38,13 @@ import graft.operators.dedup.TextShingles
   * shape), one `buckets`-row stats agg, a BROADCAST weight join (the
   * weight table is ≤ `buckets` rows by construction), one per-doc agg,
   * and the two-phase exact-rank cut. Driver state: the two corpus totals
-  * and the node count inside the rank cut — three bounded longs. The
-  * [[WScale]] guard fails loudly long before `cnt·w` can overflow:
-  * tw < 2³¹ and per-doc counts < 2³¹ keep the summands under 2⁶², and
-  * tgt_f ≤ raw_f caps every w_f at tw.
+  * and the node count inside the rank cut — three bounded longs. Two
+  * overflow guards, both loud: the [[WScale]] require keeps every
+  * summand under 2⁶² (tw < 2³¹ and per-doc counts < 2³¹; tgt_f ≤ raw_f
+  * caps every w_f at tw), and the spt projection raise_errors when
+  * `score · RScale` would exceed 2⁶³ — score itself can approach
+  * n_feat·tw for feature-heavy docs, so the scaling would otherwise
+  * wrap around silently.
   */
 object Dsir {
 
@@ -94,12 +97,22 @@ object Dsir {
         "lower WScale — cnt*w would overflow past 2^62")
     val weights = bucketStats
       .select(col("f"), expr(s"((tf + 1L) * ${tw}L) DIV (rf + 1L)").as("w"))
+    // score can approach n_feat·tw, so score·RScale can pass 2^63 for
+    // feature-heavy docs — a silent BIGINT wraparound; fail loudly instead
+    // (codegen'd, no extra pass — the ZOrder/RangeJoin guard shape)
+    val sptGuarded = when(col("score") > lit(Long.MaxValue / RScale),
+      raise_error(concat(
+        lit(s"Dsir: score * $RScale overflows BIGINT for doc_id "),
+        col("doc_id").cast("string"),
+        lit(" (score "), col("score").cast("string"),
+        lit(s"); lower WScale or split the document"))))
+      .otherwise(expr(s"(score * $RScale) DIV n_feat"))
     val scored = OpCache.cache(cnt
       .join(broadcast(weights), "f")
       .groupBy(col("doc_id"))
       .agg(sum(expr("c * w")).as("score"), sum(col("c")).as("n_feat"))
       .select(col("doc_id"), col("n_feat"), col("score"),
-        expr(s"(score * $RScale) DIV n_feat").as("score_per_tok")))
+        sptGuarded.as("score_per_tok")))
     val thr = Quantiles.exactDiscreteAtRank(scored, col("score_per_tok"),
       n => n - (n * keepPct) / 100 + 1)
     scored.crossJoin(broadcast(thr.select(col("value").as("__thr"))))

@@ -15,22 +15,30 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * document; exact-to-the-token truncation would split documents).
   *
   * The cut needs each document's cumulative token offset WITHIN its
-  * source. A per-source window sort is the natural Spark expression but
-  * serializes every source into one partition — a corpus-scale sort per
-  * source at 100 TB. This is instead the GROUPED two-phase exact prefix
-  * sum ([[Quantiles]]' core, keyed): range-partition by (source, id),
-  * one sorted local-cumsum pass per partition (sums reset on source
-  * change), per-(partition, source) totals to the driver — bounded by
-  * P × |source domain|, the deliberate collect — and the prefix offsets
-  * broadcast back. All-integer arithmetic: the offsets and cumsums are
-  * BIGINT sums in a pinned order, bit-replayable by any engine's
-  * per-source ordered window.
+  * source. A per-source window sort over the DATA is the natural Spark
+  * expression but serializes every source into one partition — a
+  * corpus-scale sort per source at 100 TB. This is instead the GROUPED
+  * two-phase exact prefix sum ([[Quantiles]]' core, keyed): range-
+  * partition by (source, id), one sorted local-cumsum pass per partition
+  * (sums reset on source change), then per-(partition, source) TOTALS —
+  * at most P rows per source — get their prefix offsets from a window
+  * `partitionBy(src).orderBy(pid)` over the totals FRAME (each window
+  * group is ≤ P rows — bounded per group, the case where a window IS the
+  * right tool, per [[Quantiles]]' own doc) and join back on (pid, src).
+  * Nothing touches the driver: the source domain may be open and
+  * web-scale (millions of values — exactly why [[Sampling.capPerSource]]
+  * exists), and the totals frame scales as a SHUFFLE, not driver memory.
+  * All-integer arithmetic: the offsets and cumsums are BIGINT sums in a
+  * pinned order, bit-replayable by any engine's per-source ordered
+  * window.
   *
   * Rows with a NULL source are EXCLUDED (a document with no source can
   * draw no source's budget — [[Sampling.deterministicSplit]]'s
   * unattributable-row convention); null token counts draw 0. `idCol`
-  * must be unique and non-null or the order — and therefore the cut — is
-  * nondeterministic.
+  * must be unique, non-null and long-castable — a value the cast nulls
+  * (non-numeric string, overflow) fails LOUDLY at runtime via a
+  * codegen'd raise_error rather than silently breaking the
+  * deterministic-order contract.
   */
 object Mixture {
 
@@ -40,10 +48,16 @@ object Mixture {
     */
   def groupedPrefixSum(df: DataFrame, idCol: String, srcCol: String,
                        tokenCol: String, partitions: Int = 64): DataFrame = {
-    val spark = df.sparkSession
+    val idL = col(idCol).cast("long")
+    // a null cast (non-numeric id) would both NPE opaquely downstream and
+    // silently break the deterministic-order contract — fail loudly with
+    // the offending value instead (the KMeansExact/RangeJoin guard shape)
+    val idGuarded = when(idL.isNull, raise_error(concat(
+      lit(s"Mixture: idCol '$idCol' must be non-null and long-castable, got: "),
+      coalesce(col(idCol).cast("string"), lit("NULL"))))).otherwise(idL)
     val base = df
       .filter(col(srcCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
+      .select(idGuarded.as("id"),
         col(srcCol).cast("string").as("src"),
         coalesce(col(tokenCol).cast("long"), lit(0L)).as("tok"))
     val ranged = base.repartitionByRange(partitions, col("src"), col("id"))
@@ -69,27 +83,19 @@ object Mixture {
     }(org.apache.spark.sql.Encoders.row(cumSchema))
     val cached = OpCache.cache(localCum)
 
-    // per-(partition, source) totals: bounded by P x |source domain| —
-    // the same deliberate driver collect as Quantiles' offsets
+    // per-(partition, source) totals stay DISTRIBUTED: the window group
+    // is keyed by src and holds at most P rows, so the exclusive prefix
+    // sum is a bounded per-group window, never a driver materialization —
+    // the source domain may be open (millions of values at 100 TB)
     val totals = cached.groupBy(col("pid"), col("src"))
       .agg(max(col("local_cum")).as("t"))
-      .collect()
-      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
-    val offsets = totals.toSeq
-      .groupBy(_._1._2)
-      .flatMap { case (src, byPid) =>
-        val sorted = byPid.sortBy(_._1._1)
-        sorted.zip(sorted.scanLeft(0L)(_ + _._2)).map {
-          case (((pid, s), _), off) => Row(pid, s, off)
-        }
-      }.toSeq
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets, 1),
-      StructType(Seq(StructField("pid", LongType, nullable = false),
-        StructField("src", StringType),
-        StructField("off", LongType, nullable = false))))
+    val offWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offDf = totals.select(col("pid"), col("src"),
+      coalesce(sum(col("t")).over(offWin), lit(0L)).as("off"))
 
-    cached.join(broadcast(offDf), Seq("pid", "src"))
+    cached.join(offDf, Seq("pid", "src"))
       .select(col("id").as(idCol), col("src").as(srcCol),
         col("tok").as(tokenCol),
         (col("local_cum") + col("off")).as("src_cum"))

@@ -27,15 +27,19 @@ import org.apache.spark.sql.functions._
   * redistributed uniformly.
   *
   * Scale shape: one iteration = one src-keyed join of the rank frame to
-  * the (edge, out-degree) frame plus one dst-keyed integer-SUM shuffle —
-  * the standard Pregel-on-DataFrames step, linear in |E| per iteration.
-  * The (edge, deg) frame is localCheckpointed ONCE and re-read every
-  * round (the DupClusters lineage rule); each iteration's rank frame is
-  * localCheckpointed so the plan does not grow with k (rank is consumed
-  * twice per round — contribution join and dangling sum — and an
-  * uncheckpointed lineage would double per round). Driver state: the
-  * node count, one long. The dangling mass is a 1-row broadcast
-  * cross-join, never a per-iteration collect.
+  * the (edge, deg) frame plus one dst-keyed integer-SUM shuffle — the
+  * standard Pregel-on-DataFrames step, linear in |E| per iteration. The
+  * (edge, deg) frame AND the has-out-edges node set the dangling
+  * anti-join probes are each localCheckpointed ONCE and re-read every
+  * round (the DupClusters lineage rule — an anti-join against the
+  * UN-checkpointed degree frame would recompute the full edge derivation
+  * per round); each iteration's rank frame is localCheckpointed so the
+  * plan does not grow with k (rank is consumed twice per round —
+  * contribution join and dangling sum), and the PRIOR round's checkpoint
+  * blocks are released once the new one materializes
+  * ([[Checkpoints.releasable]]), so storage is O(1) in the round count.
+  * Driver state: the node count, one long. The dangling mass is a 1-row
+  * broadcast cross-join, never a per-iteration collect.
   */
 object PageRank {
 
@@ -60,6 +64,10 @@ object PageRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg): built once, re-read every iteration
     val ew = e.join(outdeg, "src").localCheckpoint()
+    // the dangling anti-join's probe set, derived from the CHECKPOINTED
+    // frame (never the raw outdeg lineage, which would replay the full
+    // edge derivation every round) and itself checkpointed once
+    val hasOut = ew.select(col("src").as("node")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
@@ -68,21 +76,24 @@ object PageRank {
     val base = Scale / n
     val base15 = ((DampDen - DampNum) * base) / DampDen
     var rank = nodes.select(col("node"), lit(base).as("r"))
+    var releaseRank: () => Unit = () => ()
     for (_ <- 1 to iterations) {
       val sums = ew
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r DIV deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       val dang = rank
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .join(hasOut, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
-      rank = nodes
+      val (next, releaseNext) = Checkpoints.releasable(nodes
         .join(sums, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           expr(s"${base15}L + (($DampNum * (coalesce(s, 0L) + (d DIV ${n}L)))" +
-            s" DIV $DampDen)").as("r"))
-        .localCheckpoint()
+            s" DIV $DampDen)").as("r")))
+      releaseRank() // prior round's blocks, released after `next` is live
+      rank = next
+      releaseRank = releaseNext
     }
     rank.select(col("node"), col("r").as("pr"))
   }

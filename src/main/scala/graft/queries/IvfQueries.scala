@@ -273,6 +273,118 @@ object IvfQueries {
        |FROM asg a""".stripMargin
   }
 
+  /** q146's derived corpus: the first [[AdBaseN]] embeddings (present at
+    * every SF, so the corpus — and therefore every adaptive knob — is
+    * identical no matter which directory the gate runs against),
+    * replicated [[AdReplicas]]× with ScaleUp's decorrelation trick
+    * (cyclic rotation of an [[AdDims]]-dim head slice; replica ids shift
+    * by r·AdBaseN). 500 × 132 = 66,000 vectors — just past the
+    * MaxCoarse·TargetCell = 65,536 flat-ladder boundary, so
+    * [[graft.operators.dedup.SemanticDedup.flaggedAdaptive]] takes the
+    * TWO-LEVEL rung through the PRODUCTION ladder itself (kc=256, kf=2,
+    * train modulus 2) — the path that ships at 100 TB, previously
+    * require-guarded but ungated (the r15 task 3). AdDims=8 keeps the
+    * kc=256 DuckDB replay tractable (the 64-dim replay would be a
+    * ~1.1B-term assignment cross join on the oracle side).
+    */
+  val AdBaseN = 500L
+  val AdReplicas = 132L
+  val AdDims = 8
+
+  /** The production knobs q146's corpus pins, derived FROM the ladder so
+    * the oracle constants cannot drift from the shipped code path.
+    */
+  private def adKnobs: (Int, Int, Int) = {
+    import graft.operators.dedup.SemanticDedup
+    import graft.operators.similarity.NswAnn
+    val n = AdBaseN * AdReplicas
+    val (kc, kf) = SemanticDedup.adaptiveTwoLevel(n)
+    val m = NswAnn.trainModulus(n)
+    require(kf > 1, s"q146 corpus n=$n no longer crosses the two-level " +
+      s"boundary (kc=$kc kf=$kf) — raise AdReplicas")
+    (kc, kf, m)
+  }
+
+  /** q146: the ADAPTIVE two-level SemDeDup path, oracle-gated
+    * ([[graft.operators.dedup.SemanticDedup.flaggedAdaptive]] past the
+    * 65,536-vector flat boundary). q121 gates the flat regime and q133
+    * pins the two-level machinery at FORCED kc=4×kf=4; this gate drives
+    * the real ladder: corpus count → (kc=256, kf=2) + sampled training
+    * (modulus 2) → coarse replay, fine seeding/iterations, two-probe
+    * assignment, pair-drop rule — all replayed by DuckDB from the raw
+    * embeddings table.
+    */
+  def q146SemanticAdaptiveTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    adKnobs // loud if the corpus no longer pins the two-level regime
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < AdBaseN)
+      .select(col("vec_id"), slice(col("embedding"), 1, AdDims).as("he"))
+    val reps = spark.range(AdReplicas).select(col("id").as("__r"))
+    val s = (col("__r") % AdDims).cast("int")
+    val corpus = emb.crossJoin(broadcast(reps)).select(
+      (col("vec_id") + col("__r") * AdBaseN).as("vec_id"),
+      concat(slice(col("he"), s + lit(1), lit(AdDims) - s),
+        slice(col("he"), lit(1), s)).as("embedding"))
+    graft.operators.dedup.SemanticDedup.flaggedAdaptive(
+      corpus, "vec_id", "embedding", threshold = SemThreshold,
+      trainIters = TrainIters, dims = AdDims)
+  }
+
+  def q146Oracle: String = {
+    val (kc, kf, m) = adKnobs
+    val dims = AdDims
+    def dot(a: String, b: String) = (1 to dims)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def dotW(a: String, c: String) = (0 until dims)
+      .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*$c.w$i")
+      .mkString(" + ")
+    val sumsq = dot("embedding", "embedding")
+    val training = KMeansTwoLevel.oracleCtes("ad",
+      s"(SELECT * FROM adcorp WHERE vec_id % $m = 0)", "vec_id", "embedding",
+      kc, kf, TrainIters, dims)
+    s"""WITH adbase AS (
+       |  SELECT vec_id, embedding[1:$dims] AS he
+       |  FROM embeddings WHERE vec_id < $AdBaseN
+       |), adcorp AS MATERIALIZED (
+       |  SELECT e.vec_id + r.r * $AdBaseN AS vec_id,
+       |    (e.he[(r.r % $dims) + 1 : $dims] || e.he[1 : (r.r % $dims)]) AS embedding
+       |  FROM adbase e CROSS JOIN (SELECT unnest(range(0, $AdReplicas)) AS r) r
+       |),
+       |$training
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM adcorp
+       |), gscore AS (
+       |  SELECT v.vec_id AS vid, v.e, v.nrm, c.cid,
+       |    (${dotW("v.e", "c")}) / (v.nrm * c.cnrm) AS ccos
+       |  FROM n v CROSS JOIN adccw c
+       |), gasg AS MATERIALIZED (
+       |  SELECT vid, e, nrm, cid AS gid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS rn
+       |    FROM gscore) t
+       |  WHERE rn = 1
+       |), fpick AS (
+       |  SELECT vid, fcid FROM (
+       |    SELECT g.vid, f.fcid,
+       |      row_number() OVER (PARTITION BY g.vid
+       |        ORDER BY (${dotW("g.e", "f")}) / (g.nrm * f.cnrm) DESC, f.fcid ASC) AS rn
+       |    FROM gasg g JOIN adfcw f ON f.gid = g.gid) t
+       |  WHERE rn = 1
+       |), asg AS MATERIALIZED (
+       |  SELECT g.vid, g.e, g.nrm,
+       |    g.gid * $kf + COALESCE(p.fcid, 0) AS cluster_id
+       |  FROM gasg g LEFT JOIN fpick p USING (vid)
+       |)
+       |SELECT a.vid AS vec_id, a.cluster_id,
+       |  NOT EXISTS (
+       |    SELECT 1 FROM asg b
+       |    WHERE b.cluster_id = a.cluster_id AND b.vid < a.vid
+       |      AND (${dot("a.e", "b.e")}) / (a.nrm * b.nrm) > $SemThreshold
+       |  ) AS kept
+       |FROM asg a""".stripMargin
+  }
+
   /** q124: the END-TO-END EMBEDDING PIPELINE
     * ([[graft.pipelines.EmbeddingPipeline]] — the similarity-space analog
     * of the q122 curation chain): token-window chunking (q94's operator)

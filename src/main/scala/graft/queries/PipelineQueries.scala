@@ -639,20 +639,21 @@ object PipelineQueries {
     * tiki_dag.py:18-33) driven through a failure-and-resume scenario and
     * oracle-gated — the last composed surface without a cross-engine check.
     *
-    * Three execution dates run through all four DAGs (tiki → trends → fx →
+    * Two execution dates run through all four DAGs (tiki → trends → fx →
     * analytics) over q103-style leaf-keyed raw snapshots (1/3 product
-    * stratum so three daily raw zones cost one q103 day). Run 1's middle
+    * stratum so the daily raw zones stay q103-day-cheap). Run 1's FIRST
     * date points at a MISSING trends CSV: the trends task exhausts its
     * retries and fails, analytics for that date is skipped as
     * UpstreamFailed, and — `depends_on_past=False` — the LAST date still
     * completes. Run 2 re-invokes the same range with the corrected source:
-    * success markers skip the ten completed tasks, the two missing ones
+    * success markers skip the six completed tasks, the two missing ones
     * execute, and the converged warehouse must equal a clean single pass —
     * which is exactly what the DuckDB oracle computes (the q103 replay
     * generalized over per-day fx rates and trend scores, never having seen
     * the failure, the retries, or the resume). Day 17's fx fetch also
     * "fails" (rate=None) so the fallback-rate arm is part of the gated
-    * surface.
+    * surface. (Was three dates; the plain no-failure-arm day was cut for
+    * harness cost — r15 task #7 — every scenario arm is still driven.)
     */
   def q112Backfill(spark: SparkSession, dir: String): DataFrame = {
     val inv = q112Invocation.incrementAndGet()
@@ -670,7 +671,7 @@ object PipelineQueries {
       .otherwise(concat(s(leaf % 7), lit(" > "), s(leaf % 11 + 100),
         lit(" > "), s(leaf)))
     val catUrl = concat(lit("https://tiki.vn/slug-"), s(leaf), lit("/c"), s(leaf))
-    val days = Seq(15, 16, 17)
+    val days = Seq(16, 17)
     def dateOf(d: Int) = f"2024-03-$d%02d"
     days.foreach(d => writeRawSnapshots(spark, dir, base, path, catUrl,
       dateOf(d), partFilter = pk % 3 === 0))
@@ -716,7 +717,7 @@ object PipelineQueries {
       cfg.copy(sources = sources(broken = false)), range)
     require(r2.ok, s"resume left failures: ${r2.failures}")
     val skipped = r2.runs.count(_.status == graft.pipelines.Backfill.AlreadyComplete)
-    require(skipped == 10, s"expected 10 marker-skipped tasks on resume, got $skipped")
+    require(skipped == 6, s"expected 6 marker-skipped tasks on resume, got $skipped")
 
     CleanZone.read(spark, s"$wh/analytics_product_market_daily")
       .select(col("date"), col("product_id"), col("product_name"),
@@ -734,7 +735,7 @@ object PipelineQueries {
     """WITH days AS (
       |  SELECT d, CASE WHEN d = 17 THEN 2540000
       |                 ELSE 2500050 + d * 1000 END AS r100
-      |  FROM (VALUES (15), (16), (17)) t(d)
+      |  FROM (VALUES (16), (17)) t(d)
       |), enr AS (
       |  SELECT p_partkey AS pk, (p_partkey % 40 + 10) AS leaf,
       |    (p_partkey % 800 + 150) * 1000 AS current_price,

@@ -154,6 +154,81 @@ object SqQueries {
       _ < 10, SimilarityQueries.K)
   }
 
+  /** q147: the PRODUCTION reduced-space ladder — q143's projection feeding
+    * the TRAINED IVF index (q33's operator) at 16 dims instead of the
+    * brute scan q144 composes: project once, then train/assign/probe/
+    * re-rank entirely in the reduced space. This is the shape a wide-
+    * embedding corpus actually ships at 100 TB (the projection is pure
+    * codegen with zero shuffles; every downstream centroid scan, cell
+    * shuffle and re-rank dot runs at a quarter the width). The oracle
+    * replays the WHOLE chain from raw embeddings: all 16 projected
+    * coordinates bitwise (q143's forced-double literals), the k-means
+    * training on the projected doubles, every assignment, the probe cut,
+    * and the reduced-space re-rank. Recall vs the unprojected ladder is
+    * spec territory (ProjectedIvfSpec, on a CLUSTERED corpus — the i.i.d.
+    * gate corpus destroys rank order under any reduction by distance
+    * concentration, measured and documented at q144).
+    */
+  def q147ProjectedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val proj = graft.operators.similarity.RandomProjection.project(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      SimilarityQueries.Dims, JlOutDims)
+    graft.operators.similarity.IvfAnn.searchTrained(proj, "vid", "proj",
+      _ < 10, k = SimilarityQueries.K, nCentroids = IvfQueries.NCentroids,
+      probes = IvfQueries.Probes, trainIters = IvfQueries.TrainIters,
+      dims = JlOutDims)
+  }
+
+  def q147Oracle: String = {
+    val dims = JlOutDims
+    def dot(a: String, b: String) = (1 to dims)
+      .map(i => s"$a.p[$i]*$b.p[$i]").mkString(" + ")
+    def dotW(a: String, c: String) = (0 until dims)
+      .map(i => s"$a.p[${i + 1}]*$c.w$i").mkString(" + ")
+    val psumsq = (1 to dims).map(i => s"p[$i]*p[$i]").mkString(" + ")
+    val elems = (0 until JlOutDims).map(jlCoordSql).mkString(",\n    ")
+    val training = graft.operators.similarity.KMeansExact.oracleCtes(
+      "pk", "pr", "vid", "p", IvfQueries.NCentroids, IvfQueries.TrainIters,
+      dims)
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid,
+       |    [$elems] AS p
+       |  FROM embeddings
+       |),
+       |$training
+       |n AS MATERIALIZED (
+       |  SELECT vid, p, sqrt($psumsq) AS nrm FROM pr
+       |), asgscore AS (
+       |  SELECT v.vid, v.p, v.nrm, c.cid,
+       |    (${dotW("v", "c")}) / (v.nrm * c.cnrm) AS ccos
+       |  FROM n v CROSS JOIN pkcw c
+       |), asg AS MATERIALIZED (
+       |  SELECT vid, p, nrm, cid AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crank
+       |    FROM asgscore) t
+       |  WHERE crank = 1
+       |), queries AS (
+       |  SELECT vid AS query_id, p, nrm FROM asg WHERE vid < 10
+       |), probescore AS (
+       |  SELECT q.query_id, q.p, q.nrm, c.cid,
+       |    (${dotW("q", "c")}) / (q.nrm * c.cnrm) AS ccos
+       |  FROM queries q CROSS JOIN pkcw c
+       |), probes AS (
+       |  SELECT query_id, p, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS prank
+       |    FROM probescore) t
+       |  WHERE prank <= ${IvfQueries.Probes}
+       |), cands AS (
+       |  SELECT DISTINCT p.query_id, a.vid AS neighbor_id,
+       |    (${dot("p", "a")}) / (p.nrm * a.nrm) AS cosine
+       |  FROM probes p JOIN asg a ON p.cid = a.cluster_id AND a.vid <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM cands) t
+       |WHERE rank <= ${SimilarityQueries.K}""".stripMargin
+  }
+
   def q144Oracle: String = {
     val elems = (0 until JlOutDims).map(jlCoordSql).mkString(",\n    ")
     def pdot(a: String, b: String) = (1 to JlOutDims)

@@ -37,6 +37,32 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("final cut is partial-agg TopK: no per-query WindowExec in the plan") {
+    // the skew shape the r15 weak flagged: a window partitioned by
+    // query_id sorts EVERY doc matching a high-df term on one reducer;
+    // TopK.perGroup ships <= k rows per (query, mapper) instead
+    val plan = Bm25.rank(corpus, "doc_id", "text",
+      Seq(1 -> Seq("apple")), topK = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-query window cut crept back into the BM25 plan:\n$plan")
+  }
+
+  test("TopK cut matches the window formulation rank-for-rank") {
+    // ten docs share the term with distinct tf -> distinct scores; ties on
+    // score broken by doc_id asc exactly like row_number over the window
+    val docs = (1L to 10L)
+      .map(i => (i, ("apple " * i.toInt).trim + " filler"))
+      .toDF("doc_id", "text")
+    val got = Bm25.rank(docs, "doc_id", "text", Seq(1 -> Seq("apple")), topK = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(4), r.getLong(1))).toSeq
+    val all = Bm25.rank(docs, "doc_id", "text", Seq(1 -> Seq("apple")), topK = 100)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    val want = all.sortBy { case (id, s) => (-s, id) }.take(4)
+      .zipWithIndex.map { case ((id, _), i) => (i + 1, id) }.toSeq
+    assert(got == want)
+  }
+
   test("ranking semantics on a hand corpus") {
     val out = Bm25.rank(corpus, "doc_id", "text",
       Seq(1 -> Seq("apple"), 2 -> Seq("banana", "cherry")), topK = 10)

@@ -70,6 +70,36 @@ class MixtureSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 10L, 11L, 20L))
   }
 
+  test("wide-open source domain: 10^4 distinct sources stay distributed") {
+    // the open-set case capPerSource exists for: offsets must come from
+    // the per-source window over the totals frame, never a driver
+    // collect/re-parallelize (which at P x |domain| would OOM at scale)
+    val rows = (1L to 20000L).map(i => (i, s"src${i % 10000}", (i % 3) + 1))
+    val df = spark.createDataset(rows).toDF("id", "src", "tok").repartition(8)
+    val out = Mixture.groupedPrefixSum(df, "id", "src", "tok", partitions = 7)
+    // the distributed-offset marker: a src-partitioned Window feeds the
+    // offsets join; the old driver path showed a parallelized ExistingRDD
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window-offset plan:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"driver-materialized offsets crept back in:\n$plan")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val w = Window.partitionBy("src").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("c", sum(col("tok").cast("long")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
+  test("non-long-castable id fails loudly, not a silent null reorder") {
+    val df = Seq(("doc-a", "a", 4L)).toDF("id", "src", "tok")
+    val e = intercept[Exception](
+      Mixture.groupedPrefixSum(df, "id", "src", "tok").collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("long-castable")), e.toString)
+  }
+
   test("guards") {
     val df = Seq((1L, "a", 4L)).toDF("id", "src", "tok")
     intercept[IllegalArgumentException](

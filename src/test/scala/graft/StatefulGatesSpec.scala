@@ -69,6 +69,29 @@ class StatefulGatesSpec extends SparkSpec {
     }
   }
 
+  test("q111 funnel twins: TWS/RocksDB and fMGWS backends agree row-for-row on the gate feed") {
+    // the twin identity the q111 gate used to drive per bench shot —
+    // moved here (one drive per build, not per measurement); the feed is
+    // the GATE's own builder, so coverage is identical by construction
+    import graft.queries.StatefulGates
+    val batches = StatefulGates.q111Batches(spark, sf("0.01"))
+    val stages = StatefulGates.FunnelStages
+    import spark.implicits._
+    val (tws, legacy) = FeedHarness.withRocksDb(spark) {
+      (FeedHarness.drive(spark, "spec_funnel_tws", batches, "update") { ds =>
+        graft.streaming.FunnelTws.track(ds.toDF(), stages).toDF()
+      },
+      FeedHarness.drive(spark, "spec_funnel_fmgws", batches, "update") { ds =>
+        graft.streaming.StreamingFunnel.track(ds.toDF(), stages).toDF()
+      })
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val (a, b) = (rows(tws), rows(legacy))
+    assert(a == b, s"funnel backends diverged: TWS ${a.size} rows vs fMGWS ${b.size}")
+    assert(a.nonEmpty, "twin check ran on an empty feed")
+  }
+
   test("FeedHarness delivers batches in ascending order and drops the batch column") {
     val feed = Seq((2L, "b"), (0L, "z"), (1L, "m"), (0L, "a"))
       .toDF("__b", "payload")
