@@ -40,6 +40,17 @@ import org.apache.spark.sql.functions._
   * ([[Checkpoints.releasable]]), so storage is O(1) in the round count.
   * Driver state: the node count, one long. The dangling mass is a 1-row
   * broadcast cross-join, never a per-iteration collect.
+  *
+  * Hot-key skew (the web-graph power-law in-degree case): the dst-keyed
+  * SUM needs no salting because Spark's HashAggregate IS the two-phase
+  * salted sum — a map-side partial aggregate runs before the exchange,
+  * so a hub's reducer receives at most one partial row per upstream
+  * partition, never the edge volume (PageRankSkewSpec measures 9 shuffle
+  * rows for a 20k-edge star graph and pins the partial_sum plan shape).
+  * The remaining skew surface is the contribution join's src side (a
+  * high-OUT-degree hub lands its edge list in one sort-merge partition),
+  * which AQE skew-join splitting covers — [[graft.GraftSession]] ships
+  * `spark.sql.adaptive.skewJoin.enabled=true`.
   */
 object PageRank {
 

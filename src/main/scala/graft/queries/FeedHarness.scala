@@ -50,14 +50,34 @@ object FeedHarness {
     }
   }
 
+  /** State-partition count for the gate drives. Streaming state operators
+    * instantiate (and open/commit per micro-batch) one state-store
+    * instance PER shuffle partition, fixed at first start — the dominant
+    * per-batch fixed cost of these drives. The gate feeds are capped at
+    * ~100 keys by construction, so the session's batch-sized 32 is pure
+    * overhead here; a real deployment sizes state partitions to key
+    * volume and throughput, which is exactly what this does. Semantics
+    * are partition-count-invariant (the oracles replay pure functions of
+    * the data), and StatefulGatesSpec's drives inherit the same setting
+    * through this one code path.
+    */
+  val StatePartitions = 8
+
   def drive[T <: Product : Encoder](spark: SparkSession, name: String,
                                     batches: Seq[Seq[T]], outputMode: String)
                                    (build: Dataset[T] => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[T]
     val sinkName = s"${name}_${sinkCounter.incrementAndGet()}"
-    val q = build(stream.toDS()).writeStream.format("memory")
-      .queryName(sinkName).outputMode(outputMode).start()
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    // must be set BEFORE start(): the stream pins its state partitioning
+    // at planning time (it persists in the checkpoint for real streams)
+    spark.conf.set(key, StatePartitions.toString)
+    val q =
+      try build(stream.toDS()).writeStream.format("memory")
+        .queryName(sinkName).outputMode(outputMode).start()
+      finally spark.conf.set(key, prior)
     try {
       batches.foreach { b =>
         stream.addData(b)

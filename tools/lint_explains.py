@@ -47,6 +47,13 @@ ALLOW = {
          "BM25 leg hashes normally (Rrf.scala composes the two legs' own "
          "scale paths)"),
     ],
+    "q146_semantic_adaptive": [
+        ("BNLJ-nonscalar",
+         "the derived-corpus replication: 500 base embeddings crossJoin a "
+         "BROADCAST 132-row literal replica range (ScaleUp's decorrelated "
+         "replication as a query) - both sides knob-bounded constants of "
+         "the gate, never data volume (IvfQueries.q146SemanticAdaptiveTwoLevel)"),
+    ],
     "q144_projected_topk": [
         ("BNLJ-nonscalar",
          "q24's CosineTopK shape over the PROJECTED frame: broadcast side "
