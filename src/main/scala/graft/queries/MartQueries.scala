@@ -699,7 +699,11 @@ object MartQueries {
     * an order — q88's pair substrate as a digraph), top-[[PageRankTopK]]
     * by stationary mass. The oracle replays every integer division, the
     * dangling-mass redistribution, and all five rounds as unrolled CTEs
-    * with the node count as a scalar CTE (no SF-specific literal).
+    * with the node count as a scalar CTE (no SF-specific literal); every
+    * round CTE is MATERIALIZED — an inlined r_k chain doubles the
+    * replay's compute tree per round (r_k is referenced twice by round
+    * k+1), which measured 2^5-ish blowup at sf0.1 in the baseline
+    * timing pass.
     */
   val PageRankIters = 5
   val PageRankTopK = 100
@@ -725,14 +729,14 @@ object MartQueries {
     import graft.operators.PageRank.{DampDen, DampNum, Scale}
     val iters = (1 to PageRankIters).map { k =>
       val p = k - 1
-      s"""s$k AS (
+      s"""s$k AS MATERIALIZED (
          |  SELECT e.dst AS node, CAST(SUM(r.r // e.deg) AS BIGINT) AS s
          |  FROM ew e JOIN r$p r ON r.node = e.src GROUP BY 1
-         |), d$k AS (
+         |), d$k AS MATERIALIZED (
          |  SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS d
          |  FROM r$p r LEFT JOIN outdeg o ON o.src = r.node
          |  WHERE o.src IS NULL
-         |), r$k AS (
+         |), r$k AS MATERIALIZED (
          |  SELECT nd.node,
          |    ((($DampDen - $DampNum) * c0.base) // $DampDen) +
          |    (($DampNum * (COALESCE(s.s, 0) + (d$k.d // c0.n))) // $DampDen) AS r
@@ -740,21 +744,21 @@ object MartQueries {
          |  CROSS JOIN d$k CROSS JOIN c0
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-       |), outdeg AS (
+       |), outdeg AS MATERIALIZED (
        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1
-       |), ew AS (
+       |), ew AS MATERIALIZED (
        |  SELECT e.src, e.dst, o.deg FROM e JOIN outdeg o USING (src)
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT src AS node FROM e UNION SELECT dst FROM e
-       |), c0 AS (
+       |), c0 AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    $Scale // CAST(COUNT(*) AS BIGINT) AS base
        |  FROM nodes
-       |), r0 AS (
+       |), r0 AS MATERIALIZED (
        |  SELECT nd.node, c0.base AS r FROM nodes nd CROSS JOIN c0
        |), $iters
        |SELECT node, pr, rank FROM (
