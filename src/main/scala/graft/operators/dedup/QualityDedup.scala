@@ -1,0 +1,59 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.TopK
+
+/** Quality-aware near-dup cluster dedup — the curation DECISION the dedup
+  * family feeds (FineWeb/RefinedWeb keep one document per near-duplicate
+  * cluster, chosen by QUALITY, not by id): cluster documents by
+  * transitive near-duplicate pairs ([[NGramJaccard]] → [[DupClusters]]),
+  * then within each cluster keep the single document with the highest
+  * [[TextFns.qualityScore]] (ties → lowest id — deterministic reruns).
+  * Min-id survivorship ([[DupClusters]], [[DedupPipeline]]) answers
+  * "which copy is canonical"; this answers the training-set question
+  * "which copy is worth keeping" — a boilerplate-stripped duplicate can
+  * easily outscore the first-crawled copy.
+  *
+  * Output: one row per input document —
+  * (idCol, cluster_rep, cluster_size, quality_score, kept). Documents in
+  * no near-dup pair are singletons (cluster_rep = own id, size 1, kept).
+  * Null-text documents shingle to nothing, so they are singletons with
+  * quality 0 — kept, because dropping requires evidence of a duplicate.
+  *
+  * Scale shape: every stage reuses an existing scale path — the pair
+  * candidates are doc-frequency-capped shingle joins (the q21 shape),
+  * the transitive closure is [[DupClusters]]' O(log n) alternating
+  * rounds, quality is a pure codegen projection, and the per-cluster
+  * argmax is [[TopK.perGroup]]'s k-bounded partial aggregation (k = 1:
+  * one winner row per cluster per mapper crosses the shuffle — a hot
+  * mega-cluster never concentrates a sort). No new shuffle grain.
+  */
+object QualityDedup {
+
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+               threshold: Double): DataFrame = {
+    val pairs = NGramJaccard.pairs(docs, idCol, textCol, threshold)
+    val comp = DupClusters.components(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", idCol)
+    val qual = docs.select(col(idCol),
+      TextFns.qualityScore(col(textCol)).as("quality_score"))
+    val clustered = graft.operators.OpCache.cache(
+      qual.join(comp, Seq(idCol)))
+    val winners = TopK.perGroup(clustered, Seq("cluster_rep"),
+        sortCol = "quality_score", idCol = idCol, k = 1)
+      .select(col(idCol).as("__winner"))
+    val clusteredOut = clustered
+      .join(winners, clustered(idCol) === winners("__winner"), "left")
+      .select(col(idCol), col("cluster_rep"), col("cluster_size"),
+        col("quality_score"), col("__winner").isNotNull.as("kept"))
+    val singletons = qual
+      .join(comp.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("cluster_rep"),
+        lit(1L).as("cluster_size"), col("quality_score"),
+        lit(true).as("kept"))
+    clusteredOut.unionByName(singletons)
+  }
+}

@@ -192,9 +192,13 @@ object DedupQueries {
         org.apache.spark.sql.functions.col("cluster_size"))
   }
 
-  def q52Oracle: String =
-    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |hs AS (SELECT doc_id, unnest(hashes) AS h FROM hl),
+  /** The q52 transitive-closure chain (hs → … → comp(doc_id,
+    * cluster_rep) at the q21 0.1 threshold), spliced after [[ShingleCtes]]
+    * under WITH RECURSIVE — shared by q52 and q148 so the quality-aware
+    * dedup's cluster replay is definitionally q52's.
+    */
+  private def ccCtes: String =
+    s"""hs AS (SELECT doc_id, unnest(hashes) AS h FROM hl),
        |kept AS (
        |  SELECT doc_id, h FROM (
        |    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs
@@ -223,11 +227,68 @@ object DedupQueries {
        |),
        |comp AS (
        |  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
-       |)
+       |)""".stripMargin
+
+  def q52Oracle: String =
+    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$ccCtes
        |SELECT c.doc_id, c.cluster_rep, cnt.cluster_size
        |FROM comp c
        |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
        |      FROM comp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
+
+  /** The q27 quality-score CTE chain over `documents`, ending in
+    * `qual(doc_id, quality_score)` — byte-identical arithmetic to the
+    * q27 gate (plain string: the regexes carry backslashes that must not
+    * hit the s-interpolator).
+    */
+  private val QualityCtes =
+    """qbase AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE CAST(len(regexp_extract_all(trim(text), '\S+')) AS INTEGER) END AS n_tokens,
+      |    CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE) / length(text) END AS alpha_ratio,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS INTEGER) AS n_stops
+      |  FROM documents
+      |), qual AS (
+      |  SELECT doc_id,
+      |    0.4 * alpha_ratio
+      |      + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE LEAST(1.0, CAST(n_stops AS DOUBLE) / n_tokens) END)
+      |      + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality_score
+      |  FROM qbase
+      |)""".stripMargin
+
+  /** q148: QUALITY-AWARE cluster dedup
+    * ([[graft.operators.dedup.QualityDedup]] — the FineWeb-style keep-
+    * best-per-near-dup-cluster decision): q52's transitive clusters +
+    * q27's quality score, one winner per cluster by (quality DESC,
+    * doc_id ASC) via TopK's k=1 partial agg; singletons and null-text
+    * docs kept. The oracle replays the ENTIRE composition — shingle
+    * hashes, df-capped candidates, exact Jaccard, the recursive closure,
+    * the quality arithmetic, and the argmax — so a survivor chosen by id
+    * instead of quality (or a boundary-split cluster) hash-fails.
+    */
+  def q148QualityDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.QualityDedup.keepBest(
+      Tables.documents(spark, dir), "doc_id", "text", threshold = 0.1)
+
+  def q148Oracle: String =
+    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$ccCtes,
+       |$QualityCtes,
+       |csz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_rep, z.cluster_size, q.quality_score,
+       |  (row_number() OVER (PARTITION BY c.cluster_rep
+       |     ORDER BY q.quality_score DESC, c.doc_id ASC)) = 1 AS kept
+       |FROM comp c
+       |JOIN csz z USING (cluster_rep)
+       |JOIN qual q USING (doc_id)
+       |UNION ALL
+       |SELECT q.doc_id, q.doc_id AS cluster_rep, CAST(1 AS BIGINT) AS cluster_size,
+       |  q.quality_score, TRUE AS kept
+       |FROM qual q LEFT JOIN comp c USING (doc_id)
+       |WHERE c.doc_id IS NULL""".stripMargin
 
   /** q65: the full dedup pipeline end-to-end — LSH candidates, exact
     * Jaccard verify, connected components, survivor selection
