@@ -38,8 +38,12 @@ object QualityDedup {
     val pairs = NGramJaccard.pairs(docs, idCol, textCol, threshold)
     val comp = DupClusters.components(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", idCol)
-    val qual = docs.select(col(idCol),
-      TextFns.qualityScore(col(textCol)).as("quality_score"))
+    // cached: the quality projection is three full-text regex passes and
+    // feeds BOTH output branches (clustered join + singleton anti-join) —
+    // uncached it computed twice, which the 100x probe measured as ~240s
+    // of pure waste at sf10 (the q141 lesson at document grain)
+    val qual = graft.operators.OpCache.cache(docs.select(col(idCol),
+      TextFns.qualityScore(col(textCol)).as("quality_score")))
     val clustered = graft.operators.OpCache.cache(
       qual.join(comp, Seq(idCol)))
     val winners = TopK.perGroup(clustered, Seq("cluster_rep"),
