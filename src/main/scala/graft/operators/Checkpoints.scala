@@ -17,9 +17,13 @@ import org.apache.spark.sql.DataFrame
   * the caller releases round k's handle only AFTER round k+1's checkpoint
   * materializes — the standard alternating-frame discipline. The registry
   * diff assumes no CONCURRENT persist on the same SparkContext between
-  * entry and exit (driver-side iterative loops are single-threaded; a
-  * concurrent cache would at worst be released early and silently
-  * recompute — correctness is unaffected, the cache is advisory).
+  * entry and exit — this is a HARD requirement, not advisory: a plain
+  * `cache()` swept into the diff would merely be released early and
+  * recompute from lineage, but another `localCheckpoint()` swept in has
+  * its lineage TRUNCATED, so early unpersist destroys the only copy and
+  * later reads fail with missing-block errors. Driver-side iterative
+  * loops are single-threaded today; any future concurrent caller must
+  * serialize checkpoint creation or use separate SparkContexts.
   */
 object Checkpoints {
 

@@ -90,6 +90,14 @@ object TopK {
 
   /** Top `k` rows per group by `sortCol` descending (`idCol`, a unique
     * long, ascending as tiebreak). Output schema = input schema + `rank`.
+    *
+    * `idCol` MUST be non-null and long-castable (numeric, or a string of
+    * digits): the tiebreak rides a `cast("long")`, and a window-era caller
+    * with an arbitrary orderable id (e.g. a free-form string doc id) would
+    * otherwise null the cast and NPE inside the aggregator. The cast is
+    * guarded with `raise_error` so such a caller fails with a named
+    * contract violation, not an NPE — same discipline as
+    * [[Mixture]]'s grouped prefix-sum id guard.
     */
   def perGroup(df: DataFrame, groupCols: Seq[String], sortCol: String,
                idCol: String, k: Int): DataFrame = {
@@ -110,9 +118,16 @@ object TopK {
     }
     val spark = df.sparkSession
     import spark.implicits._
+    val idLong = col(idCol).cast("long")
+    val idGuarded = when(idLong.isNull,
+      raise_error(concat(
+        lit(s"TopK.perGroup: idCol '$idCol' must be non-null and " +
+          "long-castable, got "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(idLong)
     val pre = df.select(
       col(sortCol).cast("double").as("__sort") +:
-        col(idCol).cast("long").as("__id") +:
+        idGuarded.as("__id") +:
         df.columns.map(col): _*)
     val groupIdx = groupCols.map(c => pre.schema.fieldIndex(c))
     val grouped = pre

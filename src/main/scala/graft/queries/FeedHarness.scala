@@ -60,6 +60,19 @@ object FeedHarness {
     * are partition-count-invariant (the oracles replay pure functions of
     * the data), and StatefulGatesSpec's drives inherit the same setting
     * through this one code path.
+    *
+    * SEQUENTIAL-ONLY contract: drive() temporarily sets the SESSION-global
+    * `spark.sql.shuffle.partitions` to this value around `start()` (the
+    * stream pins its state partitioning at planning time), so any batch
+    * query planned CONCURRENTLY in the same session during that window
+    * would silently inherit 8 shuffle partitions. A child session
+    * (`spark.newSession()`) would isolate the conf but strand the memory
+    * sink's temp view in the child catalog and poison callers that mix
+    * the returned frame with parent-session Datasets (Spark refuses
+    * cross-session Dataset ops). The harness — Verify, Bench, ScalaTest —
+    * runs gates strictly sequentially on the driver thread, so the window
+    * is never shared; a future parallel-gate runner must route streaming
+    * drives through a dedicated session or serialize them.
     */
   val StatePartitions = 8
 

@@ -320,6 +320,16 @@ object IvfQueries {
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < AdBaseN)
       .select(col("vec_id"), slice(col("embedding"), 1, AdDims).as("he"))
+    // Loud drift guard: adKnobs derives (kc,kf,m) from the LITERAL
+    // AdBaseN·AdReplicas while flaggedAdaptive recounts the built corpus;
+    // if the filtered base ever has != AdBaseN rows or duplicate vec_ids
+    // the two would silently disagree and the gate would fail as an
+    // opaque hash mismatch. One 2-long-row aggregate over 500 rows.
+    val bs = emb.agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("d")).head()
+    require(bs.getLong(0) == AdBaseN && bs.getLong(1) == AdBaseN,
+      s"q146 base corpus drift: expected $AdBaseN unique vec_id<$AdBaseN " +
+        s"embeddings, found n=${bs.getLong(0)} distinct=${bs.getLong(1)} — " +
+        "the operator knobs and the oracle constants would diverge")
     val reps = spark.range(AdReplicas).select(col("id").as("__r"))
     val s = (col("__r") % AdDims).cast("int")
     val corpus = emb.crossJoin(broadcast(reps)).select(
