@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality filter (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data"): train an n-gram LM on a trusted target corpus, score every
+  * document by how well the LM predicts it, keep the best-scoring slice
+  * — the third leg of the curation-filter family: Gopher rules (#38b)
+  * say what good text LOOKS like, DSIR ([[Dsir]]) says what the target
+  * corpus's FEATURE MIX looks like, the LM score says how PREDICTABLE
+  * the text is under the target's sequential statistics (boilerplate and
+  * gibberish are unpredictable; fluent prose is not).
+  *
+  * Bigram stupid backoff (Brants et al. 2007, "Large Language Models in
+  * Machine Translation" §3): the per-token score is
+  * {{{
+  *   S(w | prev) = c2(prev,w) / c1(prev)            if c2 > 0
+  *               = α · (c1(w)+1) / (N+V)            otherwise (α = 0.4)
+  *   S(w | ∅)    = (c1(w)+1) / (N+V)                doc-start: no context
+  * }}}
+  * with c1/c2 the target-corpus unigram/bigram counts, N the target
+  * token total, V the target vocabulary size (add-one smoothing keeps
+  * unseen words nonzero; stupid backoff deliberately does not normalize
+  * — it is a score, not a probability, which is exactly why it
+  * integer-scales cleanly).
+  *
+  * Exact-arithmetic variant (the repo's libm-free discipline — CCNet
+  * scores with KenLM log₁₀-perplexity, but log is libm-bound and a float
+  * Σ over a shuffle is order-sensitive): each per-token rational is a
+  * SCALED INTEGER `s_t = (SScale·num) DIV den ≤ SScale` (c2 ≤ c1(prev)
+  * always — a bigram occurrence IS an occurrence of its context; the
+  * backoff numerators are ≤ their denominators by construction), the doc
+  * score is the exact BIGINT sum `Σ c·s` over its (prev,w) multiset, and
+  * `lm_score_per_tok = (Σ·RScale) DIV n_tok` — an arithmetic-MEAN token
+  * score instead of the geometric mean behind perplexity: a monotone-
+  * comparable surrogate with the same "unpredictable text scores low"
+  * shape, bit-replayable in integer SQL. The keep cut is the exact-rank
+  * threshold ([[Quantiles.exactDiscreteAtRank]], the [[Dsir]] tail):
+  * keep lm_score_per_tok ≥ the (n − (n·keepPct) DIV 100 + 1)-th
+  * smallest; threshold ties all survive.
+  *
+  * Scale shape: ONE (doc, prev, w) partial-agg shuffle (the q54 tf
+  * shape — the bigram multiset is built by a single in-projection
+  * `transform` over the token array, no self-join, no positional
+  * carry-through), two target-side aggs reusing that frame, three
+  * broadcast hash joins against the count tables (unigram as word,
+  * unigram as context, bigram), one per-doc agg, and the two-phase
+  * exact-rank cut. Driver state: the (N, V) pair inside one 2-long agg
+  * plus the rank cut's P partition totals — all bounded. The count
+  * tables are CURATED-TARGET-sized (CCNet's is Wikipedia), so broadcast
+  * is the production default; `broadcastCounts=false` falls back to
+  * shuffle joins for an unusually wide target vocabulary. Overflow is
+  * loud twice: a require keeps `AlphaDen·SScale·(N+V)` under 2⁶³ at
+  * train time, and the per-token projection raise_errors if the doc sum
+  * would wrap under RScale (the [[Dsir]] spt guard shape).
+  */
+object NgramLm {
+
+  /** Per-token score scale: s_t carries 6 digits of the rational. */
+  val SScale = 1000000L
+
+  /** Per-token mean scale for the final integer division. */
+  val RScale = 1000L
+
+  /** Stupid-backoff α = AlphaNum/AlphaDen = 0.4 (Brants et al. 2007). */
+  val AlphaNum = 2L
+  val AlphaDen = 5L
+
+  /** (doc_id, prev, w, c, __tgt) bigram-multiset counts for all docs with
+    * non-empty normalized text. prev is NULL for each document's first
+    * token (scored by the context-free unigram rule).
+    */
+  private def gramCounts(docs: DataFrame, idCol: String, textCol: String,
+                         targetPred: Column): DataFrame = {
+    val norm = graft.functions.TextFns.normalizeText(col(textCol))
+    val toks = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(norm) > 0)
+      .select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        split(norm, " ").as("t"))
+    // one projection builds the (w, prev) pair array — element_at is
+    // 1-based, so for 0-based index i the previous token is element_at(t, i);
+    // the when() guard keeps the i=0 lookup unevaluated (ANSI mode throws
+    // on index 0)
+    val pairs = transform(col("t"), (w, i) =>
+      struct(w.as("w"),
+        when(i > lit(0), element_at(col("t"), i)).as("prev")))
+    toks.select(col("doc_id"), col("__tgt"), explode(pairs).as("g"))
+      .select(col("doc_id"), col("__tgt"),
+        col("g.prev").as("prev"), col("g.w").as("w"))
+      .groupBy(col("doc_id"), col("prev"), col("w"))
+      .agg(count(lit(1)).as("c"), first(col("__tgt")).as("__tgt"))
+  }
+
+  /** Score every document: (doc_id, n_tok, lm_score, lm_score_per_tok).
+    * `targetPred` marks the trusted target subcorpus (rows of `docs`).
+    * Documents whose normalized text is empty carry no tokens and are
+    * excluded from both the LM statistics and the scoring.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            targetPred: Column, broadcastCounts: Boolean = true): DataFrame = {
+    val cnt = OpCache.cache(gramCounts(docs, idCol, textCol, targetPred))
+    val uni = cnt.filter(col("__tgt"))
+      .groupBy(col("w")).agg(sum(col("c")).as("c1"))
+    val big = cnt.filter(col("__tgt") && col("prev").isNotNull)
+      .groupBy(col("prev"), col("w")).agg(sum(col("c")).as("c2"))
+    // two bounded driver scalars: target token total and vocabulary size
+    val tot = uni.agg(coalesce(sum(col("c1")), lit(0L)).as("n"),
+      count(lit(1)).as("v")).head()
+    val (n, v) = (tot.getLong(0), tot.getLong(1))
+    require(n > 0, "target subcorpus is empty — no LM to train")
+    require(n + v < Long.MaxValue / (SScale * AlphaDen),
+      s"target too large for exact arithmetic (N=$n V=$v): " +
+        s"AlphaDen*SScale*(N+V) would overflow BIGINT — lower SScale")
+    val bc: DataFrame => DataFrame =
+      if (broadcastCounts) broadcast else identity
+    val uw = bc(uni.select(col("w").as("__uw"), col("c1").as("__c1w")))
+    val up = bc(uni.select(col("w").as("__up"), col("c1").as("__c1p")))
+    val bg = bc(big.select(col("prev").as("__bp"), col("w").as("__bw"),
+      col("c2").as("__c2")))
+    val c1w = coalesce(col("__c1w"), lit(0L))
+    // c2 ≤ c1(prev): a bigram occurrence is an occurrence of its context,
+    // so the seen branch is ≤ SScale; both backoff numerators are ≤ their
+    // denominators — every s_t ≤ SScale by construction
+    val s = when(col("prev").isNull,
+        expr(s"($SScale * (__c1w_p1)) DIV ${n + v}"))
+      .when(col("__c2").isNotNull,
+        expr(s"($SScale * __c2) DIV __c1p"))
+      .otherwise(expr(s"($AlphaNum * $SScale * (__c1w_p1)) DIV ${AlphaDen * (n + v)}"))
+    val perTok = cnt
+      .join(uw, col("w") === col("__uw"), "left")
+      .join(up, col("prev") === col("__up"), "left")
+      .join(bg, col("prev") === col("__bp") && col("w") === col("__bw"), "left")
+      .withColumn("__c1w_p1", c1w + lit(1L))
+      .select(col("doc_id"), col("c"), s.as("s"))
+    // lm_score ≤ SScale·n_tok, so the RScale product wraps only for docs
+    // past ~9·10¹² tokens — fail loudly instead of silently (Dsir's guard)
+    val perTokGuarded = when(col("lm_score") > lit(Long.MaxValue / RScale),
+      raise_error(concat(
+        lit(s"NgramLm: lm_score * $RScale overflows BIGINT for doc_id "),
+        col("doc_id").cast("string"),
+        lit(" (lm_score "), col("lm_score").cast("string"),
+        lit("); lower SScale or split the document"))))
+      .otherwise(expr(s"(lm_score * $RScale) DIV n_tok"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(expr("c * s")).as("lm_score"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("lm_score"),
+        perTokGuarded.as("lm_score_per_tok"))
+  }
+
+  /** [[score]] plus the CCNet head cut as a kept flag: every scored doc
+    * with `keep = lm_score_per_tok ≥ the exact-rank threshold` for the
+    * top `keepPct`%. Ties at the threshold all survive (deterministic;
+    * ≥ keepPct% kept).
+    */
+  def flagged(docs: DataFrame, idCol: String, textCol: String,
+              targetPred: Column, keepPct: Int,
+              broadcastCounts: Boolean = true): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")
+    val scored = OpCache.cache(
+      score(docs, idCol, textCol, targetPred, broadcastCounts))
+    val thr = Quantiles.exactDiscreteAtRank(scored, col("lm_score_per_tok"),
+      nn => nn - (nn * keepPct) / 100 + 1)
+    scored.crossJoin(broadcast(thr.select(col("value").as("__thr"))))
+      .select(col("doc_id"), col("n_tok"), col("lm_score"),
+        col("lm_score_per_tok"),
+        (col("lm_score_per_tok") >= col("__thr")).as("keep"))
+  }
+
+  /** Survivors only — the filter the curation pipeline composes. */
+  def select(docs: DataFrame, idCol: String, textCol: String,
+             targetPred: Column, keepPct: Int): DataFrame =
+    flagged(docs, idCol, textCol, targetPred, keepPct)
+      .filter(col("keep"))
+      .select("doc_id", "n_tok", "lm_score", "lm_score_per_tok")
+}

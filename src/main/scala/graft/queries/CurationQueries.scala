@@ -565,4 +565,83 @@ object CurationQueries {
        |)
        |SELECT doc_id, source, n_tokens, src_cum FROM cum
        |WHERE src_cum - n_tokens < $MixtureQuota""".stripMargin
+
+  /** q149: CCNet-style n-gram LM quality filter — train a bigram
+    * stupid-backoff LM on the `lang='en'` stratum (the q136 target),
+    * score EVERY document in exact scaled-integer arithmetic, flag the
+    * top [[LmKeepPct]]% by per-token score (threshold ties survive).
+    * The oracle replays the whole composition: normalization, the
+    * (prev, w) bigram multiset, unigram/bigram counts, add-one
+    * smoothing, the three-way backoff CASE, every doc's BIGINT score
+    * sum, and the exact-rank cut. See [[graft.operators.NgramLm]].
+    */
+  val LmKeepPct = 60
+
+  def q149LmScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.flagged(Tables.documents(spark, dir),
+      "doc_id", "text", col("lang") === "en", LmKeepPct)
+
+  def q149Oracle: String = {
+    import graft.operators.NgramLm.{AlphaDen, AlphaNum, RScale, SScale}
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, $norm AS norm FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), docsf AS (
+       |  SELECT doc_id, lang = 'en' AS tgt, string_split(norm, ' ') AS t
+       |  FROM docs WHERE length(norm) > 0
+       |), grams AS (
+       |  SELECT doc_id, tgt,
+       |    unnest(list_transform(range(len(t)), i -> struct_pack(
+       |      w := t[i+1],
+       |      prev := CASE WHEN i > 0 THEN t[i] END))) AS g
+       |  FROM docsf
+       |), cnt AS (
+       |  SELECT doc_id, g.prev AS prev, g.w AS w,
+       |    CAST(COUNT(*) AS BIGINT) AS c, bool_or(tgt) AS tgt
+       |  FROM grams GROUP BY 1, 2, 3
+       |), uni AS (
+       |  SELECT w, CAST(SUM(c) AS BIGINT) AS c1 FROM cnt WHERE tgt GROUP BY 1
+       |), big AS (
+       |  SELECT prev, w, CAST(SUM(c) AS BIGINT) AS c2
+       |  FROM cnt WHERE tgt AND prev IS NOT NULL GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM uni
+       |), s AS (
+       |  SELECT c.doc_id, c.c,
+       |    CASE
+       |      WHEN c.prev IS NULL
+       |        THEN ($SScale * (COALESCE(u.c1, 0) + 1)) // (t.n + t.v)
+       |      WHEN b.c2 IS NOT NULL
+       |        THEN ($SScale * b.c2) // p.c1
+       |      ELSE ($AlphaNum * $SScale * (COALESCE(u.c1, 0) + 1))
+       |        // ($AlphaDen * (t.n + t.v))
+       |    END AS s
+       |  FROM cnt c
+       |  LEFT JOIN uni u ON u.w = c.w
+       |  LEFT JOIN uni p ON p.w = c.prev
+       |  LEFT JOIN big b ON b.prev = c.prev AND b.w = c.w
+       |  CROSS JOIN tot t
+       |), scored AS (
+       |  SELECT doc_id, CAST(SUM(c * s) AS BIGINT) AS lm_score,
+       |    CAST(SUM(c) AS BIGINT) AS n_tok
+       |  FROM s GROUP BY 1
+       |), spt AS (
+       |  SELECT doc_id, n_tok, lm_score,
+       |    (lm_score * $RScale) // n_tok AS lm_score_per_tok
+       |  FROM scored
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spt
+       |), cum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT lm_score_per_tok AS v, COUNT(*) AS c FROM spt GROUP BY 1)
+       |), thr AS (
+       |  SELECT MIN(v) AS t FROM cum CROSS JOIN nn
+       |  WHERE cum >= n - ((n * $LmKeepPct) // 100) + 1
+       |)
+       |SELECT doc_id, n_tok, lm_score, lm_score_per_tok,
+       |  lm_score_per_tok >= thr.t AS keep
+       |FROM spt CROSS JOIN thr""".stripMargin
+  }
 }
