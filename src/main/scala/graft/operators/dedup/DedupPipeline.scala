@@ -30,21 +30,7 @@ import org.apache.spark.sql.functions._
 object DedupPipeline {
   def dedupe(docs: DataFrame, idCol: String, textCol: String,
              threshold: Double): DataFrame = {
-    val cands = MinHashLSH.candidatePairs(docs, idCol, textCol)
-      .select(col("doc_a"), col("doc_b"))
-    // the SAME hashFrame plan MinHashLSH caches internally — calling it
-    // (not copying it) keeps the plan-identity that makes CacheManager
-    // dedupe the two cache() calls, so the md5 pipeline runs once
-    val hashes = graft.operators.OpCache.cache(
-      MinHashLSH.hashFrame(docs, idCol, textCol))
-    val verified = cands
-      .join(hashes.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), "doc_a")
-      .join(hashes.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("ha")) + size(col("hb")) - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
+    val verified = MinHashLSH.verifiedPairs(docs, idCol, textCol, threshold)
     val comp = DupClusters.components(verified, "doc_a", "doc_b")
     docs.select(col(idCol).as("doc_id"))
       .join(comp.select(col("node").as("doc_id"), col("cluster_rep")),

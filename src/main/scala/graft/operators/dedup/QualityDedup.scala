@@ -33,9 +33,23 @@ import graft.operators.TopK
   */
 object QualityDedup {
 
+  /** Candidate-generation routing: `banded = false` (default, q148's
+    * gated arm) uses the EXACT doc-frequency-capped shingle join
+    * ([[NGramJaccard.pairs]]) — full recall at threshold, cost driven by
+    * shingle co-occurrence; `banded = true` routes through MinHash-LSH
+    * banding + exact verify ([[MinHashLSH.verifiedPairs]], the
+    * [[DedupPipeline]] two-stage) — candidate cost O(docs × bands)
+    * regardless of shingle skew, recall bounded by banding (measured in
+    * QualityDedupSpec). The banded arm is the WIDE-corpus path: q148's
+    * 100× probe put the exact candidate stage at 63× (the steepest
+    * round-16 scaling), and banding is what caps it. Everything past
+    * pair generation is shared.
+    */
   def keepBest(docs: DataFrame, idCol: String, textCol: String,
-               threshold: Double): DataFrame = {
-    val pairs = NGramJaccard.pairs(docs, idCol, textCol, threshold)
+               threshold: Double, banded: Boolean = false): DataFrame = {
+    val pairs =
+      if (banded) MinHashLSH.verifiedPairs(docs, idCol, textCol, threshold)
+      else NGramJaccard.pairs(docs, idCol, textCol, threshold)
     val comp = DupClusters.components(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", idCol)
     // cached: the quality projection is three full-text regex passes and

@@ -229,6 +229,36 @@ object MinHashLSH {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x))
           .cast("double") / NumHashes).as("est_jaccard"))
   }
+
+  /** Banded candidates + exact n-gram Jaccard VERIFY on the candidates
+    * only — the two-stage near-dup pair generator [[DedupPipeline]] runs
+    * (and [[QualityDedup]]'s banded arm reuses): the expensive exact
+    * check pays only for pairs the LSH surfaced, so pair cost is
+    * O(docs × bands), never all-pairs. Banding recall bounds recall
+    * (measured in DedupSpec / QualityDedupSpec); a pair is emitted iff
+    * the LSH surfaces it AND its exact shingle Jaccard ≥ `threshold`.
+    *
+    * The verify step reuses the SAME hash-frame plan [[candidatePairs]]
+    * caches internally, so the md5 shingle pipeline still runs once
+    * (Spark's CacheManager deduplicates plan-identical cache() calls).
+    *
+    * @return verified (doc_a, doc_b) pairs, doc_a < doc_b
+    */
+  def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double): DataFrame = {
+    val cands = candidatePairs(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val hashes = graft.operators.OpCache.cache(
+      hashFrame(docs, idCol, textCol))
+    cands
+      .join(hashes.select(col("doc_id").as("doc_a"), col("hashes").as("ha")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("hashes").as("hb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
 }
 
 /** SimHash 32-bit signatures over shingle hashes: bit b is set when the

@@ -89,6 +89,16 @@ object IvfIncremental {
     df.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorFns.norm(col(vecCol)).as("nrm"))
 
+  /** Assign a delta against FROZEN trained centroids without touching any
+    * index state — the pure per-vector function both [[append]] and the
+    * streaming maintenance sink
+    * ([[graft.streaming.IvfStreamSink]]) ride: broadcast-centroid codegen
+    * probe, zero shuffle on either side.
+    */
+  def assignDelta(delta: DataFrame, trained: Array[Array[Long]],
+                  idCol: String, vecCol: String): DataFrame =
+    IvfAnn.assignViaProbe(project(delta, idCol, vecCol), trained)
+
   /** Persist the assignment table PARTITIONED BY cluster_id — the
     * warehouse layout the IVF design argument rests on: a probe that
     * touches `probes` cells reads `probes` directories and Spark's

@@ -1,0 +1,59 @@
+package graft.pipelines
+
+/** SPI for environment-provided embedding models — the inference-side
+  * sibling of [[graft.operators.multimodal.BlobDecoder]]: this container
+  * ships no model, so [[EmbeddingPipeline]]'s embed stage is an honestly
+  * deterministic stub lookup; an environment that HAS one (an ONNX/JNI
+  * encoder jar, a co-deployed inference runtime) registers an `Embedder`
+  * through `META-INF/services/graft.pipelines.Embedder` and the chain
+  * upgrades with no pipeline code change. Discovery is PER JVM via
+  * `java.util.ServiceLoader` — the model jar rides the executor
+  * classpath like an ImageIO plugin, so a 1000-executor deployment picks
+  * it up on every JVM with zero driver-side mutable state to ship;
+  * executors re-resolve by `model` key, never deserialize an instance.
+  *
+  * The inference contract is the public batch shape: the pipeline calls
+  * [[Embedder.embed]] once per ≤[[Embedders.BatchSize]] group of chunk
+  * texts inside `mapPartitions`, so a real model amortizes
+  * tokenize/forward cost across the batch exactly as production
+  * inference does (GPU feeders want large dense batches; the group size
+  * is the knob).
+  */
+trait Embedder {
+
+  /** The model key this embedder serves — [[EmbeddingPipeline.run]]
+    * routes by it; unregistered keys keep the deterministic stub.
+    */
+  def model: String
+
+  /** Output dimensionality; checked loudly against the pipeline's
+    * configured dims before any inference runs.
+    */
+  def dims: Int
+
+  /** Batch inference: one `dims`-length vector per input text, in input
+    * order. Called with ≤ [[Embedders.BatchSize]] texts per invocation.
+    */
+  def embed(texts: Seq[String]): Seq[Array[Float]]
+}
+
+object Embedders {
+
+  /** Texts per [[Embedder.embed]] call — the micro-batch granularity of
+    * partition-side inference.
+    */
+  val BatchSize = 64
+
+  /** Per-JVM embedder table, resolved once per executor from the
+    * classpath (the [[graft.operators.multimodal.BlobDecoders]] loader
+    * discipline: thread-context loader first so `--jars`-shipped model
+    * jars are visible when graft rides the system classpath).
+    */
+  lazy val byModel: Map[String, Embedder] = {
+    import scala.jdk.CollectionConverters._
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[Embedder].getClassLoader)
+    java.util.ServiceLoader.load(classOf[Embedder], loader)
+      .iterator().asScala.map(e => e.model -> e).toMap
+  }
+}

@@ -67,30 +67,81 @@ object EmbeddingPipeline {
     * the require turns that divergence into a clear failure. Production
     * leaves it false and takes the two-level rung (q133's gated path).
     */
+  /** The default routing key: no [[Embedder]] ships in this container,
+    * so the default takes the deterministic stub join. An environment
+    * with a registered model passes its key and the chain upgrades with
+    * no pipeline code change (EmbedderSpiSpec drives both paths).
+    */
+  val StubModel = "stub"
+
   def run(docs: DataFrame, embeddings: DataFrame, idCol: String,
           textCol: String, chunkTokens: Int, overlap: Int,
           threshold: Double, trainIters: Int, dims: Int,
-          oracleFlatLadder: Boolean = false): DataFrame = {
+          oracleFlatLadder: Boolean = false,
+          model: String = StubModel): DataFrame = {
+    val registered = Embedders.byModel.get(model)
+    registered.foreach(e => require(e.dims == dims,
+      s"embedder '$model' emits ${e.dims}-dim vectors, pipeline wants $dims"))
+    // the SPI path must ship the chunk TEXT to the inference stage; the
+    // stub path ships only the 32-char fingerprint — don't widen its
+    // shuffle for a capability it doesn't use
+    val textCols =
+      if (registered.isDefined) Seq(col("c.chunk_text").as("chunk_text"))
+      else Seq.empty
     val chunks = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol),
         explode(TextFns.chunked(col(textCol), chunkTokens, overlap)).as("c"))
-      .select(
+      .select(Seq(
         (col(idCol) * ChunkIdStride + col("c.chunk_no")).as("chunk_id"),
-        md5(col("c.chunk_text").cast("binary")).as("fp"))
+        md5(col("c.chunk_text").cast("binary")).as("fp")) ++ textCols: _*)
     // exact chunk dedup: min-id survivor + dup count in one fingerprint
-    // aggregate (map-side partial; never a window sort)
-    val surv = chunks.groupBy(col("fp"))
-      .agg(min(col("chunk_id")).as("chunk_id"), count(lit(1)).as("n_dups"))
-    // bounded scalar (one aggregate row): the stub keyspace size
-    val nVecs = embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1
-    val withVec = graft.operators.OpCache.cache(
-      surv
-        .withColumn("vec_id",
-          conv(substring(md5(col("fp").cast("binary")), 1, 8), 16, 10)
-            .cast("long") % nVecs)
-        .join(broadcast(embeddings.select(col("vec_id"), col("embedding"))),
-          Seq("vec_id")))
+    // aggregate (map-side partial; never a window sort). The fingerprint
+    // determines the text, so any_value is exact on the SPI path.
+    val survAggs = Seq(min(col("chunk_id")).as("chunk_id"),
+      count(lit(1)).as("n_dups")) ++
+      (if (registered.isDefined)
+        Seq(first(col("chunk_text")).as("chunk_text")) else Seq.empty)
+    val surv = chunks.groupBy(col("fp")).agg(survAggs.head, survAggs.tail: _*)
+    val withVec = graft.operators.OpCache.cache(registered match {
+      case Some(_) =>
+        // partition-side BATCH inference: resolve the embedder PER JVM by
+        // key (never serialize the instance — the BlobDecoders loader
+        // discipline), one embed() call per ≤BatchSize texts
+        val sp = docs.sparkSession
+        import sp.implicits._
+        surv.select(col("chunk_id"), col("n_dups"), col("chunk_text"))
+          .as[(Long, Long, String)]
+          .mapPartitions { it =>
+            lazy val emb = Embedders.byModel.getOrElse(model,
+              throw new IllegalStateException(
+                s"embedder '$model' not registered on this executor JVM"))
+            it.grouped(Embedders.BatchSize).flatMap { g =>
+              val vecs = emb.embed(g.map(_._3))
+              require(vecs.length == g.length,
+                s"embedder '$model' returned ${vecs.length} vectors for ${g.length} texts")
+              g.iterator.zip(vecs.iterator).map { case ((id, nd, _), v) =>
+                (id, nd, v)
+              }
+            }
+          }
+          .toDF("chunk_id", "n_dups", "embedding")
+          // no stub lookup happened; the id column stays honest
+          .withColumn("vec_id", lit(null).cast("long"))
+          .select(col("chunk_id"), col("n_dups"), col("vec_id"),
+            col("embedding"))
+      case None =>
+        // bounded scalar (one aggregate row): the stub keyspace size
+        val nVecs = embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1
+        surv
+          .withColumn("vec_id",
+            conv(substring(md5(col("fp").cast("binary")), 1, 8), 16, 10)
+              .cast("long") % nVecs)
+          .join(broadcast(embeddings.select(col("vec_id"), col("embedding"))),
+            Seq("vec_id"))
+          .select(col("chunk_id"), col("n_dups"), col("vec_id"),
+            col("embedding"))
+    })
     // semantic dedup consumes the corpus several times (count, train,
     // assign, pair-scan); the cache above keeps the chunk/dedup lineage
     // single-run

@@ -301,14 +301,21 @@ object DedupQueries {
     graft.operators.dedup.DedupPipeline.dedupe(
       Tables.documents(spark, dir), "doc_id", "text", DedupThreshold)
 
-  def q65Oracle: String = {
+  /** The banded two-stage closure as a CTE chain (after [[ShingleCtes]]'
+    * `hl`): minhash signatures → band buckets (size-guarded) → candidate
+    * pairs → exact-Jaccard verify at `threshold` → recursive transitive
+    * closure, ending in `comp(doc_id, cluster_rep)`. Replays
+    * [[MinHashLSH.verifiedPairs]] + [[DupClusters]] — shared by q65 (the
+    * survivor pipeline) and q153 (the banded quality-dedup arm), so the
+    * banded arm's replay is definitionally the pipeline gate's.
+    */
+  private def bandedCompCtes(threshold: Double): String = {
     val sigTerms = MinHashLSH.As.zip(MinHashLSH.Bs).map { case (a, b) =>
       s"list_min(list_transform(hashes, h -> ($a * h + $b) % 2147483647))"
     }.mkString(",\n    ")
     val r = MinHashLSH.RowsPerBand
     val bandValues = (0 until MinHashLSH.Bands).map(b => s"($b)").mkString(", ")
-    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |sig AS (
+    s"""sig AS (
        |  SELECT doc_id, [$sigTerms] AS sig FROM hl
        |), bands AS (
        |  SELECT doc_id, band_id, band_key FROM (
@@ -330,7 +337,7 @@ object DedupQueries {
        |    FROM cands c
        |    JOIN hl ha ON c.doc_a = ha.doc_id
        |    JOIN hl hb ON c.doc_b = hb.doc_id
-       |  ) WHERE jaccard >= $DedupThreshold
+       |  ) WHERE jaccard >= $threshold
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM verified
        |  UNION SELECT doc_b, doc_a FROM verified
@@ -340,12 +347,48 @@ object DedupQueries {
        |  SELECT rc.node, e.dst FROM reach rc JOIN edges e ON rc.rr = e.src
        |), comp AS (
        |  SELECT node AS doc_id, MIN(rr) AS cluster_rep FROM reach GROUP BY node
-       |)
+       |)""".stripMargin
+  }
+
+  def q65Oracle: String =
+    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${bandedCompCtes(DedupThreshold)}
        |SELECT d.doc_id,
        |  COALESCE(comp.cluster_rep, d.doc_id) AS survivor_doc_id,
        |  d.doc_id = COALESCE(comp.cluster_rep, d.doc_id) AS is_survivor
        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id""".stripMargin
-  }
+
+  /** q153: the BANDED arm of quality-aware cluster dedup
+    * ([[graft.operators.dedup.QualityDedup.keepBest]] with
+    * `banded = true` — the wide-corpus routing the q148 100× probe
+    * motivates): candidate pairs come from MinHash-LSH banding + exact
+    * verify (q65's two-stage) instead of the exact df-capped shingle
+    * join; clusters, quality, and the per-cluster argmax are q148's.
+    * Same threshold as q148 so the two arms differ ONLY in candidate
+    * recall (measured in QualityDedupSpec). The oracle splices q65's
+    * banded-closure replay into q148's quality/argmax readout.
+    */
+  def q153QualityDedupBanded(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.QualityDedup.keepBest(
+      Tables.documents(spark, dir), "doc_id", "text", threshold = 0.1,
+      banded = true)
+
+  def q153Oracle: String =
+    s"""${ShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${bandedCompCtes(0.1)},
+       |$QualityCtes,
+       |csz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_rep, z.cluster_size, q.quality_score,
+       |  (row_number() OVER (PARTITION BY c.cluster_rep
+       |     ORDER BY q.quality_score DESC, c.doc_id ASC)) = 1 AS kept
+       |FROM comp c
+       |JOIN csz z USING (cluster_rep)
+       |JOIN qual q USING (doc_id)
+       |UNION ALL
+       |SELECT q.doc_id, q.doc_id AS cluster_rep, CAST(1 AS BIGINT) AS cluster_size,
+       |  q.quality_score, TRUE AS kept
+       |FROM qual q LEFT JOIN comp c USING (doc_id)
+       |WHERE c.doc_id IS NULL""".stripMargin
 
   def q23Simhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.signatures(Tables.documents(spark, dir), "doc_id", "text")

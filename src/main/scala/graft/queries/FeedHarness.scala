@@ -76,6 +76,30 @@ object FeedHarness {
     */
   val StatePartitions = 8
 
+  /** Run a `foreachBatch` SINK over the batches through a MemoryStream —
+    * the drive for gates whose operator maintains EXTERNAL state (parquet
+    * marts/indexes) instead of streaming-operator state: one
+    * `processAllAvailable` per batch, so `f` sees batchIds 0..n-1 in
+    * order, exactly one micro-batch each. No stateful streaming operators
+    * are involved, so the state-partition pinning of [[drive]] does not
+    * apply.
+    */
+  def driveForeach[T <: Product : Encoder](spark: SparkSession,
+                                           batches: Seq[Seq[T]])
+                                          (f: (DataFrame, Long) => Unit): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[T]
+    val q = stream.toDS().toDF().writeStream
+      .foreachBatch((b: DataFrame, id: Long) => f(b, id))
+      .start()
+    try {
+      batches.foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   def drive[T <: Product : Encoder](spark: SparkSession, name: String,
                                     batches: Seq[Seq[T]], outputMode: String)
                                    (build: Dataset[T] => DataFrame): DataFrame = {

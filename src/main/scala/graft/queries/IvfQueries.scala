@@ -112,6 +112,64 @@ object IvfQueries {
   def q126Oracle: String =
     ivfSearchOracleSql(s"(SELECT * FROM embeddings WHERE vec_id % $DeltaMod <> 0)")
 
+  /** Feed event for the q152 streaming drive (bounded: the embeddings
+    * table is dim-table-sized at every SF — ≤2000 rows).
+    */
+  final case class VecEvent(vec_id: Long, embedding: Seq[Float])
+
+  private val q152Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** How the q152 stream batches the corpus: 3 deterministic micro-batches
+    * by vec_id % 3 — every vector arrives exactly once, in a batching the
+    * oracle never sees (the monoid contract: final index ≡ one-pass batch
+    * assignment of the union).
+    */
+  val StreamBatches = 3
+
+  /** q152: STREAMING IVF maintenance
+    * ([[graft.streaming.IvfStreamSink]] — the streaming twin of q126, the
+    * q101 sink discipline applied to the vector index): centroids train
+    * once on the q126 base stratum and FREEZE; the whole corpus then
+    * arrives through a real MemoryStream in 3 micro-batches, each
+    * foreachBatch assigning its delta with the frozen centroids and
+    * publishing an O(delta) `delta_batch=<id>` partition via staging →
+    * rename. The LAST batch is then re-applied directly (foreachBatch's
+    * retry surface) and must no-op on the existence marker. Gated result:
+    * the index read back from DISK, searched exactly like q126 — and the
+    * oracle IS q126's replay (train-on-base → assign-union → probe →
+    * re-rank), because frozen centroids make any batching of the
+    * assignment equal to the single batch pass.
+    */
+  def q152IvfStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.similarity.IvfIncremental
+    import graft.streaming.IvfStreamSink
+    val inv = q152Invocation.incrementAndGet()
+    val target = s"${PipelineQueries.scratch}/q152_$inv/ivf"
+    val emb = Tables.embeddings(spark, dir)
+    // frozen artifacts from the base stratum; .assigned is never consumed
+    // (lazy) — the stream is the only writer of assignment state here
+    val idx = IvfIncremental.build(
+      emb.filter(col("vec_id") % DeltaMod =!= 0), "vec_id", "embedding",
+      NCentroids, TrainIters, SimilarityQueries.Dims)
+    val sink = IvfStreamSink.appendBatch(target, idx.trained,
+      "vec_id", "embedding") _
+    val batches = FeedHarness.batchesOf(
+      emb.select((col("vec_id") % StreamBatches).as("b"),
+        col("vec_id"), col("embedding")), "b")(r =>
+      VecEvent(r.getLong(1), r.getSeq[Float](2)))
+    FeedHarness.driveForeach(spark, batches)(sink)
+    // retry of the LAST applied batch id — must no-op on the marker
+    sink(emb.filter(col("vec_id") % StreamBatches === StreamBatches - 1)
+      .select(col("vec_id"), col("embedding")), (StreamBatches - 1).toLong)
+    IvfIncremental.search(
+      idx.copy(assigned = IvfStreamSink.readAssigned(spark, target)),
+      _ < 10, SimilarityQueries.K, Probes)
+  }
+
+  def q152Oracle: String = q126Oracle
+
   val SemThreshold = 0.4 // the corpus's near-dup boundary (q31's threshold)
 
   /** q121: SemDeDup-style SEMANTIC dedup

@@ -749,6 +749,162 @@ object TextQueries {
        |  s AS tokens
        |FROM w$BpeMergeSteps""".stripMargin
 
+  /** q150's round/batch shape: 2 rounds × 4 merges ≡ q137's 8-merge
+    * budget, so the two trainers are directly comparable; the greedy
+    * selector scans the top 4·4 = 16 candidate pairs per round
+    * ([[graft.operators.BpeTrain.CandidateFactor]]).
+    */
+  val BpeBatchRounds = 2
+  val BpeBatchSize = 4
+
+  /** q150: BATCHED BPE training
+    * ([[graft.operators.BpeTrain.mergesBatched]] — the production answer
+    * to the sequential trainer's 30k-jobs driver-latency wall): per round
+    * the 4 highest-count pairwise SYMBOL-DISJOINT merges apply at once.
+    * The oracle replays both rounds completely — pair counts, the ranked
+    * 16-pair candidate window, all four greedy disjoint selections (each
+    * a NOT-EXISTS-guarded rank-min), and the four merge folds — so the
+    * batched semantics (round-start counts, within-window selection) are
+    * pinned end-to-end, not just spot-checked.
+    */
+  def q150BpeBatched(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.mergesBatched(Tables.documents(spark, dir),
+      "text", BpeBatchRounds, BpeBatchSize)
+
+  def q150Oracle: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val window = graft.operators.BpeTrain.CandidateFactor * BpeBatchSize
+    // fold of one selected merge s over the symbol string w.s — identity
+    // when the selection CTE is empty (LEFT JOIN ON TRUE, s.l NULL)
+    def foldStage(k: Int, j: Int): String = {
+      val prev = if (j == 1) s"w${k - 1}e" else s"w${k}_${j - 1}"
+      s"""w${k}_$j AS (
+         |  SELECT CASE WHEN s.l IS NULL THEN w.s
+         |    ELSE list_reduce(string_split(w.s, '|'), (acc, x) -> CASE
+         |      WHEN (acc = s.l OR substr(acc, length(acc) - length(s.l)) = '|' || s.l)
+         |        AND x = s.r
+         |      THEN substr(acc, 1, length(acc) - length(s.l)) || s.l || s.r
+         |      ELSE acc || '|' || x END) END AS s, w.f
+         |  FROM $prev w LEFT JOIN s${k}_$j s ON TRUE
+         |)""".stripMargin
+    }
+    // greedy selection j within round k: rank-min candidate whose symbols
+    // are disjoint from every earlier selection this round
+    def selStage(k: Int, j: Int): String = {
+      val guards = (1 until j).map(i =>
+        s"AND NOT EXISTS (SELECT 1 FROM s${k}_$i s WHERE c.l IN (s.l, s.r) OR c.r IN (s.l, s.r))")
+        .mkString(" ")
+      s"""s${k}_$j AS (
+         |  SELECT * FROM c$k c WHERE TRUE $guards ORDER BY rk LIMIT 1
+         |)""".stripMargin
+    }
+    val rounds = (1 to BpeBatchRounds).map { k =>
+      val src = if (k == 1) "w0" else s"w${k - 1}_$BpeBatchSize"
+      val cand =
+        s"""p$k AS (
+           |  SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(CASE WHEN len(a) >= 2
+           |      THEN list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
+           |      ELSE CAST([] AS VARCHAR[]) END) AS pair, f
+           |    FROM (SELECT string_split(s, '|') AS a, f FROM $src))
+           |  GROUP BY 1
+           |), c$k AS (
+           |  SELECT * FROM (
+           |    SELECT pair, cnt, string_split(pair, ' ')[1] AS l,
+           |      string_split(pair, ' ')[2] AS r,
+           |      row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+           |    FROM p$k) t
+           |  WHERE rk <= $window
+           |), w${k - 1}e AS (SELECT s, f FROM $src)""".stripMargin
+      val sels = (1 to BpeBatchSize).map(j => selStage(k, j)).mkString(", ")
+      val folds = (1 to BpeBatchSize).map(j => foldStage(k, j)).mkString(", ")
+      s"$cand, $sels, $folds"
+    }.mkString(", ")
+    val sel = (for (k <- 1 to BpeBatchRounds; j <- 1 to BpeBatchSize) yield
+      s"SELECT $k AS round, $j AS sel, pair, replace(pair, ' ', '') AS merged, " +
+        s"cnt AS pair_count FROM s${k}_$j").mkString("\nUNION ALL\n")
+    s"""WITH vocab AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split($norm, ' ')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY 1
+       |), w0 AS (
+       |  SELECT array_to_string(regexp_extract_all(word, '.') || ['</w>'], '|') AS s, f
+       |  FROM vocab
+       |), $rounds
+       |$sel""".stripMargin
+  }
+
+  /** q151's merge budget: 6 byte-level rounds — enough to chain merged
+    * hex symbols ("20" + "74" → "2074" → longer) past the 2-hex alphabet.
+    */
+  val ByteMergeSteps = 6
+
+  /** q151: BYTE-LEVEL pre-tokenized BPE — training + encoding
+    * ([[graft.operators.BpeTrain.byteMerges]] /
+    * [[graft.operators.BpeTrain.byteEncodeVocab]], the GPT-2/Llama-class
+    * tokenizer grain): the pinned lookahead-free GPT-2 regex classes
+    * pre-tokenize the RAW text, each pre-token becomes its UTF-8 bytes as
+    * 2-hex-digit symbols, and 6 merges train + apply at pre-token-vocab
+    * grain. Gated output is the full tokenized pre-token vocabulary
+    * (pretok, f, n_tokens, tokens); the oracle replays pre-tokenization,
+    * the hex byte split, and all 6 training rounds + folds in DuckDB.
+    */
+  def q151BpeBytes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val learned = graft.operators.BpeTrain
+      .byteMerges(docs, "text", ByteMergeSteps)
+      .orderBy(col("step")).collect()
+      .map { r =>
+        val Array(l, rt) = r.getString(1).split(" ", 2)
+        (l, rt)
+      }.toSeq
+    graft.operators.BpeTrain.byteEncodeVocab(docs, "text", learned)
+  }
+
+  def q151Oracle: String = {
+    // standard-SQL quoting only ('' for the contraction quote): DuckDB
+    // literals do not process backslash escapes
+    val pat = graft.operators.BpeTrain.BytePreTokPattern.replace("'", "''")
+    val stages = (1 to ByteMergeSteps).map { k =>
+      val p = k - 1
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(a) >= 2
+         |      THEN list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS pair, f
+         |    FROM (SELECT string_split(s, '|') AS a, f FROM b$p))
+         |  GROUP BY 1
+         |), m$k AS (
+         |  SELECT pair, cnt,
+         |    string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r
+         |  FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1
+         |), b$k AS (
+         |  SELECT w.pretok, list_reduce(string_split(w.s, '|'), (acc, x) -> CASE
+         |    WHEN (acc = m.l OR substr(acc, length(acc) - length(m.l)) = '|' || m.l)
+         |      AND x = m.r
+         |    THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r
+         |    ELSE acc || '|' || x END) AS s, f
+         |  FROM b$p w CROSS JOIN m$k m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pvocab AS (
+       |  SELECT pretok, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(text, '$pat')) AS pretok
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1
+       |), b0 AS (
+       |  SELECT pretok,
+       |    array_to_string(regexp_extract_all(lower(hex(encode(pretok))), '..'), '|') AS s,
+       |    f
+       |  FROM pvocab
+       |), $stages
+       |SELECT pretok, f, CAST(len(string_split(s, '|')) AS INTEGER) AS n_tokens,
+       |  s AS tokens
+       |FROM b$ByteMergeSteps""".stripMargin
+  }
+
   def q84Oracle: String =
     """WITH raw AS (
       |  SELECT doc_id,

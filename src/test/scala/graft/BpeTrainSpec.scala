@@ -126,4 +126,106 @@ class BpeTrainSpec extends SparkSpec {
     assert(vocabBudget == docBudget && vocabBudget > 0L,
       s"vocab-grain budget $vocabBudget != doc-grain budget $docBudget")
   }
+
+  // ----------------------- batched trainer (q150) -----------------------
+
+  private def trainBatched(texts: Seq[String], rounds: Int, b: Int) =
+    BpeTrain.mergesBatched(texts.toDF("text"), "text", rounds, b)
+      .orderBy("round", "sel").collect()
+      .map(r => (r.getString(2), r.getLong(4))) // (pair, pair_count)
+
+  test("batched B=1 is definitionally the sequential trainer") {
+    val corpus = Seq("low low low lower lower widest newest newest")
+    val seq4 = train(corpus, 4).map(t => (t._2, t._4)).toSeq
+    assert(trainBatched(corpus, 4, 1).toSeq == seq4)
+  }
+
+  test("batched == sequential when the top-B pairs are symbol-disjoint") {
+    // (a,b) count 100 and (c,d) count 90 share no symbol; the third
+    // symbol differs per word so no marker/suffix pair reaches 90, and
+    // the pairs merging (a,b) creates ((ab,x) 60, (ab,y) 40) stay below
+    // (c,d) — the regime where one batched round of 2 IS two sequential
+    // steps, stale counts included
+    val corpus = Seq(
+      Seq.fill(60)("abx").mkString(" "), Seq.fill(40)("aby").mkString(" "),
+      Seq.fill(50)("cdp").mkString(" "), Seq.fill(40)("cdq").mkString(" "))
+    val seq2 = train(corpus, 2).map(t => (t._2, t._4)).toSeq
+    assert(seq2 == Seq(("a b", 100L), ("c d", 90L)))
+    assert(trainBatched(corpus, 1, 2).toSeq == seq2)
+  }
+
+  test("batched greedy skips symbol-conflicting candidates") {
+    // only pairs are (a,b) and (b,</w>), tied at 20 -> rank order
+    // "a b" < "b </w>"; the second conflicts on b, so a round of B=2
+    // learns just one merge
+    val out = trainBatched(Seq(Seq.fill(20)("ab").mkString(" ")), 1, 2)
+    assert(out.toSeq == Seq(("a b", 20L)))
+  }
+
+  test("batched pair_count is the round-start count") {
+    // batch {(a,b),(c,d)}: (c,d)'s recorded count must be the pre-round
+    // 90 even though 60+40 (ab,*) pairs exist after (a,b) applies
+    val corpus = Seq(
+      Seq.fill(60)("abx").mkString(" "), Seq.fill(40)("aby").mkString(" "),
+      Seq.fill(50)("cdp").mkString(" "), Seq.fill(40)("cdq").mkString(" "))
+    val out = BpeTrain.mergesBatched(corpus.toDF("text"), "text", 1, 2)
+      .orderBy("round", "sel").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 1), (1, 2)))
+    assert(out(1).getString(2) == "c d" && out(1).getLong(4) == 90L)
+  }
+
+  test("batched guards") {
+    intercept[IllegalArgumentException](
+      BpeTrain.mergesBatched(Seq("x").toDF("text"), "text", 0, 2))
+    intercept[IllegalArgumentException](
+      BpeTrain.mergesBatched(Seq("x").toDF("text"), "text", 2, 0))
+  }
+
+  // ---------------------- byte-level trainer (q151) ----------------------
+
+  test("byte pre-tokenizer splits on the pinned GPT-2 classes") {
+    // contraction arm, space-prefixed letter run, punct run (the hyphen
+    // alone — letters restart a new arm), digit run
+    val out = BpeTrain.byteEncodeVocab(
+        Seq("it's low-cost 123").toDF("text"), "text", Seq(("61", "61")))
+      .select("pretok").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq(" 123", " low", "'s", "-", "cost", "it").sorted)
+  }
+
+  test("byteMerges learns hex-pair merges weighted by pre-token frequency") {
+    // "aa aa": pre-tokens "aa" and " aa" -> (61,61) occurs in both (2)
+    // beats (20,61) (1)
+    val out = BpeTrain.byteMerges(Seq("aa aa").toDF("text"), "text", 1)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(1) == "61 61" && r.getString(2) == "6161" &&
+      r.getLong(3) == 2L)
+  }
+
+  test("byte tokens reconcatenate to the pre-token's UTF-8 hex") {
+    val docs = Seq("it's low-cost low lower 123").toDF("text")
+    val learned = BpeTrain.byteMerges(docs, "text", 4)
+      .orderBy("step").collect()
+      .map { r => val Array(l, rt) = r.getString(1).split(" ", 2); (l, rt) }.toSeq
+    BpeTrain.byteEncodeVocab(docs, "text", learned).collect().foreach { r =>
+      val hexOf = r.getString(0).getBytes("UTF-8").map("%02x".format(_)).mkString
+      assert(r.getString(3).split("\\|").mkString == hexOf)
+      assert(r.getString(3).split("\\|").length == r.getInt(2))
+    }
+  }
+
+  test("byte-grain corpus token budget: doc sums equal vocab f x n_tokens") {
+    // the q140-style accounting identity at BYTE grain, on real docs
+    val docs = Tables.documents(spark, sf("0.001"))
+    val merges = BpeTrain.byteMerges(docs, "text", 4)
+      .orderBy("step").collect()
+      .map { r => val Array(l, rt) = r.getString(1).split(" ", 2); (l, rt) }.toSeq
+    val vocabBudget = BpeTrain.byteEncodeVocab(docs, "text", merges)
+      .selectExpr("CAST(sum(f * n_tokens) AS LONG) AS b").collect()(0).getLong(0)
+    val docBudget = BpeTrain.byteDocTokenCounts(docs, "doc_id", "text", merges)
+      .selectExpr("CAST(sum(doc_tokens) AS LONG) AS b").collect()(0).getLong(0)
+    assert(vocabBudget == docBudget && vocabBudget > 0L,
+      s"byte vocab-grain budget $vocabBudget != doc-grain budget $docBudget")
+  }
 }
