@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.dedup.{IncrementalSpanDedup, SpanDedup}
+import graft.queries.DedupQueries
 
 /** Contracts of the incremental span-dedup state machine (q131's operator)
   * beyond the oracle gate's convergence check:
@@ -49,9 +50,10 @@ class IncrementalSpanDedupSpec extends SparkSpec {
   test("the re-clean path fires on the q131 day split") {
     val docs = Tables.documents(spark, sf("0.001"))
     val root = scratch("audit")
-    val stats = (0 to 2).map { day =>
+    val stats = (0 until DedupQueries.SpanDays).map { day =>
       IncrementalSpanDedup.append(spark, root,
-        docs.filter(pmod(col("doc_id"), lit(3)) === day), "doc_id", "text", 5)
+        docs.filter(pmod(col("doc_id"), lit(DedupQueries.SpanDays)) === day),
+        "doc_id", "text", 5)
     }
     assert(stats.map(_.deltaDocs).sum ==
       docs.filter(col("doc_id").isNotNull && col("text").isNotNull &&
@@ -62,6 +64,34 @@ class IncrementalSpanDedupSpec extends SparkSpec {
       s"no hash crossed the >=2 threshold after day 0: $stats")
     assert(stats.tail.map(_.recleanedOldDocs).sum > 0,
       s"no old doc was re-cleaned by a later day: $stats")
+  }
+
+  test("the q131 split is non-vacuous at every shipped SF (data-level audit)") {
+    // the full state machine at gate scale is audited above; across SFs a
+    // pure-DataFrame replay of the day-boundary condition suffices: some
+    // span hash must be unique (or absent) in day 0 yet duplicated by the
+    // union, with a day-0 doc carrying it — exactly the crossing re-clean
+    // precondition. A testdata regeneration that lands every duplicated
+    // span within one day would make the convergence gate vacuous; this
+    // fails first, with a readable message.
+    for (sfName <- Seq("0.001", "0.01", "0.1")) {
+      val docs = Tables.documents(spark, sf(sfName))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFns.normalizeText(col("text")).as("n"))
+        .filter(length(col("n")) > 0)
+      val occ = docs.select(col("doc_id"),
+        explode(graft.operators.dedup.TextShingles.shingleHashesAll(col("n"), 5))
+          .as("h"),
+        pmod(col("doc_id"), lit(DedupQueries.SpanDays)).as("day"))
+      val byDay = occ.groupBy(col("h"))
+        .agg(sum(when(col("day") === 0, 1L).otherwise(0L)).as("c0"),
+          count(lit(1)).as("ct"))
+      val crossing = byDay.filter(col("c0") < 2 && col("ct") >= 2 &&
+        col("c0") > 0) // day-0 doc carries it AND a later day duplicates it
+      val n = crossing.count()
+      assert(n > 0, s"sf$sfName: no span hash crosses the q131 day boundary")
+    }
   }
 
   test("count-segment compaction is result-invariant mid-stream") {
