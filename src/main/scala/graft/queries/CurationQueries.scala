@@ -644,4 +644,74 @@ object CurationQueries {
        |  lm_score_per_tok >= thr.t AS keep
        |FROM spt CROSS JOIN thr""".stripMargin
   }
+
+  /** q155: per-SOURCE token accounting at BYTE grain — q141's budget table
+    * under the q151 byte-level tokenizer, plus the COMPRESSION ratio
+    * (bytes per token) production tokenizer evaluations report: byte-level
+    * budgets are what GPT-2/Llama-class pipelines actually meter, and the
+    * ratio is the per-source signal for tokenizer fit (web boilerplate
+    * compresses differently from prose). Per source: docs-with-tokens
+    * count, total UTF-8 text bytes of those docs, total exact byte-BPE
+    * tokens, token share of the corpus budget, and bytes_per_token — the
+    * two ratios each ONE double division of exact BIGINTs (≤ 2^53 —
+    * correctly rounded, engine-reproducible); the corpus total rides the
+    * 1-row broadcast cross-join. Scale shape = q141's: the doc-grain
+    * counts are the vocab-decoupled join, the rollup is dim-sized by the
+    * source domain, and the cached per-source aggregate feeds both the
+    * rollup and its grand total.
+    */
+  def q155ByteSourceBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val learned = graft.operators.BpeTrain
+      .byteMerges(docs, "text", TextQueries.ByteMergeSteps)
+      .orderBy(col("step")).collect()
+      .map { r =>
+        val Array(l, rt) = r.getString(1).split(" ", 2)
+        (l, rt)
+      }.toSeq
+    val perSource = graft.operators.OpCache.cache(graft.operators.BpeTrain
+      .byteDocTokenCounts(docs, "doc_id", "text", learned)
+      .join(docs.select(col("doc_id"), col("source"),
+        octet_length(col("text")).cast("long").as("__bytes")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__bytes")).as("src_bytes"),
+        sum(col("doc_tokens")).as("src_tokens")))
+    val total = perSource.agg(sum(col("src_tokens")).as("__total"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("src_tokens").cast("double") / col("__total").cast("double"))
+      .withColumn("bytes_per_token",
+        col("src_bytes").cast("double") / col("src_tokens").cast("double"))
+      .drop("__total")
+  }
+
+  def q155Oracle: String = {
+    val steps = TextQueries.ByteMergeSteps
+    s"""WITH ${TextQueries.byteEncodeCtes},
+       |enc AS (
+       |  SELECT pretok, CAST(len(string_split(s, '|')) AS BIGINT) AS n_tokens
+       |  FROM b$steps
+       |), docp AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '${TextQueries.bytePreTokDuck}')) AS pretok
+       |  FROM documents WHERE text IS NOT NULL
+       |), dt AS (
+       |  SELECT d.doc_id, CAST(SUM(e.n_tokens) AS BIGINT) AS doc_tokens
+       |  FROM docp d JOIN enc e USING (pretok)
+       |  GROUP BY 1
+       |), per_src AS (
+       |  SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(octet_length(encode(s.text))) AS BIGINT) AS src_bytes,
+       |    CAST(SUM(t.doc_tokens) AS BIGINT) AS src_tokens
+       |  FROM dt t JOIN documents s USING (doc_id)
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total FROM per_src
+       |)
+       |SELECT source, n_docs, src_bytes, src_tokens,
+       |  CAST(src_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+       |  CAST(src_bytes AS DOUBLE) / CAST(src_tokens AS DOUBLE) AS bytes_per_token
+       |FROM per_src CROSS JOIN tot""".stripMargin
+  }
 }

@@ -330,6 +330,65 @@ object PipelineQueries {
       |  AND p_partkey % 3 = 0
       |GROUP BY 1""".stripMargin
 
+  private val q154Invocation = new AtomicInteger(0)
+
+  /** q154: DSv2 AGGREGATE pushdown
+    * ([[graft.sources.dsv2.RawJsonSource]] via
+    * `SupportsPushDownAggregates` — the connector tier above q99's
+    * filter/pruning pushdown): the per-brand COUNT/SUM/MIN/MAX aggregate
+    * is PARTIALLY pushed into the source, which folds each raw file once
+    * and ships ONE partial row per (file, brand) — at warehouse scale a
+    * group-count-sized exchange instead of a row-count-sized one — while
+    * Spark plans the final merge. Same deterministic crawler-shaped JSONL
+    * generator as q99 (corrupt every ~101st line, skipped at source); no
+    * filter, because this source reports every filter as a residual and
+    * aggregation cannot run below a residual check. The DuckDB oracle
+    * replays the generator arithmetic; RawJsonSourceSpec pins that the
+    * pushdown actually FIRED (PushedAggregation in the scan node) and
+    * that declined shapes (filtered, double-sum) fall back engine-side
+    * with identical results.
+    */
+  def q154Dsv2Agg(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q154Invocation.incrementAndGet()
+    val base = s"$scratch/q154_$inv/raw"
+    val pk = col("p_partkey")
+    def s(c: Column): Column = c.cast("string")
+    val line = when(pk % 101 === 0, lit("{broken"))
+      .otherwise(concat(lit("{\"product_id\": "), s(pk),
+        lit(", \"price\": "), s((pk % 800 + 150) * 1000),
+        lit(", \"brand\": \"Brand "), s(pk % 50),
+        lit("\", \"active\": "), s(pk % 3 === 0), lit("}")))
+    Tables.part(spark, dir).select(line.as("value"))
+      .coalesce(4).write.mode("overwrite").text(base)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("product_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("brand",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("active",
+        org.apache.spark.sql.types.BooleanType)))
+    spark.read.format("graft.sources.dsv2.RawJsonSource")
+      .schema(schema).option("path", base).load()
+      .groupBy(col("brand"))
+      .agg(count(col("product_id")).as("n_rows"),
+        sum(col("price")).as("total_price"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+  }
+
+  def q154Oracle: String =
+    """SELECT 'Brand ' || CAST(p_partkey % 50 AS VARCHAR) AS brand,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM((p_partkey % 800 + 150) * 1000) AS BIGINT) AS total_price,
+      |  CAST(MIN((p_partkey % 800 + 150) * 1000) AS BIGINT) AS min_price,
+      |  CAST(MAX((p_partkey % 800 + 150) * 1000) AS BIGINT) AS max_price
+      |FROM part
+      |WHERE p_partkey % 101 <> 0
+      |GROUP BY 1""".stripMargin
+
   private val q101Invocation = new AtomicInteger(0)
 
   /** q101: the continuous incremental-agg SINK driven end-to-end through

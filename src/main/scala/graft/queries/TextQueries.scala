@@ -863,10 +863,21 @@ object TextQueries {
     graft.operators.BpeTrain.byteEncodeVocab(docs, "text", learned)
   }
 
-  def q151Oracle: String = {
-    // standard-SQL quoting only ('' for the contraction quote): DuckDB
-    // literals do not process backslash escapes
-    val pat = graft.operators.BpeTrain.BytePreTokPattern.replace("'", "''")
+  /** [[BytePreTokPattern]] as a DuckDB literal: standard-SQL quoting only
+    * ('' for the contraction quote) — DuckDB literals do not process
+    * backslash escapes.
+    */
+  private[queries] def bytePreTokDuck: String =
+    graft.operators.BpeTrain.BytePreTokPattern.replace("'", "''")
+
+  /** The WITH-body replaying q151's byte-level training with the PRE-TOKEN
+    * carried through every merge stage (pvocab, b0, all [[ByteMergeSteps]]
+    * unrolled rounds) — `b$ByteMergeSteps` holds (pretok, s, f). Shared by
+    * q151's tokenized-vocab readout and q155's per-source byte-grain
+    * accounting chain.
+    */
+  private[queries] def byteEncodeCtes: String = {
+    val pat = bytePreTokDuck
     val stages = (1 to ByteMergeSteps).map { k =>
       val p = k - 1
       s"""p$k AS (
@@ -889,7 +900,7 @@ object TextQueries {
          |  FROM b$p w CROSS JOIN m$k m
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH pvocab AS (
+    s"""pvocab AS (
        |  SELECT pretok, CAST(COUNT(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(regexp_extract_all(text, '$pat')) AS pretok
        |    FROM documents WHERE text IS NOT NULL)
@@ -899,11 +910,14 @@ object TextQueries {
        |    array_to_string(regexp_extract_all(lower(hex(encode(pretok))), '..'), '|') AS s,
        |    f
        |  FROM pvocab
-       |), $stages
+       |), $stages""".stripMargin
+  }
+
+  def q151Oracle: String =
+    s"""WITH $byteEncodeCtes
        |SELECT pretok, f, CAST(len(string_split(s, '|')) AS INTEGER) AS n_tokens,
        |  s AS tokens
        |FROM b$ByteMergeSteps""".stripMargin
-  }
 
   def q84Oracle: String =
     """WITH raw AS (

@@ -8,7 +8,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
@@ -68,10 +69,11 @@ private[dsv2] class RawJsonTable(schema: StructType, path: String)
 
 private[dsv2] class RawJsonScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var agg: Option[(Seq[StructField], Seq[AggSpec])] = None
 
   private def pushable(f: Filter): Boolean = f match {
     case IsNotNull(a)      => fullSchema.fieldNames.contains(a)
@@ -92,8 +94,96 @@ private[dsv2] class RawJsonScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RawJsonScan(path, required, pushed)
+  // --- AGGREGATE pushdown (SupportsPushDownAggregates): the source
+  // pre-aggregates each file and ships ONE row per (file, group) instead
+  // of every matching line — on a warehouse-scale raw zone that turns a
+  // row-count-sized exchange into a group-count-sized one. PARTIAL
+  // pushdown only (supportCompletePushDown = false): Spark plans the
+  // final merge (SUM over counts/sums, MIN/MAX over minima/maxima), so
+  // per-file partials are the correctness-safe decomposable shape and
+  // the source never needs a global view. Expected scan schema after a
+  // successful push: grouping columns FIRST, then one column per
+  // aggregate in translated order.
+
+  private def fieldOf(e: Expression): Option[StructField] = e match {
+    // NamedReference is the public face; FieldReference is private[sql]
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      fullSchema.fields.find(_.name == nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** MIN/MAX orderables this source compares exactly (string order is
+    * UTF8String order on both sides — the pushed-filter discipline).
+    */
+  private def orderable(dt: DataType): Boolean =
+    dt == LongType || dt == DoubleType || dt == StringType
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // Spark only attempts aggregate pushdown when no post-scan filters
+    // remain; this source reports EVERY filter as residual (pushed
+    // filters are conservative scan reductions, not exact), so a filtered
+    // query never reaches here — keep the guard in case that contract
+    // shifts, because aggregating conservatively-filtered rows would be
+    // wrong with no residual row left for Spark to re-check.
+    if (pushed.nonEmpty) return false
+    // grouped aggregation only: a GLOBAL aggregate over an empty source
+    // must yield count = 0, but zero partial rows merge to NULL — decline
+    // rather than depend on the engine's empty-merge convention
+    if (aggregation.groupByExpressions.isEmpty) return false
+    val groups = aggregation.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggSpec("count_star", "", LongType, NullType))
+      case c: Count if !c.isDistinct =>
+        // null-ness must match what the unpushed scan would read: a
+        // type-surprise field reads null under the declared schema type,
+        // so count through the SAME projection
+        fieldOf(c.column).map(f =>
+          AggSpec("count", f.name, LongType, f.dataType))
+      case s: Sum if !s.isDistinct =>
+        // LongType only: the engine's long SUM is exact and the merge is
+        // associative; double sums are shuffle-order-sensitive and belong
+        // engine-side where the plan owns the ordering discipline
+        fieldOf(s.column).collect {
+          case f if f.dataType == LongType =>
+            AggSpec("sum", f.name, LongType, LongType)
+        }
+      case m: Min =>
+        fieldOf(m.column).collect {
+          case f if orderable(f.dataType) =>
+            AggSpec("min", f.name, f.dataType, f.dataType)
+        }
+      case m: Max =>
+        fieldOf(m.column).collect {
+          case f if orderable(f.dataType) =>
+            AggSpec("max", f.name, f.dataType, f.dataType)
+        }
+      case _ => None
+    }
+    // all-or-nothing: one untranslatable aggregate keeps the whole
+    // aggregation engine-side (partial pushdown cannot mix grains)
+    if (specs.exists(_.isEmpty)) return false
+    agg = Some((groups.flatten, specs.flatten))
+    true
+  }
+
+  override def build(): Scan = agg match {
+    case Some((groups, specs)) =>
+      new RawJsonAggScan(path, groups, specs)
+    case None => new RawJsonScan(path, required, pushed)
+  }
 }
+
+/** One pushed aggregate: `kind` ∈ count_star/count/sum/min/max, `field`
+  * the source column (empty for count_star), `dt` the partial's type,
+  * `fieldDt` the source column's DECLARED type (null-ness is evaluated
+  * through the same projection the unpushed scan would apply).
+  */
+private[dsv2] case class AggSpec(kind: String, field: String, dt: DataType,
+                                 fieldDt: DataType)
 
 private[dsv2] class RawJsonScan(path: String, required: StructType,
                                 pushed: Array[Filter]) extends Scan with Batch {
@@ -103,14 +193,29 @@ private[dsv2] class RawJsonScan(path: String, required: StructType,
     s"graft-raw-json PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    RawJsonFiles.partitions(path)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    new RawJsonReaderFactory(required, pushed, conf)
+  }
+}
+
+private[dsv2] object RawJsonFiles {
+  /** One InputPartition per data file under `path` (the raw zone is
+    * written in crawl-chunk files, the natural parallel unit). The
+    * hidden-name filter applies to DIRECTORIES too: _temporary attempt
+    * files and _spark_metadata logs under a crashed/streaming writer's
+    * output are valid JSON lines that are NOT data (the built-in reader
+    * excludes them; emitting them would mean duplicate/phantom rows).
+    */
+  def partitions(path: String): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // hidden-name filter applies to DIRECTORIES too: _temporary attempt
-    // files and _spark_metadata logs under a crashed/streaming writer's
-    // output are valid JSON lines that are NOT data (the built-in reader
-    // excludes them; emitting them would mean duplicate/phantom rows)
     def files(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.flatMap { s =>
         val name = s.getPath.getName
@@ -120,13 +225,142 @@ private[dsv2] class RawJsonScan(path: String, required: StructType,
       }
     files(p).map(f => RawJsonInputPartition(f.toString): InputPartition).toArray
   }
+}
+
+/** Scan for a pushed aggregation: reads each file ONCE, folds every
+  * valid line into a per-file group table, and emits one partial row per
+  * (file, group) — grouping columns first, then the aggregate partials,
+  * the layout the engine's final-merge rewrite expects.
+  *
+  * Memory shape: the per-file group map is bounded by the file's group
+  * cardinality — the pushdown's value proposition assumes dimension-like
+  * group keys (brands, categories, dates), which is also when shipping
+  * partials beats shipping rows. A pathological high-cardinality group
+  * key degrades toward the unpushed row count, never above it.
+  */
+private[dsv2] class RawJsonAggScan(path: String, groups: Seq[StructField],
+                                   specs: Seq[AggSpec]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    groups.map(f => StructField(f.name, f.dataType)) ++
+      specs.zipWithIndex.map { case (s, i) =>
+        StructField(s"agg_$i(${s.kind}${if (s.field.isEmpty) "" else ":" + s.field})",
+          s.dt)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-raw-json PushedAggregation: " +
+      s"groupBy=[${groups.map(_.name).mkString(", ")}], " +
+      s"aggs=[${specs.map(s => s"${s.kind}(${s.field})").mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    RawJsonFiles.partitions(path)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    new RawJsonReaderFactory(required, pushed, conf)
+    new RawJsonAggReaderFactory(groups, specs, conf)
   }
+}
+
+private[dsv2] class RawJsonAggReaderFactory(groups: Seq[StructField],
+    specs: Seq[AggSpec], conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RawJsonAggPartitionReader(
+      partition.asInstanceOf[RawJsonInputPartition].file, groups, specs, conf)
+}
+
+/** Per-file partial aggregation. Accumulator conventions match SQL:
+  * count_star counts every valid object line in the group; count(col)
+  * counts non-null fields; sum/min/max over zero non-null values emit
+  * NULL (the engine's final merge treats them as absent). Group keys
+  * compare as the engine would (UTF8String for strings); a null group
+  * field is a real group, merged engine-side with other files' nulls.
+  */
+private[dsv2] class RawJsonAggPartitionReader(file: String,
+    groups: Seq[StructField], specs: Seq[AggSpec],
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+
+  private def fieldValue(node: JsonNode, name: String, dt: DataType): Any = {
+    val f = node.get(name)
+    if (f == null || f.isNull) null
+    else dt match {
+      case LongType    => if (f.isIntegralNumber) f.asLong() else null
+      case DoubleType  => if (f.isNumber) f.asDouble() else null
+      case BooleanType => if (f.isBoolean) f.asBoolean() else null
+      case StringType  =>
+        UTF8String.fromString(if (f.isTextual) f.asText() else f.toString)
+      case _ => null
+    }
+  }
+
+  // fold the whole file eagerly on first next(): the partial table IS the
+  // read result, there is nothing to stream until the file is consumed
+  private lazy val rows: Iterator[InternalRow] = {
+    val p = new Path(file)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(conf.value).open(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    // Array wrapper so null group values hash/compare structurally
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], Array[Any]]
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val node =
+          try mapper.readTree(line)
+          catch { case _: Exception => null } // corrupt line: skip at source
+        if (node != null && node.isObject) {
+          val key = groups.map(g => fieldValue(node, g.name, g.dataType))
+          val a = acc.getOrElseUpdate(key, Array.fill[Any](specs.length)(null))
+          specs.zipWithIndex.foreach { case (s, i) =>
+            s.kind match {
+              case "count_star" =>
+                a(i) = (if (a(i) == null) 0L else a(i).asInstanceOf[Long]) + 1L
+              case "count" =>
+                if (fieldValue(node, s.field, s.fieldDt) != null)
+                  a(i) = (if (a(i) == null) 0L else a(i).asInstanceOf[Long]) + 1L
+              case "sum" =>
+                val v = fieldValue(node, s.field, LongType)
+                if (v != null)
+                  a(i) = (if (a(i) == null) 0L else a(i).asInstanceOf[Long]) +
+                    v.asInstanceOf[Long]
+              case "min" | "max" =>
+                val v = fieldValue(node, s.field, s.dt)
+                if (v != null) {
+                  val better = a(i) == null || {
+                    val c = compareVals(v, a(i), s.dt)
+                    if (s.kind == "min") c < 0 else c > 0
+                  }
+                  if (better) a(i) = v
+                }
+            }
+          }
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    acc.iterator.map { case (key, a) =>
+      InternalRow.fromSeq(key ++ a.toSeq)
+    }
+  }
+
+  private def compareVals(x: Any, y: Any, dt: DataType): Int = dt match {
+    case LongType   => java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
+    case DoubleType => java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double])
+    case StringType => x.asInstanceOf[UTF8String].compareTo(y.asInstanceOf[UTF8String])
+    case other      => sys.error(s"unorderable pushdown type $other")
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 private[dsv2] case class RawJsonInputPartition(file: String) extends InputPartition

@@ -84,4 +84,78 @@ class RawJsonSourceSpec extends SparkSpec {
     assert(readV2(dir).filter(col("price") < 6.0).collect()
       .map(_.getLong(0)).toSeq == Seq(4L))
   }
+
+  // ------------------ aggregate pushdown (q154's surface) ------------------
+
+  private val aggSchema = new StructType()
+    .add("product_id", LongType).add("price", LongType).add("name", StringType)
+
+  private def writeAggCorpus(): String = {
+    val dir = Files.createTempDirectory("dsv2agg").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"product_id": 1, "price": 10, "name": "x"}
+        |{"product_id": 2, "price": 99, "name": "y"}
+        |{"product_id": 3, "name": "x"}
+        |{corrupt}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"product_id": 4, "price": 5, "name": "x"}
+        |{"product_id": 5, "price": 7, "name": "y"}""".stripMargin)
+    dir
+  }
+
+  private def readAgg(dir: String) =
+    spark.read.format("graft.sources.dsv2.RawJsonSource")
+      .schema(aggSchema).option("path", dir).load()
+
+  private def planOf(q: org.apache.spark.sql.DataFrame) =
+    q.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("grouped count/sum/min/max pushes into the source and merges correctly") {
+    val dir = writeAggCorpus()
+    val q = readAgg(dir).groupBy(col("name"))
+      .agg(count(col("price")).as("n_priced"), sum(col("price")).as("total"),
+        min(col("price")).as("lo"), max(col("price")).as("hi"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedAggregation"), plan)
+    // count excludes the null-price doc 3; sums/extremes span BOTH files
+    // (the engine's final merge over per-file partials)
+    val out = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map("x" -> ((2L, 15L, 5L, 10L)), "y" -> ((2L, 106L, 7L, 99L))))
+  }
+
+  test("pushed aggregation equals the unpushed plan on string extremes and count(*)") {
+    val dir = writeAggCorpus()
+    val q = readAgg(dir).groupBy(col("name"))
+      .agg(count(lit(1)).as("n"), min(col("name")).as("lo"))
+    // whether or not count(1) translates to CountStar in this engine
+    // version, results must equal the built-in JSON reader's
+    val builtin = spark.read.schema(aggSchema).json(dir)
+      .filter(col("product_id").isNotNull)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), min(col("name")).as("lo"))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet ==
+      builtin.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet)
+  }
+
+  test("declined shapes stay engine-side with identical results") {
+    val dir = writeAggCorpus()
+    // filtered: this source reports every filter residual, so no aggregate
+    // may run below the residual check — pushdown must NOT fire
+    val filtered = readAgg(dir).filter(col("price") > 6L)
+      .groupBy(col("name")).agg(sum(col("price")).as("total"))
+    assert(!planOf(filtered).contains("PushedAggregation"), planOf(filtered))
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("x", 10L), ("y", 106L)))
+    // global aggregation (no groupBy): declined — zero partial rows over
+    // an empty source would merge to NULL where SQL wants count = 0
+    val global = readAgg(dir).agg(count(col("price")).as("n"))
+    assert(!planOf(global).contains("PushedAggregation"), planOf(global))
+    assert(global.collect().head.getLong(0) == 4L)
+    // distinct count: not decomposable into per-file partials — declined
+    val dcnt = readAgg(dir).groupBy(col("name"))
+      .agg(countDistinct(col("price")).as("n"))
+    assert(!planOf(dcnt).contains("PushedAggregation"), planOf(dcnt))
+    assert(dcnt.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("x", 2L), ("y", 2L)))
+  }
 }

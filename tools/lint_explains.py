@@ -121,7 +121,15 @@ def parse_sections(text):
     return out
 
 
-NODE_RE = re.compile(r"([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$")
+# Trailing annotations after the node id are real: InMemoryTableScan
+# prints "(1) (columnarIn=false, columnarOut=true)" and query stages print
+# "(70), Statistics(sizeInBytes=...)". Dropping those lines used to skew
+# the BNLJ child-indent anchor (the r17 q149 false positive: the streamed
+# InMemoryTableScan vanished, its InMemoryRelation became the anchor, and
+# the genuine scalar BroadcastExchange sat at a "wrong" indent). The
+# leading-prefix check below still restricts matches to tree-drawing lines.
+NODE_RE = re.compile(
+    r"([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)(?:,?\s+[A-Za-z(].*)?\s*$")
 
 
 def tree_lines(body):
@@ -175,23 +183,48 @@ PASSTHROUGH = {
 }
 
 
-def scalar_agg_under(lines, start_idx, details):
-    """True if the FIRST non-passthrough node under lines[start_idx] is a
-    global (Keys: []) HashAggregate — the one-row build side a scalar BNLJ
-    uses. A Keys:[] aggregate buried deeper (e.g. under a join against a
-    fact table) does NOT make the broadcast side one-row."""
-    base_indent = lines[start_idx][0]
-    for indent, name, nid, _ in lines[start_idx + 1:]:
-        if indent <= base_indent:
+def _direct_children(lines, idx):
+    """Indices of the direct children of the node at lines[idx] (the lines
+    at the first deeper indent level within its subtree)."""
+    base = lines[idx][0]
+    child_indent = None
+    out = []
+    for j in range(idx + 1, len(lines)):
+        if lines[j][0] <= base:
             break
-        if any(name == n or name.startswith(n) for n in PASSTHROUGH):
-            continue
-        if "HashAggregate" in name:
-            d = details.get(nid)
-            return bool(d and any(re.match(r"Keys(?: \[\d+\])?: \[\]", l)
-                                  for l in d["lines"]))
-        return False
+        if child_indent is None:
+            child_indent = lines[j][0]
+        if lines[j][0] == child_indent:
+            out.append(j)
+    return out
+
+
+def _scalar_node(lines, idx, details):
+    """True if the node at lines[idx] provably produces ONE row: a global
+    (Keys: []) HashAggregate, a passthrough/broadcast wrapper over one, or
+    a BNLJ cross of scalar sides (two 1-row frames crossed stay 1 row).
+    A Keys:[] aggregate buried under a join against a fact table does NOT
+    qualify — the walk only ever descends through provably-1-row shapes."""
+    indent, name, nid, _ = lines[idx]
+    if any(name == n or name.startswith(n) for n in PASSTHROUGH) or \
+            "BroadcastExchange" in name or "BroadcastQueryStage" in name:
+        kids = _direct_children(lines, idx)
+        return len(kids) == 1 and _scalar_node(lines, kids[0], details)
+    if "HashAggregate" in name:
+        d = details.get(nid)
+        return bool(d and any(re.match(r"Keys(?: \[\d+\])?: \[\]", l)
+                              for l in d["lines"]))
+    if name.startswith("BroadcastNestedLoopJoin"):
+        kids = _direct_children(lines, idx)
+        return len(kids) >= 2 and \
+            all(_scalar_node(lines, k, details) for k in kids)
     return False
+
+
+def scalar_agg_under(lines, start_idx, details):
+    """True if the broadcast side rooted at lines[start_idx] is provably
+    one row (see [_scalar_node])."""
+    return _scalar_node(lines, start_idx, details)
 
 
 def bounded_range(details, nid, cap=65536):
