@@ -714,4 +714,94 @@ object CurationQueries {
        |  CAST(src_bytes AS DOUBLE) / CAST(src_tokens AS DOUBLE) AS bytes_per_token
        |FROM per_src CROSS JOIN tot""".stripMargin
   }
+
+  /** q156: Naive-Bayes quality classifier — the fastText-style
+    * "reference vs crawl" filter (GPT-3 appendix A / LLaMA): fit two
+    * class-conditional unigram models on the seed strata (positive =
+    * the `lang='en'` reference stratum — the q136/q149 target — and
+    * negative = every other labeled stratum), score EVERY document in
+    * exact scaled-integer arithmetic, decide by integer margin sign.
+    * The oracle replays normalization, the (doc, w) multiset, both
+    * class count tables, the shared training vocabulary, add-one
+    * smoothing, every doc's two BIGINT scores, the margins, and the
+    * decision. See [[graft.operators.NbClassifier]].
+    */
+  def q156NbClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NbClassifier.score(Tables.documents(spark, dir),
+      "doc_id", "text", col("lang") === "en",
+      col("lang").isNotNull && col("lang") =!= "en")
+
+  def q156Oracle: String = {
+    import graft.operators.NbClassifier.{RScale, SScale}
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, $norm AS norm FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), toks AS (
+       |  SELECT doc_id, lang = 'en' AS pos,
+       |    lang IS NOT NULL AND lang <> 'en' AS neg,
+       |    unnest(string_split(norm, ' ')) AS w
+       |  FROM docs WHERE length(norm) > 0
+       |), cnt AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c,
+       |    bool_or(pos) AS pos, bool_or(neg) AS neg
+       |  FROM toks GROUP BY 1, 2
+       |), model AS (
+       |  SELECT w,
+       |    CAST(SUM(CASE WHEN pos THEN c ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN neg THEN c ELSE 0 END) AS BIGINT) AS nn
+       |  FROM cnt GROUP BY 1
+       |  HAVING np > 0 OR nn > 0
+       |), tot AS (
+       |  SELECT CAST(SUM(np) AS BIGINT) AS npos,
+       |    CAST(SUM(nn) AS BIGINT) AS nneg,
+       |    CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM model
+       |), s AS (
+       |  SELECT c.doc_id, c.c,
+       |    ($SScale * (COALESCE(m.np, 0) + 1)) // (t.npos + t.v) AS sp,
+       |    ($SScale * (COALESCE(m.nn, 0) + 1)) // (t.nneg + t.v) AS sn
+       |  FROM cnt c LEFT JOIN model m USING (w) CROSS JOIN tot t
+       |), sc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+       |    CAST(SUM(c * sp) AS BIGINT) AS pos_score,
+       |    CAST(SUM(c * sn) AS BIGINT) AS neg_score
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT doc_id, n_tok, pos_score, neg_score,
+       |  pos_score - neg_score AS margin,
+       |  (pos_score * $RScale) // n_tok - (neg_score * $RScale) // n_tok
+       |    AS margin_per_tok,
+       |  pos_score > neg_score AS pred
+       |FROM sc""".stripMargin
+  }
+
+  /** q157: deterministic training-shard export manifest — every document
+    * assigned to one of [[ShardCount]] shards by salted md5, ordered
+    * within its shard by an independent 52-bit md5 sort key, `seq` the
+    * 1-based final position in the shard file. The oracle replays the
+    * hashes digit-for-digit and the rank as a per-shard row_number.
+    * See [[graft.operators.Sharding]] for the scale shape (projection +
+    * GlobalRank two-phase rank — no single-partition window).
+    */
+  val ShardCount = 8
+
+  def q157TrainShards(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.manifest(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      "doc_id", ShardCount)
+
+  def q157Oracle: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8) AS BIGINT)
+       |      % $ShardCount AS shard,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 13) AS BIGINT)
+       |      AS sort_key
+       |  FROM documents
+       |)
+       |SELECT doc_id, shard, sort_key,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+       |    AS BIGINT) AS seq
+       |FROM a""".stripMargin
 }

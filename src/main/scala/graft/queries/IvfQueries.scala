@@ -504,4 +504,46 @@ object IvfQueries {
        |  ej.n_dups, ej.vec_id, f.cluster_id, f.kept
        |FROM embjoin ej JOIN semflags f ON f.vec_id = ej.chunk_id""".stripMargin
   }
+
+  /** q158: prototype-distance data pruning (Sorscher et al. 2022) — the
+    * q33/q121 exact k-means substrate driving a KEEP-HARD cut: every
+    * embedding assigned to its trained centroid by exact int64 squared
+    * L2, per cluster keep the top [[PruneKeepPct]]% FARTHEST (threshold
+    * ties survive). The oracle replays quantization, all [[TrainIters]]
+    * Lloyd iterations, the final assignment with its integer distance,
+    * and the per-cluster exact-rank threshold.
+    * See [[graft.operators.similarity.PrototypePrune]].
+    */
+  val PruneKeepPct = 70
+
+  def q158PrototypePrune(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.similarity.PrototypePrune.flagged(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      k = NCentroids, iters = TrainIters, dims = SimilarityQueries.Dims,
+      keepPct = PruneKeepPct)
+
+  def q158Oracle: String = {
+    val training = KMeansExact.oracleCtes("pp", "embeddings", "vec_id",
+      "embedding", NCentroids, TrainIters, SimilarityQueries.Dims,
+      withMedoids = true)
+    s"""WITH $training
+       |cnt AS (
+       |  SELECT cid, dist, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ppfasg GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT cid, dist,
+       |    SUM(c) OVER (PARTITION BY cid ORDER BY dist) AS cum
+       |  FROM cnt
+       |), nn AS (
+       |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM ppfasg GROUP BY 1
+       |), thr AS (
+       |  SELECT c.cid, MIN(c.dist) AS t
+       |  FROM cum c JOIN nn USING (cid)
+       |  WHERE c.cum >= n - ((n * $PruneKeepPct) // 100) + 1
+       |  GROUP BY 1
+       |)
+       |SELECT f.vid AS vec_id, f.cid, f.dist,
+       |  COALESCE(f.dist >= t.t, FALSE) AS keep
+       |FROM ppfasg f LEFT JOIN thr t USING (cid)""".stripMargin
+  }
 }
