@@ -53,35 +53,36 @@ object NbClassifier {
   /** Per-token mean scale for the final integer divisions. */
   val RScale = 1000L
 
-  /** (doc_id, w, c, __pos, __neg) unigram multiset for all docs with
-    * non-empty normalized text; the class flags are doc-constant.
+  /** A FROZEN fitted model: the per-word class count table (w, np, nn —
+    * training vocabulary only) plus the training scalars. Everything a
+    * detached scorer needs ([[scoreWith]]) — in particular the
+    * streaming twin, which scores micro-batches against a model fitted
+    * once batch-side.
+    */
+  case class NbModel(counts: DataFrame, nPos: Long, nNeg: Long, v: Long)
+
+  /** (doc_id, w, c, <flag per stratum>) unigram multiset for all docs
+    * with non-empty normalized text; the class flags are doc-constant
+    * (empty `strata` = scoring-only frame).
     */
   private def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                          posPred: Column, negPred: Column): DataFrame = {
+                          strata: Seq[(String, Column)]): DataFrame = {
     val norm = graft.functions.TextFns.normalizeText(col(textCol))
-    docs
+    val flags = strata.map { case (n, p) => p.as(n) }
+    val base = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(norm) > 0)
-      .select(col(idCol).as("doc_id"), posPred.as("__pos"),
-        negPred.as("__neg"), explode(split(norm, " ")).as("w"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("c"), first(col("__pos")).as("__pos"),
-        first(col("__neg")).as("__neg"))
+      .select(col(idCol).as("doc_id") +:
+        explode(split(norm, " ")).as("w") +: flags: _*)
+    base.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"),
+        strata.map { case (n, _) => first(col(n)).as(n) }: _*)
   }
 
-  /** Score every document under both class models:
-    * (doc_id, n_tok, pos_score, neg_score, margin, margin_per_tok,
-    * pred). `posPred`/`negPred` mark the training strata (rows of
-    * `docs`); rows matching neither train nothing but are still
-    * scored — the classifier generalizes from seed labels, which is
-    * the entire point of the fastText curation pattern. A row matching
-    * BOTH trains both classes (the caller's label noise to own).
+  /** Fit the two class-conditional models from a prepared, flagged
+    * token-count frame — the shared core of [[score]] and [[fit]].
     */
-  def score(docs: DataFrame, idCol: String, textCol: String,
-            posPred: Column, negPred: Column,
-            broadcastCounts: Boolean = true): DataFrame = {
-    val cnt = OpCache.cache(
-      tokenCounts(docs, idCol, textCol, posPred, negPred))
+  private def modelFrom(cnt: DataFrame): NbModel = {
     val byClass = cnt.groupBy(col("w"))
       .agg(sum(when(col("__pos"), col("c")).otherwise(lit(0L))).as("np"),
         sum(when(col("__neg"), col("c")).otherwise(lit(0L))).as("nn"))
@@ -97,14 +98,28 @@ object NbClassifier {
     require(worst < Long.MaxValue / SScale,
       s"training corpus too large for exact arithmetic (Npos=$nPos " +
         s"Nneg=$nNeg V=$v): SScale*(N+V) would overflow BIGINT — lower SScale")
+    NbModel(OpCache.cache(byClass), nPos, nNeg, v)
+  }
+
+  /** Fit a frozen model on `docs`' labeled strata — the detachable half
+    * of [[score]], for scorers that run elsewhere (the streaming gate).
+    */
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+          posPred: Column, negPred: Column): NbModel =
+    modelFrom(OpCache.cache(tokenCounts(docs, idCol, textCol,
+      Seq("__pos" -> posPred, "__neg" -> negPred))))
+
+  /** Score a prepared token-count frame under a frozen model. */
+  private def scoreCnt(m: NbModel, cnt: DataFrame,
+                       broadcastCounts: Boolean): DataFrame = {
     val bc: DataFrame => DataFrame =
       if (broadcastCounts) broadcast else identity
-    val model = bc(byClass.select(col("w").as("__mw"),
+    val model = bc(m.counts.select(col("w").as("__mw"),
       col("np").as("__np"), col("nn").as("__nn")))
     // out-of-vocabulary tokens carry count 0 in both classes — the add-one
     // numerator alone, the standard smoothed unseen-word treatment
-    val sPos = expr(s"($SScale * (coalesce(__np, 0L) + 1)) DIV ${nPos + v}")
-    val sNeg = expr(s"($SScale * (coalesce(__nn, 0L) + 1)) DIV ${nNeg + v}")
+    val sPos = expr(s"($SScale * (coalesce(__np, 0L) + 1)) DIV ${m.nPos + m.v}")
+    val sNeg = expr(s"($SScale * (coalesce(__nn, 0L) + 1)) DIV ${m.nNeg + m.v}")
     val scored = cnt
       .join(model, col("w") === col("__mw"), "left")
       .select(col("doc_id"), col("c"), sPos.as("sp"), sNeg.as("sn"))
@@ -126,6 +141,34 @@ object NbClassifier {
       (col("pos_score") - col("neg_score")).as("margin"),
       (perTok("pos_score") - perTok("neg_score")).as("margin_per_tok"),
       (col("pos_score") > col("neg_score")).as("pred"))
+  }
+
+  /** Score ANY document frame under a FROZEN model — a pure per-doc
+    * function of the model (one token-multiset agg + one broadcast
+    * model join + one per-doc agg), so any batching of a corpus scores
+    * identically to the single pass: the monoid contract the streaming
+    * twin rides.
+    */
+  def scoreWith(m: NbModel, docs: DataFrame, idCol: String,
+                textCol: String, broadcastCounts: Boolean = true): DataFrame =
+    scoreCnt(m, tokenCounts(docs, idCol, textCol, Seq.empty), broadcastCounts)
+
+  /** Score every document under both class models:
+    * (doc_id, n_tok, pos_score, neg_score, margin, margin_per_tok,
+    * pred). `posPred`/`negPred` mark the training strata (rows of
+    * `docs`); rows matching neither train nothing but are still
+    * scored — the classifier generalizes from seed labels, which is
+    * the entire point of the fastText curation pattern. A row matching
+    * BOTH trains both classes (the caller's label noise to own).
+    * ONE token-multiset shuffle serves training AND scoring (the frame
+    * is cached with its flags).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            posPred: Column, negPred: Column,
+            broadcastCounts: Boolean = true): DataFrame = {
+    val cnt = OpCache.cache(tokenCounts(docs, idCol, textCol,
+      Seq("__pos" -> posPred, "__neg" -> negPred)))
+    scoreCnt(modelFrom(cnt), cnt, broadcastCounts)
   }
 
   /** Survivors only — the filter a curation pipeline composes. */

@@ -68,18 +68,21 @@ object NgramLm {
   val AlphaNum = 2L
   val AlphaDen = 5L
 
-  /** (doc_id, prev, w, c, __tgt) bigram-multiset counts for all docs with
-    * non-empty normalized text. prev is NULL for each document's first
-    * token (scored by the context-free unigram rule).
+  /** (doc_id, prev, w, c, <flag per stratum>) bigram-multiset counts for
+    * all docs with non-empty normalized text. prev is NULL for each
+    * document's first token (scored by the context-free unigram rule).
+    * Each (name, predicate) in `strata` becomes a doc-constant flag
+    * column — so ONE (doc, prev, w) shuffle serves every LM trained over
+    * the same corpus ([[contrastiveFlagged]] trains two).
     */
   private def gramCounts(docs: DataFrame, idCol: String, textCol: String,
-                         targetPred: Column): DataFrame = {
+                         strata: Seq[(String, Column)]): DataFrame = {
     val norm = graft.functions.TextFns.normalizeText(col(textCol))
+    val flags = strata.map { case (n, p) => p.as(n) }
     val toks = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(norm) > 0)
-      .select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
-        split(norm, " ").as("t"))
+      .select(col(idCol).as("doc_id") +: split(norm, " ").as("t") +: flags: _*)
     // one projection builds the (w, prev) pair array — element_at is
     // 1-based, so for 0-based index i the previous token is element_at(t, i);
     // the when() guard keeps the i=0 lookup unevaluated (ANSI mode throws
@@ -87,24 +90,24 @@ object NgramLm {
     val pairs = transform(col("t"), (w, i) =>
       struct(w.as("w"),
         when(i > lit(0), element_at(col("t"), i)).as("prev")))
-    toks.select(col("doc_id"), col("__tgt"), explode(pairs).as("g"))
-      .select(col("doc_id"), col("__tgt"),
-        col("g.prev").as("prev"), col("g.w").as("w"))
+    val flagCols = strata.map { case (n, _) => col(n) }
+    toks.select(col("doc_id") +: explode(pairs).as("g") +: flagCols: _*)
+      .select(Seq(col("doc_id"), col("g.prev").as("prev"),
+        col("g.w").as("w")) ++ flagCols: _*)
       .groupBy(col("doc_id"), col("prev"), col("w"))
-      .agg(count(lit(1)).as("c"), first(col("__tgt")).as("__tgt"))
+      .agg(count(lit(1)).as("c"),
+        strata.map { case (n, _) => first(col(n)).as(n) }: _*)
   }
 
-  /** Score every document: (doc_id, n_tok, lm_score, lm_score_per_tok).
-    * `targetPred` marks the trusted target subcorpus (rows of `docs`).
-    * Documents whose normalized text is empty carry no tokens and are
-    * excluded from both the LM statistics and the scoring.
+  /** Score every document of a prepared gram-count frame under the LM
+    * trained on the `flagCol` stratum — the shared core of [[score]]
+    * and [[contrastiveFlagged]]. See [[score]] for the contract.
     */
-  def score(docs: DataFrame, idCol: String, textCol: String,
-            targetPred: Column, broadcastCounts: Boolean = true): DataFrame = {
-    val cnt = OpCache.cache(gramCounts(docs, idCol, textCol, targetPred))
-    val uni = cnt.filter(col("__tgt"))
+  private def scoreFrom(cnt: DataFrame, flagCol: String,
+                        broadcastCounts: Boolean): DataFrame = {
+    val uni = cnt.filter(col(flagCol))
       .groupBy(col("w")).agg(sum(col("c")).as("c1"))
-    val big = cnt.filter(col("__tgt") && col("prev").isNotNull)
+    val big = cnt.filter(col(flagCol) && col("prev").isNotNull)
       .groupBy(col("prev"), col("w")).agg(sum(col("c")).as("c2"))
     // two bounded driver scalars: target token total and vocabulary size
     val tot = uni.agg(coalesce(sum(col("c1")), lit(0L)).as("n"),
@@ -150,6 +153,18 @@ object NgramLm {
         perTokGuarded.as("lm_score_per_tok"))
   }
 
+  /** Score every document: (doc_id, n_tok, lm_score, lm_score_per_tok).
+    * `targetPred` marks the trusted target subcorpus (rows of `docs`).
+    * Documents whose normalized text is empty carry no tokens and are
+    * excluded from both the LM statistics and the scoring.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            targetPred: Column, broadcastCounts: Boolean = true): DataFrame = {
+    val cnt = OpCache.cache(
+      gramCounts(docs, idCol, textCol, Seq("__tgt" -> targetPred)))
+    scoreFrom(cnt, "__tgt", broadcastCounts)
+  }
+
   /** [[score]] plus the CCNet head cut as a kept flag: every scored doc
     * with `keep = lm_score_per_tok ≥ the exact-rank threshold` for the
     * top `keepPct`%. Ties at the threshold all survive (deterministic;
@@ -175,4 +190,55 @@ object NgramLm {
     flagged(docs, idCol, textCol, targetPred, keepPct)
       .filter(col("keep"))
       .select("doc_id", "n_tok", "lm_score", "lm_score_per_tok")
+
+  /** Moore-Lewis CROSS-ENTROPY-DIFFERENCE selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data" —
+    * the classic contrastive upgrade of the single-LM cut, and the
+    * n-gram ancestor of RHO-style excess-loss selection): score every
+    * document under TWO LMs — one trained on the in-domain stratum,
+    * one on a general stratum (typically the whole corpus) — and rank
+    * by the DIFFERENCE. The single-LM cut ([[flagged]]) confounds
+    * "in-domain" with "generically predictable": short common
+    * boilerplate scores high under ANY model. Subtracting the general
+    * model's score cancels the generic-predictability term, leaving
+    * how much MORE in-domain-like than average the document is.
+    *
+    * Exact arithmetic carries over unchanged: both per-token means are
+    * the integer surrogates of [[score]] over the SAME tokenization
+    * (n_tok agrees by construction), `excess = in_spt − gen_spt` is a
+    * difference of two bounded non-negative integers, and the keep cut
+    * is the exact-rank threshold on excess (ties survive). Scale
+    * shape: ONE (doc,prev,w) partial-agg shuffle serves BOTH models —
+    * the gram multiset is identical, only the training flag differs,
+    * so the cached count frame carries a flag column per stratum and
+    * each LM derives its count tables from it — then per model the
+    * broadcast count joins + per-doc agg of [[score]], one doc-keyed
+    * join of the two bounded score frames, the two-phase rank cut.
+    * Driver state unchanged from [[score]].
+    */
+  def contrastiveFlagged(docs: DataFrame, idCol: String, textCol: String,
+                         inDomainPred: Column, generalPred: Column,
+                         keepPct: Int,
+                         broadcastCounts: Boolean = true): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")
+    // ONE (doc, prev, w) shuffle serves both LMs: the gram multiset is
+    // identical, only the training flag differs — the count frame is
+    // cached and each model derives its tables from it
+    val cnt = OpCache.cache(gramCounts(docs, idCol, textCol,
+      Seq("__in" -> inDomainPred, "__gen" -> generalPred)))
+    val in = scoreFrom(cnt, "__in", broadcastCounts)
+      .select(col("doc_id"), col("n_tok"),
+        col("lm_score_per_tok").as("in_spt"))
+    val gen = scoreFrom(cnt, "__gen", broadcastCounts)
+      .select(col("doc_id"), col("lm_score_per_tok").as("gen_spt"))
+    // inner join is total: both frames score exactly the docs with
+    // non-empty normalized text, so the key sets are identical
+    val joined = OpCache.cache(in.join(gen, Seq("doc_id"))
+      .withColumn("excess", col("in_spt") - col("gen_spt")))
+    val thr = Quantiles.exactDiscreteAtRank(joined, col("excess"),
+      nn => nn - (nn * keepPct) / 100 + 1)
+    joined.crossJoin(broadcast(thr.select(col("value").as("__thr"))))
+      .select(col("doc_id"), col("n_tok"), col("in_spt"), col("gen_spt"),
+        col("excess"), (col("excess") >= col("__thr")).as("keep"))
+  }
 }

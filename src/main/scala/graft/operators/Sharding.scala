@@ -69,20 +69,51 @@ object Sharding {
     */
   def manifest(df: DataFrame, idCol: String, nShards: Int,
                partitions: Int = 64): DataFrame = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    Seq("shard", "sort_key", "seq").foreach(c => require(
-      !df.columns.contains(c),
-      s"output column '$c' collides with an input column; rename it"))
-    val assigned = df
-      .withColumn("shard",
-        Sampling.hashBucket(guarded(col(idCol)), nShards, ShardSalt))
+    requireNoCollision(df, Seq("shard", "sort_key", "seq"))
+    val assigned = assignShard(df, idCol, nShards)
       .withColumn("sort_key", sortKey(col(idCol)))
+    seqRanked(assigned, idCol, Seq(col("sort_key").asc), partitions)
+  }
+
+  /** [[manifest]] with an EXPLICIT within-shard order — the CURRICULUM
+    * export: shard assignment stays the i.i.d. hash (every shard is
+    * still an interchangeable slice of the corpus), but rows inside
+    * each shard are ordered by `orderCol` (ascending, id tiebreak)
+    * instead of the order hash — e.g. a quality or LM score, so late
+    * training positions hold the best data (the quality-annealing
+    * schedule; curriculum learning à la Bengio et al. 2009 with a
+    * deterministic, auditable order). No `sort_key` column is emitted —
+    * the caller's order column IS the order contract.
+    */
+  def manifestOrdered(df: DataFrame, idCol: String, nShards: Int,
+                      orderCol: Column, partitions: Int = 64): DataFrame = {
+    requireNoCollision(df, Seq("shard", "seq"))
+    seqRanked(assignShard(df, idCol, nShards), idCol,
+      Seq(orderCol.asc), partitions)
+  }
+
+  private def requireNoCollision(df: DataFrame, out: Seq[String]): Unit =
+    out.foreach(c => require(!df.columns.contains(c),
+      s"output column '$c' collides with an input column; rename it"))
+
+  private def assignShard(df: DataFrame, idCol: String,
+                          nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard",
+      Sampling.hashBucket(guarded(col(idCol)), nShards, ShardSalt))
+  }
+
+  /** 1-based (orderCols, id) rank within each shard via ONE global
+    * [[GlobalRank.rowNumber]] over (shard, orderCols, id) re-based per
+    * shard by an nShards-row broadcast of per-shard min ranks (global
+    * order is shard-major, so rank − min + 1 IS the per-shard
+    * row_number).
+    */
+  private def seqRanked(assigned: DataFrame, idCol: String,
+                        orderCols: Seq[Column], partitions: Int): DataFrame = {
     val ranked = GlobalRank.rowNumber(assigned,
-      Seq(col("shard").asc, col("sort_key").asc, col(idCol).asc),
+      col("shard").asc +: orderCols :+ col(idCol).asc,
       rankCol = "__grank", partitions = partitions)
-    // re-base the global rank per shard: an nShards-row broadcast of
-    // per-shard min ranks (global order is shard-major, so within a
-    // shard rank − min + 1 is exactly the per-shard row_number)
     val base = ranked.groupBy(col("shard"))
       .agg(min(col("__grank")).as("__base"))
     ranked.join(broadcast(base), Seq("shard"))

@@ -581,34 +581,40 @@ object CurationQueries {
     graft.operators.NgramLm.flagged(Tables.documents(spark, dir),
       "doc_id", "text", col("lang") === "en", LmKeepPct)
 
-  def q149Oracle: String = {
+  /** CTE chain replaying [[graft.operators.NgramLm.score]] with the LM
+    * trained on `tgtSql` (an SQL boolean over `documents` columns):
+    * emits `{p}docs..{p}spt` with `{p}spt(doc_id, n_tok, lm_score,
+    * lm_score_per_tok)`. No leading WITH, no trailing comma — callers
+    * splice it (q149 once, q159 twice with different strata).
+    */
+  private def lmSptCtes(p: String, tgtSql: String): String = {
     import graft.operators.NgramLm.{AlphaDen, AlphaNum, RScale, SScale}
     val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
-    s"""WITH docs AS (
+    s"""${p}docs AS (
        |  SELECT doc_id, lang, $norm AS norm FROM documents
        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
-       |), docsf AS (
-       |  SELECT doc_id, lang = 'en' AS tgt, string_split(norm, ' ') AS t
-       |  FROM docs WHERE length(norm) > 0
-       |), grams AS (
+       |), ${p}docsf AS (
+       |  SELECT doc_id, $tgtSql AS tgt, string_split(norm, ' ') AS t
+       |  FROM ${p}docs WHERE length(norm) > 0
+       |), ${p}grams AS (
        |  SELECT doc_id, tgt,
        |    unnest(list_transform(range(len(t)), i -> struct_pack(
        |      w := t[i+1],
        |      prev := CASE WHEN i > 0 THEN t[i] END))) AS g
-       |  FROM docsf
-       |), cnt AS (
+       |  FROM ${p}docsf
+       |), ${p}cnt AS (
        |  SELECT doc_id, g.prev AS prev, g.w AS w,
        |    CAST(COUNT(*) AS BIGINT) AS c, bool_or(tgt) AS tgt
-       |  FROM grams GROUP BY 1, 2, 3
-       |), uni AS (
-       |  SELECT w, CAST(SUM(c) AS BIGINT) AS c1 FROM cnt WHERE tgt GROUP BY 1
-       |), big AS (
+       |  FROM ${p}grams GROUP BY 1, 2, 3
+       |), ${p}uni AS (
+       |  SELECT w, CAST(SUM(c) AS BIGINT) AS c1 FROM ${p}cnt WHERE tgt GROUP BY 1
+       |), ${p}big AS (
        |  SELECT prev, w, CAST(SUM(c) AS BIGINT) AS c2
-       |  FROM cnt WHERE tgt AND prev IS NOT NULL GROUP BY 1, 2
-       |), tot AS (
+       |  FROM ${p}cnt WHERE tgt AND prev IS NOT NULL GROUP BY 1, 2
+       |), ${p}tot AS (
        |  SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
-       |  FROM uni
-       |), s AS (
+       |  FROM ${p}uni
+       |), ${p}s AS (
        |  SELECT c.doc_id, c.c,
        |    CASE
        |      WHEN c.prev IS NULL
@@ -618,20 +624,24 @@ object CurationQueries {
        |      ELSE ($AlphaNum * $SScale * (COALESCE(u.c1, 0) + 1))
        |        // ($AlphaDen * (t.n + t.v))
        |    END AS s
-       |  FROM cnt c
-       |  LEFT JOIN uni u ON u.w = c.w
-       |  LEFT JOIN uni p ON p.w = c.prev
-       |  LEFT JOIN big b ON b.prev = c.prev AND b.w = c.w
-       |  CROSS JOIN tot t
-       |), scored AS (
+       |  FROM ${p}cnt c
+       |  LEFT JOIN ${p}uni u ON u.w = c.w
+       |  LEFT JOIN ${p}uni p ON p.w = c.prev
+       |  LEFT JOIN ${p}big b ON b.prev = c.prev AND b.w = c.w
+       |  CROSS JOIN ${p}tot t
+       |), ${p}scored AS (
        |  SELECT doc_id, CAST(SUM(c * s) AS BIGINT) AS lm_score,
        |    CAST(SUM(c) AS BIGINT) AS n_tok
-       |  FROM s GROUP BY 1
-       |), spt AS (
+       |  FROM ${p}s GROUP BY 1
+       |), ${p}spt AS (
        |  SELECT doc_id, n_tok, lm_score,
        |    (lm_score * $RScale) // n_tok AS lm_score_per_tok
-       |  FROM scored
-       |), nn AS (
+       |  FROM ${p}scored
+       |)""".stripMargin
+  }
+
+  def q149Oracle: String = {
+    s"""WITH ${lmSptCtes("", "lang = 'en'")}, nn AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spt
        |), cum AS (
        |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum
@@ -775,6 +785,117 @@ object CurationQueries {
        |  pos_score > neg_score AS pred
        |FROM sc""".stripMargin
   }
+
+  /** q159: Moore-Lewis cross-entropy-difference selection — score every
+    * document under an IN-DOMAIN bigram LM (the `lang='en'` stratum,
+    * the q136/q149 target) and a GENERAL LM (trained on the whole
+    * corpus), rank by the integer excess, keep the top [[MlKeepPct]]%
+    * (threshold ties survive). The oracle replays BOTH complete LM
+    * chains (the q149 CTE chain twice, different strata), the doc-keyed
+    * join, every excess, and the exact-rank cut.
+    * See [[graft.operators.NgramLm.contrastiveFlagged]].
+    */
+  val MlKeepPct = 50
+
+  def q159MooreLewis(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.contrastiveFlagged(Tables.documents(spark, dir),
+      "doc_id", "text", col("lang") === "en", lit(true), MlKeepPct)
+
+  def q159Oracle: String =
+    s"""WITH ${lmSptCtes("il", "lang = 'en'")}, ${lmSptCtes("gl", "TRUE")},
+       |j AS (
+       |  SELECT a.doc_id, a.n_tok, a.lm_score_per_tok AS in_spt,
+       |    b.lm_score_per_tok AS gen_spt,
+       |    a.lm_score_per_tok - b.lm_score_per_tok AS excess
+       |  FROM ilspt a JOIN glspt b USING (doc_id)
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j
+       |), cum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT excess AS v, COUNT(*) AS c FROM j GROUP BY 1)
+       |), thr AS (
+       |  SELECT MIN(v) AS t FROM cum CROSS JOIN nn
+       |  WHERE cum >= n - ((n * $MlKeepPct) // 100) + 1
+       |)
+       |SELECT doc_id, n_tok, in_spt, gen_spt, excess,
+       |  excess >= thr.t AS keep
+       |FROM j CROSS JOIN thr""".stripMargin
+
+  /** q160: CURRICULUM-ordered shard export — q157's hash sharding with
+    * q149's exact-integer LM score as the within-shard order: shards
+    * stay i.i.d. hash slices, but each shard's late positions hold the
+    * highest-LM-score docs (the quality-annealing schedule). Only docs
+    * the LM can score (non-empty normalized text) are exported — a
+    * curriculum needs a key. The oracle replays the whole LM chain,
+    * the shard hash, and the per-shard (score, id) row_number.
+    * See [[graft.operators.Sharding.manifestOrdered]].
+    */
+  val CurrShards = 4
+
+  def q160CurriculumShards(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.NgramLm.score(Tables.documents(spark, dir),
+      "doc_id", "text", col("lang") === "en")
+      .select(col("doc_id"), col("lm_score_per_tok"))
+    graft.operators.Sharding.manifestOrdered(scored, "doc_id", CurrShards,
+      col("lm_score_per_tok"))
+  }
+
+  def q160Oracle: String =
+    s"""WITH ${lmSptCtes("", "lang = 'en'")}, a AS (
+       |  SELECT doc_id, lm_score_per_tok,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8) AS BIGINT)
+       |      % $CurrShards AS shard
+       |  FROM spt
+       |)
+       |SELECT doc_id, lm_score_per_tok, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY lm_score_per_tok, doc_id) AS BIGINT) AS seq
+       |FROM a""".stripMargin
+
+  /** q161: STREAMING quality classification — the frozen-model twin of
+    * q156 under the q152 sink discipline: the NB model fits ONCE on the
+    * full static corpus, then a capped document feed (`doc_id <
+    * [[NbFeedCap]]`, the SF-invariant harness convention) arrives
+    * through a REAL MemoryStream in [[NbStreamBatches]] micro-batches,
+    * each scored with the frozen model and published as its own
+    * `score_batch` partition (staging → rename; the last batch is
+    * re-applied directly and must no-op on the marker). The gated
+    * result is the scored table read back from DISK — and the oracle is
+    * q156's replay restricted to the fed ids, because frozen-model
+    * scoring is per-document (the monoid contract).
+    * See [[graft.streaming.NbStreamFilter]].
+    */
+  val NbFeedCap = 400L
+  val NbStreamBatches = 3
+
+  final case class DocEvent(doc_id: Long, text: String)
+
+  private val q161Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def q161NbStream(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q161Invocation.incrementAndGet()
+    val target = s"${PipelineQueries.scratch}/q161_$inv/nb"
+    val docs = Tables.documents(spark, dir)
+    val model = graft.operators.NbClassifier.fit(docs, "doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en")
+    val sink = graft.streaming.NbStreamFilter.appendBatch(
+      target, model, "doc_id", "text") _
+    val fed = docs.filter(col("doc_id") < NbFeedCap)
+    import spark.implicits._
+    val batches = FeedHarness.batchesOf(
+      fed.select((col("doc_id") % NbStreamBatches).as("b"),
+        col("doc_id"), col("text")), "b")(r =>
+      DocEvent(r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    FeedHarness.driveForeach(spark, batches)(sink)
+    // retry of the LAST applied batch id — must no-op on the marker
+    sink(fed.filter(col("doc_id") % NbStreamBatches === NbStreamBatches - 1)
+      .select(col("doc_id"), col("text")), (NbStreamBatches - 1).toLong)
+    graft.streaming.NbStreamFilter.readScored(spark, target)
+  }
+
+  def q161Oracle: String =
+    s"""$q156Oracle
+       |WHERE doc_id < $NbFeedCap""".stripMargin
 
   /** q157: deterministic training-shard export manifest — every document
     * assigned to one of [[ShardCount]] shards by salted md5, ordered

@@ -505,6 +505,95 @@ object IvfQueries {
        |FROM embjoin ej JOIN semflags f ON f.vec_id = ej.chunk_id""".stripMargin
   }
 
+  /** q162: SEMANTIC eval-train contamination audit — the
+    * embedding-space twin of the n-gram contamination audit (q51):
+    * deterministic 20% eval split by salted hash, OCCUPANCY-ADAPTIVE
+    * trained assignment (the q121 ladder — flat regime at every shipped
+    * SF), eval×train pairs confined to cells, per-eval nearest train
+    * neighbor + contaminated flag at the q31/q121 near-dup threshold.
+    * The oracle replays the cell/modulus ladders, training, every
+    * assignment, the split hash, every cell-confined cosine, the
+    * (cos DESC, id ASC) rank-1, and each flag.
+    * See [[graft.operators.dedup.SemanticContamination]].
+    */
+  val ContamEvalBuckets = 5
+
+  def q162SemanticContamination(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.dedup.SemanticContamination.auditAdaptive(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      vid => graft.operators.Sampling.hashBucket(
+        vid, ContamEvalBuckets, ":semsplit") === 0,
+      SemThreshold, TrainIters, SimilarityQueries.Dims,
+      oracleFlatLadder = true)
+
+  def q162Oracle: String = {
+    import graft.operators.dedup.SemanticDedup
+    import graft.operators.similarity.NswAnn
+    val dims = SimilarityQueries.Dims
+    def dot(a: String, b: String) = (1 to dims)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def dotW(a: String, c: String) = (0 until dims)
+      .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*$c.w$i")
+      .mkString(" + ")
+    val sumsq = dot("embedding", "embedding")
+    // the occupancy/modulus knob ladders, replayed as integer CASE
+    // ladders over the corpus count — the q121 (semFlagCtes) discipline
+    val cellLadder = {
+      val steps = Iterator.iterate(SemanticDedup.BaseCells)(_ << 1)
+        .takeWhile(_ < SemanticDedup.MaxCoarse)
+        .map(k => s"WHEN count(*) <= ${k.toLong * SemanticDedup.TargetCell} THEN $k")
+        .mkString(" ")
+      s"SELECT CASE $steps ELSE ${SemanticDedup.MaxCoarse} END AS k FROM embeddings"
+    }
+    val modLadder = {
+      val steps = Iterator.iterate(1)(_ << 1)
+        .takeWhile(_ < NswAnn.MaxModulus)
+        .map(m => s"WHEN count(*) <= ${m.toLong * NswAnn.TrainCap} THEN $m")
+        .mkString(" ")
+      s"SELECT CASE $steps ELSE ${NswAnn.MaxModulus} END AS m FROM embeddings"
+    }
+    val training = KMeansExact.oracleCtes("cm",
+      "(SELECT * FROM embeddings WHERE vec_id % (SELECT m FROM smod) = 0)",
+      "vec_id", "embedding", SemanticDedup.MaxCoarse, TrainIters, dims,
+      kSql = "SELECT k FROM nc")
+    s"""WITH nc AS ($cellLadder),
+       |smod AS ($modLadder),
+       |$training
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS e, sqrt($sumsq) AS nrm FROM embeddings
+       |), asgscore AS (
+       |  SELECT v.vec_id AS vid, v.e, v.nrm, c.cid,
+       |    (${dotW("v.e", "c")}) / (v.nrm * c.cnrm) AS ccos
+       |  FROM n v CROSS JOIN cmcw c
+       |), asg AS MATERIALIZED (
+       |  SELECT vid, e, nrm, cid AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS crank
+       |    FROM asgscore) t
+       |  WHERE crank = 1
+       |), fl AS MATERIALIZED (
+       |  SELECT *, CAST('0x' || substr(md5(CAST(vid AS VARCHAR) || ':semsplit'), 1, 8) AS BIGINT)
+       |      % $ContamEvalBuckets = 0 AS ev
+       |  FROM asg
+       |), pairs AS (
+       |  SELECT a.vid AS e_id, b.vid AS t_id,
+       |    (${dot("a.e", "b.e")}) / (a.nrm * b.nrm) AS cos
+       |  FROM fl a JOIN fl b ON b.cluster_id = a.cluster_id AND NOT b.ev
+       |  WHERE a.ev
+       |), best AS (
+       |  SELECT e_id, t_id, cos FROM (
+       |    SELECT e_id, t_id, cos,
+       |      row_number() OVER (PARTITION BY e_id ORDER BY cos DESC, t_id ASC) AS rn
+       |    FROM pairs) t
+       |  WHERE rn = 1
+       |)
+       |SELECT f.vid AS vec_id, f.cluster_id, b.t_id AS nn_train_id,
+       |  b.cos AS nn_cosine,
+       |  COALESCE(b.cos > $SemThreshold, FALSE) AS contaminated
+       |FROM fl f LEFT JOIN best b ON b.e_id = f.vid
+       |WHERE f.ev""".stripMargin
+  }
+
   /** q158: prototype-distance data pruning (Sorscher et al. 2022) — the
     * q33/q121 exact k-means substrate driving a KEEP-HARD cut: every
     * embedding assigned to its trained centroid by exact int64 squared

@@ -102,4 +102,47 @@ class NgramLmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L))
   }
+
+  // a corpus where generic boilerplate DOMINATES the general stratum:
+  // the single-LM cut's blind spot — boilerplate is generically
+  // predictable — which the Moore-Lewis difference cancels
+  private def mlCorpus = (
+    fluent.zipWithIndex.map { case (t, i) => (i.toLong, t, "tgt") } ++
+      (0 until 4).map(i =>
+        (20L + i, "click here subscribe now accept all cookies", "boiler")) ++ Seq(
+      (10L, "the quick fox jumps over the old tree", "cand"),
+      (12L, "click here subscribe now accept all cookies", "cand")))
+    .toDF("doc_id", "text", "src")
+
+  test("moore-lewis: excess ranks in-domain text above corpus-dominant boilerplate") {
+    val out = NgramLm.contrastiveFlagged(mlCorpus, "doc_id", "text",
+      col("src") === "tgt", lit(true), keepPct = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("excess"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(10L)._1 > out(12L)._1,
+      s"in-domain candidate must out-rank the boilerplate twin: ${out(10L)} vs ${out(12L)}")
+    // top-50% of the 10-doc pool = the 4 target docs + the in-domain
+    // candidate; the boilerplate docs (generically predictable, not
+    // in-domain-like) all fall
+    assert(out(10L)._2, "in-domain candidate kept")
+    assert(!out(12L)._2, "boilerplate candidate cut")
+    (20L until 24L).foreach(i => assert(!out(i)._2, s"boilerplate doc $i cut"))
+  }
+
+  test("moore-lewis: excess is exactly in_spt - gen_spt, strata wired to the right LMs") {
+    val flagged = NgramLm.contrastiveFlagged(mlCorpus, "doc_id", "text",
+      col("src") === "tgt", lit(true), keepPct = 100).collect()
+    val inScores = NgramLm.score(mlCorpus, "doc_id", "text", col("src") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score_per_tok")).toMap
+    val genScores = NgramLm.score(mlCorpus, "doc_id", "text", lit(true))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("lm_score_per_tok")).toMap
+    flagged.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("in_spt") == inScores(id))
+      assert(r.getAs[Long]("gen_spt") == genScores(id))
+      assert(r.getAs[Long]("excess") == inScores(id) - genScores(id))
+      assert(r.getAs[Boolean]("keep"), "keepPct=100 keeps everything")
+    }
+    assert(flagged.length == 10, "every non-empty doc scored")
+  }
 }

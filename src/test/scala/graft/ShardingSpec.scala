@@ -69,6 +69,29 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("manifestOrdered: within-shard seq follows the explicit order column, id tiebreak") {
+    val d = (1 to 100).map(i => (i.toLong, (100 - i).toLong % 10))
+      .toDF("doc_id", "quality")
+    val m = Sharding.manifestOrdered(d, "doc_id", 4, col("quality")).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq")) ->
+        (r.getAs[Long]("quality"), r.getAs[Long]("doc_id"))).toMap
+    assert(m.size == 100)
+    m.foreach { case ((s, q), (qual, id)) =>
+      if (q > 1) {
+        val (prevQual, prevId) = m((s, q - 1))
+        assert(prevQual < qual || (prevQual == qual && prevId < id),
+          s"shard $s: seq ${q - 1}->${q} violates (quality, id) order")
+      }
+    }
+    // shard assignment is IDENTICAL to the hash manifest's — the order
+    // knob must not move rows between shards
+    val hashShards = Sharding.manifest(d.select("doc_id"), "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val ordShards = Sharding.manifestOrdered(d, "doc_id", 4, col("quality"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(hashShards == ordShards)
+  }
+
   test("manifest: refuses output-column collisions and bad shard counts") {
     intercept[IllegalArgumentException] {
       Sharding.manifest(docs(5).withColumn("shard", lit(1)), "doc_id", 4)
