@@ -582,16 +582,20 @@ object CurationQueries {
       "doc_id", "text", col("lang") === "en", LmKeepPct)
 
   /** CTE chain replaying [[graft.operators.NgramLm.score]] with the LM
-    * trained on `tgtSql` (an SQL boolean over `documents` columns):
+    * trained on `tgtSql` (an SQL boolean over the source's columns):
     * emits `{p}docs..{p}spt` with `{p}spt(doc_id, n_tok, lm_score,
-    * lm_score_per_tok)`. No leading WITH, no trailing comma — callers
-    * splice it (q149 once, q159 twice with different strata).
+    * lm_score_per_tok)`. `fromSql` is the corpus source (a table name or
+    * parenthesized subquery exposing doc_id, lang, text — q163 passes
+    * the funnel's stage-survivor subquery). No leading WITH, no
+    * trailing comma — callers splice it (q149 once, q159 twice with
+    * different strata, q163 over survivors).
     */
-  private def lmSptCtes(p: String, tgtSql: String): String = {
+  private def lmSptCtes(p: String, tgtSql: String,
+                        fromSql: String = "documents"): String = {
     import graft.operators.NgramLm.{AlphaDen, AlphaNum, RScale, SScale}
     val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
     s"""${p}docs AS (
-       |  SELECT doc_id, lang, $norm AS norm FROM documents
+       |  SELECT doc_id, lang, $norm AS norm FROM $fromSql
        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
        |), ${p}docsf AS (
        |  SELECT doc_id, $tgtSql AS tgt, string_split(norm, ' ') AS t
@@ -741,49 +745,74 @@ object CurationQueries {
       "doc_id", "text", col("lang") === "en",
       col("lang").isNotNull && col("lang") =!= "en")
 
-  def q156Oracle: String = {
-    import graft.operators.NbClassifier.{RScale, SScale}
+  /** CTE chain replaying [[graft.operators.NbClassifier]] with the two
+    * class strata as SQL booleans over the MODEL source's columns:
+    * emits `{p}nb…` ending in `{p}nbsc(doc_id, n_tok, pos_score,
+    * neg_score)`. The model fits on `modelFromSql` and the scoring runs
+    * over `scoreFromSql` — equal for q156/q161 (`score`'s shared-frame
+    * path), different for q163 (the fit/scoreWith split: model on the
+    * raw corpus, scoring on survivors). Same splice contract as
+    * [[lmSptCtes]].
+    */
+  private def nbCtes(p: String, posSql: String, negSql: String,
+                     modelFromSql: String = "documents",
+                     scoreFromSql: String = "documents"): String = {
+    import graft.operators.NbClassifier.SScale
     val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
-    s"""WITH docs AS (
-       |  SELECT doc_id, lang, $norm AS norm FROM documents
+    s"""${p}nbmdocs AS (
+       |  SELECT doc_id, lang, $norm AS norm FROM $modelFromSql
        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
-       |), toks AS (
-       |  SELECT doc_id, lang = 'en' AS pos,
-       |    lang IS NOT NULL AND lang <> 'en' AS neg,
+       |), ${p}nbmtoks AS (
+       |  SELECT doc_id, $posSql AS pos,
+       |    $negSql AS neg,
        |    unnest(string_split(norm, ' ')) AS w
-       |  FROM docs WHERE length(norm) > 0
-       |), cnt AS (
+       |  FROM ${p}nbmdocs WHERE length(norm) > 0
+       |), ${p}nbmcnt AS (
        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c,
        |    bool_or(pos) AS pos, bool_or(neg) AS neg
-       |  FROM toks GROUP BY 1, 2
-       |), model AS (
+       |  FROM ${p}nbmtoks GROUP BY 1, 2
+       |), ${p}nbmodel AS (
        |  SELECT w,
        |    CAST(SUM(CASE WHEN pos THEN c ELSE 0 END) AS BIGINT) AS np,
        |    CAST(SUM(CASE WHEN neg THEN c ELSE 0 END) AS BIGINT) AS nn
-       |  FROM cnt GROUP BY 1
+       |  FROM ${p}nbmcnt GROUP BY 1
        |  HAVING np > 0 OR nn > 0
-       |), tot AS (
+       |), ${p}nbtot AS (
        |  SELECT CAST(SUM(np) AS BIGINT) AS npos,
        |    CAST(SUM(nn) AS BIGINT) AS nneg,
        |    CAST(COUNT(*) AS BIGINT) AS v
-       |  FROM model
-       |), s AS (
+       |  FROM ${p}nbmodel
+       |), ${p}nbdocs AS (
+       |  SELECT doc_id, $norm AS norm FROM $scoreFromSql
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |), ${p}nbcnt AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(norm, ' ')) AS w
+       |    FROM ${p}nbdocs WHERE length(norm) > 0)
+       |  GROUP BY 1, 2
+       |), ${p}nbs AS (
        |  SELECT c.doc_id, c.c,
        |    ($SScale * (COALESCE(m.np, 0) + 1)) // (t.npos + t.v) AS sp,
        |    ($SScale * (COALESCE(m.nn, 0) + 1)) // (t.nneg + t.v) AS sn
-       |  FROM cnt c LEFT JOIN model m USING (w) CROSS JOIN tot t
-       |), sc AS (
+       |  FROM ${p}nbcnt c LEFT JOIN ${p}nbmodel m USING (w)
+       |  CROSS JOIN ${p}nbtot t
+       |), ${p}nbsc AS (
        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
        |    CAST(SUM(c * sp) AS BIGINT) AS pos_score,
        |    CAST(SUM(c * sn) AS BIGINT) AS neg_score
-       |  FROM s GROUP BY 1
-       |)
+       |  FROM ${p}nbs GROUP BY 1
+       |)""".stripMargin
+  }
+
+  def q156Oracle: String = {
+    import graft.operators.NbClassifier.RScale
+    s"""WITH ${nbCtes("", "lang = 'en'", "lang IS NOT NULL AND lang <> 'en'")}
        |SELECT doc_id, n_tok, pos_score, neg_score,
        |  pos_score - neg_score AS margin,
        |  (pos_score * $RScale) // n_tok - (neg_score * $RScale) // n_tok
        |    AS margin_per_tok,
        |  pos_score > neg_score AS pred
-       |FROM sc""".stripMargin
+       |FROM nbsc""".stripMargin
   }
 
   /** q159: Moore-Lewis cross-entropy-difference selection — score every
@@ -896,6 +925,74 @@ object CurationQueries {
   def q161Oracle: String =
     s"""$q156Oracle
        |WHERE doc_id < $NbFeedCap""".stripMargin
+
+  /** q163: curation FUNNEL report — per-document drop attribution
+    * across the composed chain exact-dedup → Gopher rules → LM filter →
+    * NB classifier, each stage seeing only the previous stage's
+    * survivors (so the LM and the classifier TRAIN on the cleaned
+    * corpus — stage order changes the models, which is why this is a
+    * composition gate and not a join of the per-stage gates). The
+    * oracle replays the whole cascade: the fingerprint dedup, the full
+    * rules statistics (q127's builder), the LM chain TRAINED ON
+    * SURVIVORS (the q149 builder over a survivor subquery) incl. its
+    * rank cut, the NB model fitted on the RAW corpus and applied to
+    * survivors (the fit/scoreWith split), and the first-failure CASE.
+    * See [[graft.pipelines.CurationFunnel]].
+    */
+  val FunnelLmKeepPct = 70
+
+  def q163CurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CurationFunnel.stages(Tables.documents(spark, dir),
+      "doc_id", "text", col("lang") === "en",
+      col("lang").isNotNull && col("lang") =!= "en",
+      TextQueries.Q127Th, FunnelLmKeepPct)
+
+  def q163Oracle: String = {
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    val d2From = "SELECT b.doc_id, b.text FROM fb b JOIN fd1 USING (doc_id)"
+    val d3From =
+      "(SELECT b.doc_id, b.lang, b.text FROM fb b JOIN fd2 USING (doc_id))"
+    val d4From =
+      "(SELECT b.doc_id, b.lang, b.text FROM fb b JOIN fd3 USING (doc_id))"
+    s"""WITH fb AS (
+       |  SELECT doc_id, lang, text, $norm AS norm
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |), fvalid AS (
+       |  SELECT * FROM fb WHERE text IS NOT NULL AND length(norm) > 0
+       |), fd1 AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM fvalid GROUP BY md5(norm)
+       |),
+       |${TextQueries.qualityCtes(d2From, TextQueries.Q127Th)},
+       |fd2 AS (
+       |  SELECT doc_id FROM qrstats
+       |  WHERE ${TextQueries.qualityPassedSql(TextQueries.Q127Th)}
+       |),
+       |${lmSptCtes("fl", "lang = 'en'", d3From)},
+       |flnn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM flspt
+       |), flcum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT lm_score_per_tok AS v, COUNT(*) AS c FROM flspt GROUP BY 1)
+       |), flthr AS (
+       |  SELECT MIN(v) AS t FROM flcum CROSS JOIN flnn
+       |  WHERE cum >= n - ((n * $FunnelLmKeepPct) // 100) + 1
+       |), fd3 AS (
+       |  SELECT doc_id FROM flspt CROSS JOIN flthr WHERE lm_score_per_tok >= t
+       |),
+       |${nbCtes("fn", "lang = 'en'", "lang IS NOT NULL AND lang <> 'en'",
+         "documents", d4From)},
+       |fd4 AS (
+       |  SELECT doc_id FROM fnnbsc WHERE pos_score > neg_score
+       |)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.doc_id NOT IN (SELECT doc_id FROM fvalid) THEN 'invalid'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd1) THEN 'exact_dedup'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd2) THEN 'rules'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd3) THEN 'lm'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd4) THEN 'classifier'
+       |       ELSE 'kept' END AS stage
+       |FROM fb b""".stripMargin
+  }
 
   /** q157: deterministic training-shard export manifest — every document
     * assigned to one of [[ShardCount]] shards by salted md5, ordered

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.QualityRules
+import graft.pipelines.CurationFunnel
+
+class CurationFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // lenient thresholds sized to a hand corpus (the knob exists for
+  // exactly this — q127 ships the paper defaults)
+  private val Th = QualityRules.Thresholds(minWords = 5, minStops = 1)
+
+  private val prose =
+    "the quick fox and the lazy dog have fun with the old tree"
+  private val deProse =
+    "und der hund mit have the to of and that fox baum spielt gern dort"
+
+  private def corpus = Seq(
+    (1L, null.asInstanceOf[String], "en"),        // invalid: null text
+    (2L, "   ", "en"),                            // invalid: empty norm
+    (3L, prose, "en"),                            // dup group -> survivor
+    (4L, prose, "en"),                            // dup group -> exact_dedup
+    (5L, "zzz qqq xxx wwq yyq zaz", "en"),        // rules: zero stop words
+    (6L, "the fox and the dog have fun with trees", "en"),
+    (7L, deProse, "de"),
+    (8L, "the old tree and the quick dog have fun too", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  private def run(keepPct: Int) =
+    CurationFunnel.stages(corpus, "doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+      Th, keepPct)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("every doc attributed exactly once; hand-pinned early stages") {
+    val out = run(100)
+    assert(out.size == 8, "one attribution row per non-null-id doc")
+    assert(out(1L) == "invalid" && out(2L) == "invalid")
+    assert(out(4L) == "exact_dedup", "later duplicate falls at dedup")
+    assert(out(3L) != "exact_dedup", "min-id survivor passes dedup")
+    assert(out(5L) == "rules", "stopword-free doc falls at rules")
+  }
+
+  test("first failure wins: a duplicate that would also fail rules is exact_dedup") {
+    val dupAndBad = corpus.union(Seq(
+      (9L, "zzz qqq xxx wwq yyq zaz", "en")).toDF("doc_id", "text", "lang"))
+    val out = CurationFunnel.stages(dupAndBad, "doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+      Th, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 9 duplicates 5's text; 5 is the min-id survivor and falls at
+    // rules, 9 falls EARLIER, at dedup — stage order, not rule severity
+    assert(out(9L) == "exact_dedup")
+    assert(out(5L) == "rules")
+  }
+
+  test("report rollup equals the stage partition") {
+    val stages = run(60)
+    val report = CurationFunnel.report(corpus, "doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+      Th, 60)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = stages.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(report == expected)
+    assert(report.values.sum == 8)
+  }
+
+  test("the LM cut bites between rules and classifier") {
+    val lenient = run(100)
+    val strict = run(34) // keep top ~1/3 of the LM-scored survivors
+    // docs that were kept or classifier-judged under keepPct=100 can
+    // only move to 'lm' under the stricter cut — never backwards
+    strict.foreach { case (id, s) =>
+      val before = lenient(id)
+      if (s == "lm")
+        assert(before == "kept" || before == "classifier",
+          s"doc $id moved to lm from '$before'")
+      else assert(s == before, s"doc $id changed $before -> $s without an lm cut")
+    }
+    assert(strict.values.count(_ == "lm") > 0, "the strict cut must bite")
+  }
+
+  test("classifier stage = raw-corpus fit applied frozen to the LM survivors") {
+    val out = run(100)
+    // replicate the chain by hand: dedup survivors -> rules pass ->
+    // (keepPct=100 LM keeps all scored) -> frozen raw-fit NB over them
+    val s2Ids = Seq(3L, 6L, 7L, 8L)
+    val s3 = corpus.filter(col("doc_id").isin(s2Ids: _*))
+    val model = graft.operators.NbClassifier.fit(corpus, "doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en")
+    val nbKept = graft.operators.NbClassifier
+      .scoreWith(model, s3, "doc_id", "text")
+      .filter(col("pred")).select("doc_id").as[Long].collect().toSet
+    s2Ids.foreach { id =>
+      val expected = if (nbKept(id)) "kept" else "classifier"
+      assert(out(id) == expected, s"doc $id: ${out(id)} != $expected")
+    }
+    assert(out(7L) == "classifier",
+      "the de doc must fall at the classifier under the raw reference-vs-crawl fit")
+  }
+}

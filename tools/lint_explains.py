@@ -24,6 +24,19 @@ import sys
 
 # query -> (pattern substring, reason the shape is bounded)
 ALLOW = {
+    "q163_curation_funnel": [
+        ("BNLJ-nonscalar",
+         "q149's 1-row exact-rank threshold broadcast (HashAggregate "
+         "Keys:[] (223) -> Filter isnotnull -> Project -> "
+         "BroadcastExchange IdentityBroadcastMode (226) -> the lm keep "
+         "cut), scalar by construction and detector-verified in q149's "
+         "own section; here the SAME subtree renders nested inside the "
+         "cached LM-survivor InMemoryRelation's AdaptiveSparkPlan block, "
+         "whose '== Final Plan ==' lines drop the ':' continuation "
+         "column, so the child-indent walk cannot reach the broadcast "
+         "side to prove it scalar (detector limitation, not a plan "
+         "shape; NgramLm.flagged / CurationFunnel.stages)"),
+    ],
     "q120_guarded_join": [
         ("BNLJ-nonscalar",
          "the guard's null-safe semi-join evaluated on the SINGLE synthetic "
