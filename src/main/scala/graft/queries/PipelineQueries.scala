@@ -824,4 +824,36 @@ object PipelineQueries {
       |       WHEN score IS NULL THEN 'No Trend Data'
       |       ELSE 'Full Data' END AS trend_signal_status
       |FROM arms""".stripMargin
+
+  private val q164Invocation = new AtomicInteger(0)
+
+  /** q164: DSv2 WRITE round-trip — the connector's write tier
+    * (`SupportsWrite` with a two-phase staged-commit protocol: tasks
+    * stream to hidden attempt-unique staging files, task commit messages
+    * name them, job commit publishes exactly the committed set by
+    * rename). The gate writes the documents table through the connector
+    * (truncating overwrite) and reads it back through the connector's
+    * own scan; the oracle is the identity — a round-trip that drops,
+    * duplicates, mangles or re-types ANY row/field hash-mismatches.
+    * Unicode, embedded newlines and nulls all ride JSON escaping.
+    * See [[graft.sources.dsv2.RawJsonSource]].
+    */
+  def q164Dsv2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val inv = q164Invocation.incrementAndGet()
+    val base = s"$scratch/q164_$inv/docs"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    Tables.documents(spark, dir).select(cols.map(col): _*)
+      .write.format("graft.sources.dsv2.RawJsonSource")
+      .mode("overwrite").option("path", base).save()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.format("graft.sources.dsv2.RawJsonSource")
+      .schema(schema).option("path", base).load()
+  }
+
+  def q164Oracle: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
 }

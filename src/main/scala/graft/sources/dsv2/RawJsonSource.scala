@@ -58,13 +58,19 @@ class RawJsonSource extends TableProvider {
 }
 
 private[dsv2] class RawJsonTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-raw-json($path)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RawJsonScanBuilder(schema, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new RawJsonWriteBuilder(info.schema(), path, info.queryId())
 }
 
 private[dsv2] class RawJsonScanBuilder(fullSchema: StructType, path: String)
@@ -453,4 +459,159 @@ private[dsv2] class RawJsonPartitionReader(file: String, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------------
+// WRITE path (SupportsWrite): the connector tier that completes the raw-zone
+// story — the crawler-shaped JSONL this source READS can now also be
+// PRODUCED through the same connector, with the two-phase staged-commit
+// protocol a production file sink needs:
+//
+//   - every write TASK streams its rows to a unique file under a hidden
+//     `.staging_write_<queryId>/` dir (hidden names are invisible to this
+//     source's own reader and to the built-in readers — uncommitted data can
+//     never be observed);
+//   - task commit returns the staged file name as its commit MESSAGE; task
+//     abort deletes the attempt's file. A speculative/retried attempt writes
+//     its OWN uniquely-named file, so two attempts never collide and only
+//     the attempt Spark commits is ever published;
+//   - job commit publishes exactly the committed messages' files by rename
+//     into the target (after deleting the target's visible files when the
+//     write is a truncating overwrite), then removes the staging dir; job
+//     abort just removes the staging dir — the target is untouched by a
+//     failed job.
+//
+// Field types mirror the read path (string/long/double/boolean); anything
+// else is rejected loudly at build time. Non-finite doubles are rejected
+// per row (JSON has no literal for them; silently writing "NaN" would
+// produce lines the corrupt-line skip silently DROPS on read-back — the
+// one failure a round-trip contract cannot absorb).
+// ---------------------------------------------------------------------------
+
+private[dsv2] class RawJsonWriteBuilder(schema: StructType, path: String,
+                                        queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write.{Write, WriteBuilder}
+
+  private var doTruncate = false
+
+  schema.fields.foreach { f =>
+    require(f.dataType == StringType || f.dataType == LongType ||
+      f.dataType == DoubleType || f.dataType == BooleanType,
+      s"graft raw-json write supports string/long/double/boolean only; " +
+        s"column '${f.name}' is ${f.dataType.simpleString}")
+  }
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new org.apache.spark.sql.connector.write.Write {
+    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      new RawJsonBatchWrite(schema, path, doTruncate, queryId,
+        new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    }
+  }
+}
+
+private[dsv2] case class RawJsonCommitMessage(stagedFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[dsv2] class RawJsonBatchWrite(schema: StructType, path: String,
+                                      truncate: Boolean, queryId: String,
+                                      conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private def stagingDir = new Path(path, s".staging_write_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RawJsonWriterFactory(schema, stagingDir.toString, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val target = new Path(path)
+    fs.mkdirs(target)
+    if (truncate) {
+      // overwrite contract: the connector's write layout is flat data
+      // files directly under `path`; visible entries are replaced, hidden
+      // bookkeeping (and this job's own staging) survives until cleanup
+      fs.listStatus(target).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          require(fs.delete(s.getPath, true), s"truncate: delete ${s.getPath} failed")
+      }
+    }
+    messages.foreach { case RawJsonCommitMessage(staged) =>
+      val src = new Path(staged)
+      require(fs.rename(src, new Path(target, src.getName)),
+        s"publish $src failed")
+    }
+    fs.delete(stagingDir, true)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    fs.delete(stagingDir, true)
+    ()
+  }
+}
+
+private[dsv2] class RawJsonWriterFactory(schema: StructType, stagingDir: String,
+                                         conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new RawJsonDataWriter(schema, stagingDir, partitionId, taskId, conf)
+}
+
+private[dsv2] class RawJsonDataWriter(schema: StructType, stagingDir: String,
+                                      partitionId: Int, taskId: Long,
+                                      conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  // attempt-unique name: a speculative twin writes its own file and only
+  // the committed attempt's message is ever published
+  private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId.jsonl")
+  private val fs = file.getFileSystem(conf.value)
+  private val out = fs.create(file, true)
+  private val mapper = new ObjectMapper()
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case StringType  => node.put(f.name, row.getUTF8String(i).toString)
+        case LongType    => node.put(f.name, row.getLong(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case DoubleType  =>
+          val d = row.getDouble(i)
+          require(!d.isNaN && !d.isInfinite,
+            s"graft raw-json write: non-finite double in '${f.name}' — " +
+              "JSON has no literal; a written 'NaN' line would be silently " +
+              "dropped as corrupt on read-back")
+          node.put(f.name, d)
+        case other => throw new IllegalStateException(
+          s"unreachable: builder rejects ${other.simpleString}")
+      }
+    }
+    out.write((mapper.writeValueAsString(node) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    RawJsonCommitMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    fs.delete(file, false)
+    ()
+  }
+
+  override def close(): Unit = ()
 }
