@@ -842,8 +842,12 @@ object PipelineQueries {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val inv = q164Invocation.incrementAndGet()
     val base = s"$scratch/q164_$inv/docs"
-    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-    Tables.documents(spark, dir).select(cols.map(col): _*)
+    // integral widths drift across corpus generators (the 100× probe
+    // corpus carries n_chars as INT) — normalize to the connector's
+    // long grain, the Tables.events layout-normalization discipline
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"))
       .write.format("graft.sources.dsv2.RawJsonSource")
       .mode("overwrite").option("path", base).save()
     val schema = StructType(Seq(
