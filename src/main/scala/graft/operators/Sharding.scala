@@ -121,6 +121,28 @@ object Sharding {
       .drop("__grank", "__base")
   }
 
+  /** Per-shard INTEGRITY stats — the audit table a byte-reproducible
+    * export ships beside its shards: (shard, n_docs, min_key, max_key,
+    * xor_key), where xor_key is the bit-XOR of the 52-bit order hashes.
+    * A re-export, a restored backup, or a downstream copy re-derives the
+    * same table from ids alone and diffs it without reading contents —
+    * any dropped, duplicated or substituted id flips n_docs and/or
+    * xor_key in exactly its shard (xor is order-free, so the check needs
+    * no sort). Scale shape: the pure per-row assignment projection plus
+    * ONE nShards-sized aggregate — count/min/max/xor all partial-combine
+    * map-side; no rank, no shuffle beyond the dim-sized agg.
+    */
+  def shardStats(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    requireNoCollision(df, Seq("shard", "sort_key"))
+    assignShard(df, idCol, nShards)
+      .withColumn("sort_key", sortKey(col(idCol)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("sort_key")).as("min_key"),
+        max(col("sort_key")).as("max_key"),
+        expr("bit_xor(sort_key)").as("xor_key"))
+  }
+
   /** Physical export: one directory per shard, rows inside each file in
     * manifest `seq` order. `repartition(nShards, shard)` bounds writer
     * parallelism to the shard count; `sortWithinPartitions` orders

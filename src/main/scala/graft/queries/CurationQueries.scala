@@ -994,6 +994,32 @@ object CurationQueries {
        |FROM fb b""".stripMargin
   }
 
+  /** q165: shard export INTEGRITY stats — q157's manifest reduced to
+    * the per-shard audit table (count, min/max/xor of the 52-bit order
+    * hashes) a byte-reproducible export ships beside its shards: any
+    * dropped/duplicated/substituted id flips n_docs and/or xor_key in
+    * exactly its shard, order-free. The oracle replays both hashes and
+    * all four aggregates. See [[graft.operators.Sharding.shardStats]].
+    */
+  def q165ShardStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.shardStats(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      "doc_id", ShardCount)
+
+  def q165Oracle: String =
+    s"""WITH a AS (
+       |  SELECT
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8) AS BIGINT)
+       |      % $ShardCount AS shard,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 13) AS BIGINT)
+       |      AS sort_key
+       |  FROM documents
+       |)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(sort_key) AS min_key, MAX(sort_key) AS max_key,
+       |  BIT_XOR(sort_key) AS xor_key
+       |FROM a GROUP BY 1""".stripMargin
+
   /** q157: deterministic training-shard export manifest — every document
     * assigned to one of [[ShardCount]] shards by salted md5, ordered
     * within its shard by an independent 52-bit md5 sort key, `seq` the

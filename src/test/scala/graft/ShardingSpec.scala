@@ -92,6 +92,36 @@ class ShardingSpec extends SparkSpec {
     assert(hashShards == ordShards)
   }
 
+  test("shardStats: agrees with the manifest and detects a dropped or substituted id") {
+    val d = docs(240)
+    val stats = Sharding.shardStats(d, "doc_id", 4).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_key"),
+          r.getAs[Long]("max_key"), r.getAs[Long]("xor_key"))).toMap
+    // recompute every field from the full manifest
+    val m = Sharding.manifest(d.select("doc_id"), "doc_id", 4).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("sort_key")))
+    m.groupBy(_._1).foreach { case (s, rows) =>
+      val keys = rows.map(_._2)
+      assert(stats(s) == (keys.size.toLong, keys.min, keys.max,
+        keys.reduce(_ ^ _)), s"shard $s stats drift from the manifest")
+    }
+    // tamper: drop one doc -> exactly its shard's n_docs and xor change
+    val victim = 17L
+    val vShard = m.zip(Sharding.manifest(d.select("doc_id"), "doc_id", 4)
+      .collect().map(_.getAs[Long]("doc_id"))).collectFirst {
+      case ((s, _), id) if id == victim => s }.get
+    val tampered = Sharding.shardStats(
+      d.filter(col("doc_id") =!= victim), "doc_id", 4).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("xor_key"))).toMap
+    stats.foreach { case (s, (n, _, _, x)) =>
+      if (s == vShard) assert(tampered(s)._1 == n - 1 && tampered(s)._2 != x,
+        s"shard $s must expose the dropped id")
+      else assert(tampered(s) == (n, x), s"untouched shard $s changed")
+    }
+  }
+
   test("manifest: refuses output-column collisions and bad shard counts") {
     intercept[IllegalArgumentException] {
       Sharding.manifest(docs(5).withColumn("shard", lit(1)), "doc_id", 4)
