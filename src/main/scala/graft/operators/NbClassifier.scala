@@ -36,14 +36,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE (doc, w) partial-agg shuffle builds the token
   * multiset (the q54 tf shape); both class count tables and the (N, V)
-  * scalars reuse that cached frame; scoring is two broadcast hash
-  * joins (vocab is TRAINING-corpus-sized — the trusted reference is
-  * curated and small next to the corpus being scored; `broadcastCounts
-  * = false` falls back to shuffle joins for an unusually wide
-  * vocabulary) and one per-doc agg. Overflow is loud twice: a require
+  * scalars reuse that cached frame; scoring is ONE model join (vocab is
+  * TRAINING-corpus-sized — the trusted reference is curated and small
+  * next to the corpus being scored, so broadcast is the usual route; the
+  * DEFAULT is AUTO via [[JoinRouting]] — the fit's already-collected
+  * vocabulary size v is the model table's EXACT row count, sized against
+  * the session's autoBroadcastJoinThreshold, with
+  * `broadcastCounts = Some(true/false)` as the override) and one per-doc
+  * agg. Overflow is loud twice: a require
   * keeps `SScale·(N_c+V)` inside BIGINT at train time, and the
-  * per-doc RScale product raise_errors past ~9·10¹² tokens (the
-  * [[Dsir]] spt guard shape).
+  * per-doc RScale product raise_errors past ~9·10⁹ tokens per document
+  * (Long.MaxValue / (SScale·RScale) — the [[Dsir]] spt guard shape).
   */
 object NbClassifier {
 
@@ -111,9 +114,11 @@ object NbClassifier {
 
   /** Score a prepared token-count frame under a frozen model. */
   private def scoreCnt(m: NbModel, cnt: DataFrame,
-                       broadcastCounts: Boolean): DataFrame = {
-    val bc: DataFrame => DataFrame =
-      if (broadcastCounts) broadcast else identity
+                       broadcastCounts: Option[Boolean]): DataFrame = {
+    // auto-routing (JoinRouting): the model table is EXACTLY v rows (the
+    // training vocabulary — a scalar the fit already collected), sized
+    // against the session's autoBroadcastJoinThreshold; the knob overrides
+    val bc = JoinRouting.route(cnt.sparkSession, broadcastCounts, m.v)
     val model = bc(m.counts.select(col("w").as("__mw"),
       col("np").as("__np"), col("nn").as("__nn")))
     // out-of-vocabulary tokens carry count 0 in both classes — the add-one
@@ -128,7 +133,8 @@ object NbClassifier {
         sum(expr("c * sp")).as("pos_score"),
         sum(expr("c * sn")).as("neg_score"))
     // each score ≤ SScale·n_tok: the RScale product wraps only past
-    // ~9·10¹² tokens — fail loudly instead of silently (Dsir's guard)
+    // ~9·10⁹ tokens per doc (Long.MaxValue / (SScale·RScale)) — fail
+    // loudly instead of silently (Dsir's guard)
     def perTok(scoreCol: String): Column =
       when(col(scoreCol) > lit(Long.MaxValue / RScale),
         raise_error(concat(
@@ -150,8 +156,32 @@ object NbClassifier {
     * twin rides.
     */
   def scoreWith(m: NbModel, docs: DataFrame, idCol: String,
-                textCol: String, broadcastCounts: Boolean = true): DataFrame =
+                textCol: String,
+                broadcastCounts: Option[Boolean] = None): DataFrame =
     scoreCnt(m, tokenCounts(docs, idCol, textCol, Seq.empty), broadcastCounts)
+
+  /** Fit on `docs`' labeled strata and score ONLY the documents whose
+    * ids appear in `scoreIds` (single-column id frame) — from ONE shared
+    * tokenization: the flagged (doc, w) count frame is built once,
+    * cached, and serves BOTH the class-count fit and the survivor
+    * scoring (the survivors' token counts are a doc-keyed semi-join of
+    * the full frame — tokenization is per-document, so this is
+    * value-identical to re-tokenizing the subset). This is the
+    * [[NgramLm.contrastiveFlagged]] shared-gram-shuffle discipline
+    * applied across fit/score: the funnel's classifier stage (q163)
+    * previously tokenized the corpus twice — `fit` over ALL docs, then
+    * `scoreWith` re-tokenizing the survivors — and the corpus-wide
+    * tokenize+shuffle is the stage's dominant cost.
+    */
+  def fitAndScoreIds(docs: DataFrame, idCol: String, textCol: String,
+                     posPred: Column, negPred: Column, scoreIds: DataFrame,
+                     broadcastCounts: Option[Boolean] = None): DataFrame = {
+    val cnt = OpCache.cache(tokenCounts(docs, idCol, textCol,
+      Seq("__pos" -> posPred, "__neg" -> negPred)))
+    val m = modelFrom(cnt)
+    val ids = scoreIds.select(col(scoreIds.columns.head).as("doc_id"))
+    scoreCnt(m, cnt.join(ids, Seq("doc_id"), "left_semi"), broadcastCounts)
+  }
 
   /** Score every document under both class models:
     * (doc_id, n_tok, pos_score, neg_score, margin, margin_per_tok,
@@ -165,7 +195,7 @@ object NbClassifier {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             posPred: Column, negPred: Column,
-            broadcastCounts: Boolean = true): DataFrame = {
+            broadcastCounts: Option[Boolean] = None): DataFrame = {
     val cnt = OpCache.cache(tokenCounts(docs, idCol, textCol,
       Seq("__pos" -> posPred, "__neg" -> negPred)))
     scoreCnt(modelFrom(cnt), cnt, broadcastCounts)

@@ -50,8 +50,11 @@ import org.apache.spark.sql.functions._
   * exact-rank cut. Driver state: the (N, V) pair inside one 2-long agg
   * plus the rank cut's P partition totals — all bounded. The count
   * tables are CURATED-TARGET-sized (CCNet's is Wikipedia), so broadcast
-  * is the production default; `broadcastCounts=false` falls back to
-  * shuffle joins for an unusually wide target vocabulary. Overflow is
+  * is the usual route; the DEFAULT is now AUTO ([[JoinRouting]]): the
+  * already-paid (N, V) agg sizes the count tables against the session's
+  * autoBroadcastJoinThreshold (bigram rows ≤ N) and an unusually wide
+  * target vocabulary falls back to shuffle joins with no manual knob —
+  * `broadcastCounts = Some(true/false)` remains the override. Overflow is
   * loud twice: a require keeps `AlphaDen·SScale·(N+V)` under 2⁶³ at
   * train time, and the per-token projection raise_errors if the doc sum
   * would wrap under RScale (the [[Dsir]] spt guard shape).
@@ -104,7 +107,7 @@ object NgramLm {
     * and [[contrastiveFlagged]]. See [[score]] for the contract.
     */
   private def scoreFrom(cnt: DataFrame, flagCol: String,
-                        broadcastCounts: Boolean): DataFrame = {
+                        broadcastCounts: Option[Boolean]): DataFrame = {
     val uni = cnt.filter(col(flagCol))
       .groupBy(col("w")).agg(sum(col("c")).as("c1"))
     val big = cnt.filter(col(flagCol) && col("prev").isNotNull)
@@ -117,8 +120,11 @@ object NgramLm {
     require(n + v < Long.MaxValue / (SScale * AlphaDen),
       s"target too large for exact arithmetic (N=$n V=$v): " +
         s"AlphaDen*SScale*(N+V) would overflow BIGINT — lower SScale")
-    val bc: DataFrame => DataFrame =
-      if (broadcastCounts) broadcast else identity
+    // auto-routing (JoinRouting): the bigram table is the largest count
+    // table and its distinct-row count is bounded by N (every bigram type
+    // occurs at least once) — the conservative estimate the already-paid
+    // (N, V) agg gives for free; the knob stays as an explicit override
+    val bc = JoinRouting.route(cnt.sparkSession, broadcastCounts, n)
     val uw = bc(uni.select(col("w").as("__uw"), col("c1").as("__c1w")))
     val up = bc(uni.select(col("w").as("__up"), col("c1").as("__c1p")))
     val bg = bc(big.select(col("prev").as("__bp"), col("w").as("__bw"),
@@ -159,7 +165,8 @@ object NgramLm {
     * excluded from both the LM statistics and the scoring.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            targetPred: Column, broadcastCounts: Boolean = true): DataFrame = {
+            targetPred: Column,
+            broadcastCounts: Option[Boolean] = None): DataFrame = {
     val cnt = OpCache.cache(
       gramCounts(docs, idCol, textCol, Seq("__tgt" -> targetPred)))
     scoreFrom(cnt, "__tgt", broadcastCounts)
@@ -172,7 +179,7 @@ object NgramLm {
     */
   def flagged(docs: DataFrame, idCol: String, textCol: String,
               targetPred: Column, keepPct: Int,
-              broadcastCounts: Boolean = true): DataFrame = {
+              broadcastCounts: Option[Boolean] = None): DataFrame = {
     require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")
     val scored = OpCache.cache(
       score(docs, idCol, textCol, targetPred, broadcastCounts))
@@ -219,7 +226,7 @@ object NgramLm {
   def contrastiveFlagged(docs: DataFrame, idCol: String, textCol: String,
                          inDomainPred: Column, generalPred: Column,
                          keepPct: Int,
-                         broadcastCounts: Boolean = true): DataFrame = {
+                         broadcastCounts: Option[Boolean] = None): DataFrame = {
     require(keepPct >= 1 && keepPct <= 100, s"keepPct in [1,100], got $keepPct")
     // ONE (doc, prev, w) shuffle serves both LMs: the gram multiset is
     // identical, only the training flag differs — the count frame is

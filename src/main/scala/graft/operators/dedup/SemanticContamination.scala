@@ -62,11 +62,18 @@ object SemanticContamination {
     * is the one the oracle replays as integer CASE ladders (the q121
     * discipline).
     */
+  /** `knownN`: exact corpus row count when the caller already holds it —
+    * skips the ladder's own `count()` pass ([[SemanticDedup
+    * .flaggedAdaptive]]'s contract: must be exact, oracles replay the
+    * ladders from the same n).
+    */
   def auditAdaptive(vectors: DataFrame, idCol: String, vecCol: String,
                     evalPred: Column => Column, threshold: Double,
                     trainIters: Int, dims: Int,
-                    oracleFlatLadder: Boolean = false): DataFrame = {
-    val n = vectors.count()
+                    oracleFlatLadder: Boolean = false,
+                    knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(vectors.count())
+    require(n >= 0, s"knownN must be non-negative, got $n")
     val (kc, kf) = SemanticDedup.adaptiveTwoLevel(n)
     if (oracleFlatLadder) require(kf == 1,
       s"corpus n=$n is past the flat-ladder boundary: the caller's oracle " +

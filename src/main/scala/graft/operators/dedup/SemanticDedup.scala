@@ -113,10 +113,18 @@ object SemanticDedup {
     * past it the TWO-LEVEL rung takes over (q133 pins that path's full
     * oracle replay at forced knobs).
     */
+  /** `knownN`: the exact corpus row count, when the CALLER already knows
+    * it (a composition that just counted/built the frame) — skips the
+    * ladder's own `count()`, one fewer corpus pass. The value must be
+    * the exact count: the cell/modulus ladders are replayed by oracles
+    * from the same n, so a wrong knownN diverges the gate loudly.
+    */
   def flaggedAdaptive(vectors: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, trainIters: Int, dims: Int,
-                      oracleFlatLadder: Boolean = false): DataFrame = {
-    val n = vectors.count()
+                      oracleFlatLadder: Boolean = false,
+                      knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(vectors.count())
+    require(n >= 0, s"knownN must be non-negative, got $n")
     val (kc, kf) = adaptiveTwoLevel(n)
     if (oracleFlatLadder) require(kf == 1,
       s"corpus n=$n is past the flat-ladder boundary " +

@@ -192,10 +192,13 @@ object NswAnn {
     * (query_id, neighbor_id, cosine, rank).
     */
   def search(vectors: DataFrame, idCol: String, vecCol: String,
-             queryPred: Column => Column, k: Int): DataFrame = {
+             queryPred: Column => Column, k: Int,
+             knownN: Option[Long] = None): DataFrame = {
     val v = graft.operators.OpCache.cache(
       projected(vectors, idCol, vecCol))
-    val nHubs = adaptiveHubs(v.count()) // bounded driver scalar
+    // knownN: exact corpus count a composition already holds — skips the
+    // ladder's own count() pass (SemanticDedup.flaggedAdaptive's contract)
+    val nHubs = adaptiveHubs(knownN.getOrElse(v.count())) // bounded scalar
     searchWhere(v, col("vid") < nHubs, queryPred, k)
   }
 
@@ -213,10 +216,10 @@ object NswAnn {
     */
   def searchTrained(vectors: DataFrame, idCol: String, vecCol: String,
                     queryPred: Column => Column, k: Int, trainIters: Int,
-                    dims: Int): DataFrame = {
+                    dims: Int, knownN: Option[Long] = None): DataFrame = {
     val v = graft.operators.OpCache.cache(
       projected(vectors, idCol, vecCol))
-    val n = v.count() // bounded driver scalar
+    val n = knownN.getOrElse(v.count()) // bounded driver scalar
     val nHubs = adaptiveHubs(n)
     val m = trainModulus(n)
     val qzs = graft.operators.OpCache.cache(KMeansExact.quantized(

@@ -61,14 +61,17 @@ object CurationFunnel {
     // stage 4: LM filter, trained on the surviving target stratum
     val d3 = OpCache.cache(NgramLm.flagged(s2, idCol, textCol, posPred,
       lmKeepPct).filter(col("keep")).select(col("doc_id").as(idCol)))
-    val s3 = s2.join(d3, Seq(idCol), "left_semi")
     // stage 5: NB classifier — FITTED ON THE RAW CORPUS, applied to the
     // survivors (GPT-3's shape: the negative stratum IS raw crawl, so
     // the model must see it pre-filter; and a frozen raw-corpus fit
-    // cannot lose a whole training stratum to an upstream cut)
-    val model = NbClassifier.fit(docs, idCol, textCol, posPred, negPred)
-    val d4 = OpCache.cache(NbClassifier.scoreWith(model, s3, idCol, textCol)
-      .filter(col("pred")).select(col("doc_id").as(idCol)))
+    // cannot lose a whole training stratum to an upstream cut). ONE
+    // shared tokenization serves fit AND score: the survivors' counts
+    // are an id semi-join of the cached flagged (doc, w) frame, not a
+    // second corpus-wide tokenize+shuffle (fitAndScoreIds) — s3's id set
+    // IS d3, so the semi-join needs no extra materialization
+    val d4 = OpCache.cache(
+      NbClassifier.fitAndScoreIds(docs, idCol, textCol, posPred, negPred, d3)
+        .filter(col("pred")).select(col("doc_id").as(idCol)))
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(true))
     base.select(col(idCol))

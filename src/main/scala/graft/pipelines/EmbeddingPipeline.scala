@@ -74,11 +74,18 @@ object EmbeddingPipeline {
     */
   val StubModel = "stub"
 
+  /** `knownChunks`: the exact SURVIVING-chunk count when the caller
+    * already holds it (e.g. a driver that just materialized the chunk
+    * store) — forwarded to the semantic-dedup ladder so it skips its own
+    * `count()` pass over the cached chunk frame (one fewer job; must be
+    * exact — the oracle replays the cell ladder from the same n).
+    */
   def run(docs: DataFrame, embeddings: DataFrame, idCol: String,
           textCol: String, chunkTokens: Int, overlap: Int,
           threshold: Double, trainIters: Int, dims: Int,
           oracleFlatLadder: Boolean = false,
-          model: String = StubModel): DataFrame = {
+          model: String = StubModel,
+          knownChunks: Option[Long] = None): DataFrame = {
     val registered = Embedders.byModel.get(model)
     registered.foreach(e => require(e.dims == dims,
       s"embedder '$model' emits ${e.dims}-dim vectors, pipeline wants $dims"))
@@ -148,7 +155,7 @@ object EmbeddingPipeline {
     val flags = SemanticDedup.flaggedAdaptive(
         withVec.select(col("chunk_id"), col("embedding")),
         "chunk_id", "embedding", threshold, trainIters, dims,
-        oracleFlatLadder = oracleFlatLadder)
+        oracleFlatLadder = oracleFlatLadder, knownN = knownChunks)
       .withColumnRenamed("vec_id", "chunk_id")
     withVec.select(col("chunk_id"), col("n_dups"), col("vec_id"))
       .join(flags, Seq("chunk_id"))

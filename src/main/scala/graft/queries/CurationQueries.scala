@@ -1027,6 +1027,15 @@ object CurationQueries {
     * hashes digit-for-digit and the rank as a per-shard row_number.
     * See [[graft.operators.Sharding]] for the scale shape (projection +
     * GlobalRank two-phase rank — no single-partition window).
+    *
+    * Null-id contract (q157 AND q165, intentionally unlike the other
+    * documents oracles' `doc_id IS NOT NULL` convention): an export
+    * manifest must account for EVERY document, so Sharding raise_errors
+    * on a null id rather than silently dropping or NULL-bucketing it.
+    * The oracles deliberately do NOT null-filter either — if the corpus
+    * generator ever emits a null doc_id the Spark side fails LOUDLY and
+    * the gate reads as an error to investigate, never as a clean pass
+    * over a silently nulled shard row.
     */
   val ShardCount = 8
 

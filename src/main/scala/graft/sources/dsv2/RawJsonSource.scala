@@ -478,8 +478,13 @@ private[dsv2] class RawJsonPartitionReader(file: String, required: StructType,
 //   - job commit publishes exactly the committed messages' files by rename
 //     into the target (after deleting the target's visible files when the
 //     write is a truncating overwrite), then removes the staging dir; job
-//     abort just removes the staging dir — the target is untouched by a
-//     failed job.
+//     abort just removes the staging dir — the target is untouched by any
+//     PRE-COMMIT failure or job abort. Published names carry the queryId,
+//     so appends from different Spark applications (whose taskIds can
+//     repeat) never collide. The commit phase itself is rename-at-a-time,
+//     not atomic: a crash mid-commit can leave a partially published
+//     target (the usual file-sink contract — an object-store-atomic
+//     commit needs a manifest tier, out of this connector's scope).
 //
 // Field types mirror the read path (string/long/double/boolean); anything
 // else is rejected loudly at build time. Non-finite doubles are rejected
@@ -544,7 +549,11 @@ private[dsv2] class RawJsonBatchWrite(schema: StructType, path: String,
     }
     messages.foreach { case RawJsonCommitMessage(staged) =>
       val src = new Path(staged)
-      require(fs.rename(src, new Path(target, src.getName)),
+      // queryId-prefixed published name: staged names are only
+      // (partitionId, taskId)-unique, and taskIds repeat across Spark
+      // APPLICATIONS — two appends from different apps must never
+      // rename onto the same target file
+      require(fs.rename(src, new Path(target, s"$queryId-${src.getName}")),
         s"publish $src failed")
     }
     fs.delete(stagingDir, true)
@@ -602,16 +611,26 @@ private[dsv2] class RawJsonDataWriter(schema: StructType, stagingDir: String,
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  override def commit(): WriterCommitMessage = {
+  private var closed = false
+  private def closeOut(): Unit = if (!closed) {
+    closed = true
     out.close()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeOut()
     RawJsonCommitMessage(file.toString)
   }
 
   override def abort(): Unit = {
-    try out.close() catch { case _: Exception => () }
+    try closeOut() catch { case _: Exception => () }
     fs.delete(file, false)
     ()
   }
 
-  override def close(): Unit = ()
+  // Spark guarantees commit() or abort() inside DataWritingSparkTask, but
+  // a harness reusing the writer outside that path calls only close() —
+  // release the staged handle on every exit (idempotent)
+  override def close(): Unit =
+    try closeOut() catch { case _: Exception => () }
 }
