@@ -31,6 +31,66 @@ import org.apache.spark.sql.functions._
   * singleton clusters and are not materialized.
   */
 object DupClusters {
+
+  /** Partition-local PRE-CONTRACTION (the "local contraction" optimization
+    * of the MapReduce-CC literature, cf. Kiveris et al. SoCC'14 §6): run
+    * union-find INSIDE each arriving edge partition and emit one
+    * (node → local-representative) star edge per distinct non-root node.
+    * A union-find forest spans exactly the partition's connectivity, so
+    * the GLOBAL component structure — and therefore the unique min-id
+    * fixpoint both CC variants converge to — is unchanged, while the edge
+    * set the global rounds shuffle collapses by the partition-local
+    * clustering factor (near-dup pair generators emit bucket-adjacent
+    * edges, so one partition often holds whole clusters) and the residual
+    * graph's DIAMETER collapses too (each local component becomes a
+    * depth-1 star), cutting global rounds.
+    *
+    * Runs NARROW — no repartition: it exploits whatever locality the
+    * generator's partitioning already has; worst case (zero locality) it
+    * emits ≤ one edge per input edge endpoint and the global rounds see
+    * what they saw before. Memory is the distinct-nodes-per-partition
+    * hash map — the same order as a shuffle hash table over the
+    * partition. Nulls are dropped (no identity to merge — both variants'
+    * documented contract); a self-loop registers its node but emits no
+    * edge (the node surfaces as a singleton via the separate node
+    * universe).
+    */
+  private def precontract(raw: DataFrame): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(raw.schema)
+    raw.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(a: Any): Any = {
+        if (!parent.containsKey(a)) { parent.put(a, a); a }
+        else {
+          var root = a
+          while (parent.get(root) != root) root = parent.get(root)
+          var cur = a // path compression: value updates only, no new keys
+          while (parent.get(cur) != cur) {
+            val nxt = parent.get(cur); parent.put(cur, root); cur = nxt
+          }
+          root
+        }
+      }
+      it.foreach { r =>
+        val x = r.get(0)
+        val y = r.get(1)
+        if (x != null && y != null) {
+          val rx = find(x)
+          val ry = find(y)
+          if (rx != ry) parent.put(rx, ry)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      // value-only mutation (path compression) during iteration is safe:
+      // find() inserts no keys for already-registered nodes
+      parent.keySet().iterator().asScala.flatMap { k =>
+        val r = find(k)
+        if (r == k) None else Some(org.apache.spark.sql.Row(k, r))
+      }
+    }
+  }
+
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxIter: Int = 50): DataFrame = {
     require(aCol != bCol, s"pair columns must differ, got '$aCol' twice")
@@ -42,10 +102,16 @@ object DupClusters {
       .unionByName(pairs.select(col(bCol).as("node")))
       .filter(col("node").isNotNull)
       .distinct()
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // pre-contraction replaces the raw edge set with partition-local
+    // stars BEFORE the first shuffle: the distinct and every propagation
+    // round below run on the contracted (usually far smaller, always
+    // shallower) graph; the fixpoint is identical (see precontract)
+    val contracted = precontract(
+      pairs.select(col(aCol).as("x"), col(bCol).as("y")))
+      .localCheckpoint() // consumed by both union branches
+    val edges = contracted
+      .select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(contracted.select(col("y").as("src"), col("x").as("dst")))
       .distinct()
       .localCheckpoint() // re-read every round; never recompute the pair gen
     var labels = nodes
@@ -126,8 +192,11 @@ object DupClusters {
           .unionByName(m.select(col("mu").as("x"), col("m").as("y")))
       canonical(rewired).localCheckpoint()
     }
-    var edges = canonical(
-      pairs.select(col(aCol).as("x"), col(bCol).as("y"))).localCheckpoint()
+    // pre-contraction before the first global round: the alternating
+    // stars then start from partition-locally-collapsed edges (identical
+    // fixpoint — see precontract; canonical consumes the narrow pass once)
+    var edges = canonical(precontract(
+      pairs.select(col(aCol).as("x"), col(bCol).as("y")))).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

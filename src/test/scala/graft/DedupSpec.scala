@@ -129,6 +129,35 @@ class DedupSpec extends SparkSpec {
     assert(out.size == n && out.values.forall(_ == 1L))
   }
 
+  test("DupClusters pre-contraction: cross-partition chains keep the exact fixpoint") {
+    import spark.implicits._
+    // a 40-node path round-robin-scattered over 16 partitions —
+    // adversarial for the partition-local union-find (adjacent edges
+    // rarely co-locate, so most merging is left to the global rounds,
+    // still within components' diameter budget); the fixpoint must be
+    // bit-identical to the uncontracted semantics on BOTH variants
+    val pairs = spark.range(39)
+      .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+      .repartition(16)
+    val plain = DupClusters.components(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain.size == 40 && plain.forall { case (_, rep, sz) =>
+      rep == 0L && sz == 40L })
+    val alt = DupClusters.componentsAlternating(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(alt == plain)
+  }
+
+  test("DupClusters pre-contraction: string-keyed pairs contract correctly") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val out = DupClusters.components(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "a" -> ("a", 3L), "b" -> ("a", 3L), "c" -> ("a", 3L),
+      "x" -> ("x", 2L), "y" -> ("x", 2L)))
+  }
+
   test("DupClusters: empty pair list yields no clusters") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
