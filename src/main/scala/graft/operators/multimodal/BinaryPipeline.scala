@@ -63,6 +63,34 @@ object Bmp {
 
   def encode(width: Int, height: Int, seed: Long): Array[Byte] =
     wrapDib(width, height, dibPayload(width, height, seed))
+
+  /** [[dibPayload]] with a deterministic rectangular PATCH: pixels whose
+    * IMAGE coordinates satisfy x < pw ∧ y < ph (top-down coords — y = 0
+    * is the top row, i.e. the LAST stored DIB row) carry `value` in all
+    * three channels instead of the LCG byte; row padding stays LCG. The
+    * image near-dup gates plant SMALL perceptual perturbations with it —
+    * every byte still externally predictable (the oracle adds one CASE
+    * to the LCG replay).
+    */
+  def dibPayloadPatched(width: Int, height: Int, seed: Long,
+                        pw: Int, ph: Int, value: Int): Array[Byte] = {
+    val rowSize = (3 * width + 3) / 4 * 4
+    val data = new Array[Byte](rowSize * height)
+    var i = 0
+    while (i < data.length) {
+      val row = i / rowSize // DIB rows are bottom-up
+      val colB = i % rowSize
+      val inPatch = colB < 3 * width && colB / 3 < pw &&
+        height - 1 - row < ph
+      data(i) = (if (inPatch) value else pixelByte(seed, i.toLong)).toByte
+      i += 1
+    }
+    data
+  }
+
+  def encodePatched(width: Int, height: Int, seed: Long,
+                    pw: Int, ph: Int, value: Int): Array[Byte] =
+    wrapDib(width, height, dibPayloadPatched(width, height, seed, pw, ph, value))
 }
 
 /** Minimal uncompressed-DIB AVI writer and demuxer — pure-JVM REAL video:
@@ -369,6 +397,64 @@ object BinaryPipeline {
         (id, Bmp.encode(w, h, seed), meta)
       })
       .toDF(idCol, "blob", metaCol)
+  }
+
+  /** [[encodeBmp]] with the deterministic corner patch
+    * ([[Bmp.encodePatched]]): per-row (pwCol, phCol) give the patch
+    * rectangle (0 × anything = unpatched), `patchValue` the per-channel
+    * byte. The image near-dup gates use it to plant replayable
+    * perturbations.
+    */
+  def encodeBmpPatched(spark: SparkSession, df: DataFrame, idCol: String,
+                       wCol: String, hCol: String, seedCol: String,
+                       pwCol: String, phCol: String,
+                       patchValue: Int): DataFrame = {
+    import spark.implicits._
+    // spread before the CPU-bound per-row encode (single-split input
+    // trap — the q95 probe's 12× lesson, same as encodeBmp)
+    df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(seedCol).cast("long"),
+        col(pwCol).cast("int"), col(phCol).cast("int"))
+      .repartition(col(idCol))
+      .as[(Long, Int, Int, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, seed, pw, ph) =>
+        (id, Bmp.encodePatched(w, h, seed, pw, ph, patchValue))
+      })
+      .toDF(idCol, "blob")
+  }
+
+  /** TRANSCODE stage: decode real images and re-encode through any
+    * ImageIO writer (`format` = "png"/"bmp"/"gif"...). Lossless writers
+    * preserve every decoded pixel, so perceptual hashes computed after a
+    * transcode must equal the original's — the cross-codec invariance
+    * the image-dedup gate exercises. Non-decodable payloads pass
+    * through untouched with a `passthrough` label (the [[resize]]
+    * honesty contract). Output: (idCol, blobCol, transform).
+    */
+  def transcode(spark: SparkSession, df: DataFrame, idCol: String,
+                blobCol: String, format: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .repartition(col(idCol)) // CPU-bound decode+encode: spread first
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val real = sniff(blob).flatMap { _ =>
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.flatMap { img =>
+          val buf = new java.io.ByteArrayOutputStream()
+          // write() returns false when no writer handles (img, format) —
+          // that is the passthrough case, not a half-written payload
+          if (javax.imageio.ImageIO.write(img, format, buf))
+            Some(buf.toByteArray)
+          else None
+        }
+        real match {
+          case Some(bytes) => (id, bytes, s"transcoded-$format")
+          case None        => (id, blob, s"passthrough-$format")
+        }
+      })
+      .toDF(idCol, blobCol, "transform")
   }
 
   /** WAV encoder stage ([[Wav.encode]] batched per partition, like

@@ -163,11 +163,24 @@ object GraftExtensions {
     * `spark.sql.extensions` at build time (e.g. an already-running
     * session) can install it directly into a FunctionRegistry.
     */
+  private def gridHashBuilder(d: Boolean): Seq[Expression] => Expression = {
+    children =>
+      require(children.size == 1,
+        s"image_grid_${if (d) "d" else "a"}hash takes exactly 1 argument")
+      ImageGridHash(children.head, dhash = d)
+  }
+
   val registrations: Seq[Registration] = Seq(
     (FunctionIdentifier("dot_product"), DotProduct.info, DotProduct.builder),
     (FunctionIdentifier("shingle_hash"),
       new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
-      shingleBuilder)) ++ Seq[(String, Column => Column)](
+      shingleBuilder),
+    (FunctionIdentifier("image_grid_dhash"),
+      new ExpressionInfo(classOf[ImageGridHash].getName, "image_grid_dhash"),
+      gridHashBuilder(d = true)),
+    (FunctionIdentifier("image_grid_ahash"),
+      new ExpressionInfo(classOf[ImageGridHash].getName, "image_grid_ahash"),
+      gridHashBuilder(d = false))) ++ Seq[(String, Column => Column)](
     "parse_sales_volume" -> CleanFns.parseSalesVolume,
     "parse_discount_rate" -> CleanFns.parseDiscountRate,
     "clean_price" -> CleanFns.cleanPrice,

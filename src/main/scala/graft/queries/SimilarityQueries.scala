@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.multimodal.BinaryPipeline
+import graft.operators.multimodal.{BinaryPipeline, ImageHash}
 import graft.operators.similarity.{CosineTopK, LshAnn}
 
 /** Similarity-search and multimodal queries (SURVEY §2 items 34-36, 41). */
@@ -193,6 +193,128 @@ object SimilarityQueries {
         col("byte_len"), col("width"), col("height"), col("checksum"),
         col("format"))
   }
+
+  /** Shared derivation for the image-dedup gates (q166/q167): documents
+    * become REAL images with planted duplicate structure, all of it
+    * replayable —
+    *   - seed = doc_id DIV 8: groups of ≤8 consecutive ids share one
+    *     image (group SIZE stays constant as the corpus grows — group
+    *     COUNT scales, so pair output stays linear in n);
+    *   - dims from the seed (twins agree): w ∈ [9,45], h ∈ [7,35];
+    *   - doc_id % 5 = 4 rows take the one-grid-cell corner patch
+    *     ([[BinaryPipeline.encodeBmpPatched]], pw = w DIV 9 / ph =
+    *     h DIV 7 confine it to sampled cell (0,0)) — a planted NEAR-dup
+    *     at dHash Hamming ≤ 1 from its unpatched twins;
+    *   - doc_id % 3 = 0 rows are TRANSCODED to PNG
+    *     ([[BinaryPipeline.transcode]]) — byte-disjoint payloads whose
+    *     decoded pixels (and therefore hashes) must match their BMP
+    *     twins exactly, the cross-codec invariance a lexical
+    *     fingerprint can never see.
+    */
+  private def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("doc_id DIV 8").as("seed"),
+      (expr("doc_id DIV 8") % 37 + 9).as("w"),
+      (expr("doc_id DIV 8") % 29 + 7).as("h"))
+      .withColumn("pw", when(col("doc_id") % 5 === 4,
+        expr("w DIV 9")).otherwise(lit(0)))
+      .withColumn("ph", when(col("doc_id") % 5 === 4,
+        expr("h DIV 7")).otherwise(lit(0)))
+    val blobs = BinaryPipeline.encodeBmpPatched(spark, d, "doc_id",
+      "w", "h", "seed", "pw", "ph", patchValue = 128)
+    val bmp = blobs.filter(col("doc_id") % 3 =!= 0)
+    val png = BinaryPipeline.transcode(spark,
+        blobs.filter(col("doc_id") % 3 === 0), "doc_id", "blob", "png")
+      .select(col("doc_id"), col("blob"))
+    bmp.unionByName(png)
+  }
+
+  /** q166: image perceptual HASHES over REAL decoded pixels — dHash +
+    * aHash ([[graft.plans.ImageGridHash]] codegen) on the
+    * [[imageCorpus]] derivation. The oracle PREDICTS both 56-bit hashes
+    * per document from the encoding spec alone: the sampled-grid
+    * geometry, the LCG pixel bytes (BMP bottom-up rows), the corner
+    * patch, and the bit folds — and the PNG-transcoded third of the
+    * corpus must hash identically to its BMP construction (the oracle
+    * computes one formula for both codecs; only `format` differs), so a
+    * decode slip in EITHER codec path diverges the gate.
+    */
+  def q166ImageHash(spark: SparkSession, dir: String): DataFrame =
+    ImageHash.hashes(spark, imageCorpus(spark, dir), "doc_id", "blob")
+
+  /** LCG luminance of sampled grid cell g (0..62, row-major gy·9+gx)
+    * for the (w, h, seed, pw, ph) geometry row — the q30 replay plus
+    * the patch CASE.
+    */
+  private def imageLumSql: String = {
+    val px = "((g % 9) * w // 9)"
+    val py = "((g // 9) * h // 7)"
+    val base = s"((h - 1 - $py) * ((3 * w + 3) // 4 * 4) + 3 * $px)"
+    def byteAt(off: Int) =
+      s"((((seed % 9973) * 2654435761 + ($base + $off) * 1103515245 + 12345) // 65536) % 256)"
+    s"CASE WHEN $px < pw AND $py < ph THEN 384 " +
+      s"ELSE ${byteAt(0)} + ${byteAt(1)} + ${byteAt(2)} END"
+  }
+
+  /** CTE chain ending in `ih(doc_id, width, height, format, dhash,
+    * ahash)` — the full [[q166ImageHash]] replay, shared with q167.
+    */
+  private def imageHashCtes: String =
+    s"""geo AS (
+       |  SELECT doc_id, doc_id // 8 AS seed,
+       |    (doc_id // 8) % 37 + 9 AS w,
+       |    (doc_id // 8) % 29 + 7 AS h,
+       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 37 + 9) // 9 ELSE 0 END AS pw,
+       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 29 + 7) // 7 ELSE 0 END AS ph
+       |  FROM documents
+       |), lums AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(63), g -> $imageLumSql) AS L
+       |  FROM geo
+       |), lsum AS (
+       |  SELECT *, list_sum(list_transform(range(56), c ->
+       |    L[(c // 8) * 9 + (c % 8) + 1])) AS asum
+       |  FROM lums
+       |), ih AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/bmp' END AS format,
+       |    CAST(list_sum(list_transform(range(56), b ->
+       |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 2] > L[(b // 8) * 9 + (b % 8) + 1]
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS dhash,
+       |    CAST(list_sum(list_transform(range(56), b ->
+       |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 1] * 56 > asum
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS ahash
+       |  FROM lsum
+       |)""".stripMargin
+
+  def q166Oracle: String =
+    s"""WITH $imageHashCtes
+       |SELECT doc_id, width, height, format, dhash, ahash FROM ih""".stripMargin
+
+  /** q167: image NEAR-DUP pairs — banded Hamming retrieval
+    * ([[ImageHash.nearDupPairs]], 3 bands of ~19 bits, radius
+    * [[ImageHash.DefaultMaxHamming]]) over the q166 hashes. Banding at
+    * maxHamming < bands is EXACT (pigeonhole), so the oracle replays the
+    * result as a plain quadratic xor/popcount join over the replayed
+    * hashes: exact-dup twins (same seed) surface at ham_d 0 across
+    * codecs, the patched corner twins at ham_d ≤ 1 — if the banding
+    * missed a pair, produced a phantom, or the hash drifted, the gate
+    * diverges.
+    */
+  def q167ImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    ImageHash.nearDupPairs(
+      ImageHash.hashes(spark, imageCorpus(spark, dir), "doc_id", "blob"),
+      "doc_id")
+
+  def q167Oracle: String =
+    s"""WITH $imageHashCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS ham_d,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS ham_a
+       |FROM ih a JOIN ih b ON b.doc_id > a.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= ${ImageHash.DefaultMaxHamming}""".stripMargin
 
   def q96Oracle: String =
     """WITH p AS (
