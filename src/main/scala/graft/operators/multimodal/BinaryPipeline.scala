@@ -298,8 +298,11 @@ object BinaryPipeline {
   // keep ImageIO off its disk cache: blobs are small in-memory arrays
   javax.imageio.ImageIO.setUseCache(false)
 
-  /** ONE home for container detection — every stage branches off this. */
-  private[multimodal] def sniff(blob: Array[Byte]): Option[String] = {
+  /** ONE home for container detection — every stage branches off this
+    * (graft-wide: the binary-embedding pipeline sniffs mimes for its
+    * SPI batches too).
+    */
+  private[graft] def sniff(blob: Array[Byte]): Option[String] = {
     def at(i: Int) = blob(i) & 0xff
     def riffType(t: String) = blob.length >= 12 && at(0) == 'R' && at(1) == 'I' &&
       at(2) == 'F' && at(3) == 'F' && new String(blob, 8, 4, "US-ASCII") == t

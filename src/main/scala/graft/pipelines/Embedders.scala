@@ -37,6 +37,28 @@ trait Embedder {
   def embed(texts: Seq[String]): Seq[Array[Float]]
 }
 
+/** The MULTIMODAL sibling of [[Embedder]] — bytes → vector (a CLIP-class
+  * image/audio encoder): [[BinaryEmbeddingPipeline]]'s embed stage routes
+  * by the same ServiceLoader-keyed discipline
+  * (`META-INF/services/graft.pipelines.BinaryEmbedder`), batched per
+  * partition so a real model amortizes decode+forward across the batch.
+  * Each input is (payload, sniffed mime) — the mime lets one embedder
+  * dispatch per container without re-sniffing.
+  */
+trait BinaryEmbedder {
+
+  /** The model key [[BinaryEmbeddingPipeline.run]] routes by. */
+  def model: String
+
+  /** Output dimensionality; checked loudly before any inference runs. */
+  def dims: Int
+
+  /** Batch inference: one `dims`-length vector per (payload, mime), in
+    * input order. Called with ≤ [[Embedders.BatchSize]] items.
+    */
+  def embed(blobs: Seq[(Array[Byte], String)]): Seq[Array[Float]]
+}
+
 object Embedders {
 
   /** Texts per [[Embedder.embed]] call — the micro-batch granularity of
@@ -54,6 +76,15 @@ object Embedders {
     val loader = Option(Thread.currentThread().getContextClassLoader)
       .getOrElse(classOf[Embedder].getClassLoader)
     java.util.ServiceLoader.load(classOf[Embedder], loader)
+      .iterator().asScala.map(e => e.model -> e).toMap
+  }
+
+  /** Per-JVM [[BinaryEmbedder]] table — same loader discipline. */
+  lazy val byModelBinary: Map[String, BinaryEmbedder] = {
+    import scala.jdk.CollectionConverters._
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[BinaryEmbedder].getClassLoader)
+    java.util.ServiceLoader.load(classOf[BinaryEmbedder], loader)
       .iterator().asScala.map(e => e.model -> e).toMap
   }
 }

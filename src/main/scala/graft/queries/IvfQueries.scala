@@ -635,4 +635,53 @@ object IvfQueries {
        |  COALESCE(f.dist >= t.t, FALSE) AS keep
        |FROM ppfasg f LEFT JOIN thr t USING (cid)""".stripMargin
   }
+
+  /** q168: the MULTIMODAL embedding pipeline
+    * ([[graft.pipelines.BinaryEmbeddingPipeline]] — the bytes→vector
+    * arm of q124): REAL image decode → decoded-PIXEL content
+    * fingerprint (md5 over "w:h:lums…" — the BMP/PNG twins of the q166
+    * corpus are byte-disjoint yet MUST land in one content group) →
+    * exact content dedup (min-id survivor + dup count) → deterministic
+    * stub embed-join → occupancy-adaptive semantic dedup (q121's
+    * operator). The DuckDB oracle replays the WHOLE chain from raw
+    * `documents` + `embeddings`: the image geometry, every decoded
+    * pixel's luminance (LCG + corner patch), the md5 fingerprint
+    * digit-for-digit, the group collapse, the md5-mod-n lookup keys and
+    * the complete q121 training/assignment/drop replay over the DERIVED
+    * content vectors — a decode slip in either codec, a pixel-order
+    * drift, or a stage wired in the wrong order hash-fails.
+    */
+  def q168BinaryEmbedding(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.BinaryEmbeddingPipeline.run(
+      SimilarityQueries.imageCorpus(spark, dir),
+      Tables.embeddings(spark, dir), "doc_id", "blob",
+      threshold = SemThreshold, trainIters = TrainIters,
+      dims = SimilarityQueries.Dims,
+      oracleFlatLadder = true) // the oracle replays the flat ladder only
+
+  def q168Oracle: String = {
+    val corpus = "SELECT doc_id AS vec_id, embedding FROM embjoin"
+    s"""WITH ${SimilarityQueries.imageGeoCte}, plums AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(w * h), p -> ${SimilarityQueries.imagePixelLumSql}) AS L
+       |  FROM geo
+       |), cfp AS (
+       |  SELECT doc_id,
+       |    md5(CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || ':' ||
+       |      array_to_string(L, ':')) AS f
+       |  FROM plums
+       |), surv AS MATERIALIZED (
+       |  SELECT f, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+       |  FROM cfp GROUP BY f
+       |), nv AS (
+       |  SELECT MAX(vec_id) + 1 AS n FROM embeddings
+       |), embjoin AS MATERIALIZED (
+       |  SELECT s.doc_id, s.n_dups, e.vec_id, e.embedding
+       |  FROM surv s JOIN embeddings e
+       |    ON e.vec_id = CAST('0x' || substr(s.f, 1, 8) AS BIGINT) % (SELECT n FROM nv)
+       |),
+       |${semFlagCtes(corpus, SemThreshold)}
+       |SELECT ej.doc_id, ej.n_dups, ej.vec_id, f.cluster_id, f.kept
+       |FROM embjoin ej JOIN semflags f ON f.vec_id = ej.doc_id""".stripMargin
+  }
 }

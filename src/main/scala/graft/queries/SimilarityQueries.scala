@@ -211,7 +211,7 @@ object SimilarityQueries {
     *     twins exactly, the cross-codec invariance a lexical
     *     fingerprint can never see.
     */
-  private def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
       col("doc_id"),
       expr("doc_id DIV 8").as("seed"),
@@ -260,15 +260,35 @@ object SimilarityQueries {
   /** CTE chain ending in `ih(doc_id, width, height, format, dhash,
     * ahash)` — the full [[q166ImageHash]] replay, shared with q167.
     */
+  /** The [[imageCorpus]] geometry as a CTE body — shared by the q166/
+    * q167 grid replays and q168's full-pixel fingerprint replay.
+    */
+  private[queries] def imageGeoCte: String =
+    """geo AS (
+      |  SELECT doc_id, doc_id // 8 AS seed,
+      |    (doc_id // 8) % 37 + 9 AS w,
+      |    (doc_id // 8) % 29 + 7 AS h,
+      |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 37 + 9) // 9 ELSE 0 END AS pw,
+      |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 29 + 7) // 7 ELSE 0 END AS ph
+      |  FROM documents
+      |)""".stripMargin
+
+  /** LCG luminance of FULL-RES pixel p (row-major y·w+x, top-down image
+    * coords) for a geo row — q168's fingerprint replay (grid cells use
+    * [[imageLumSql]] instead).
+    */
+  private[queries] def imagePixelLumSql: String = {
+    val x = "(p % w)"
+    val y = "(p // w)"
+    val base = s"((h - 1 - $y) * ((3 * w + 3) // 4 * 4) + 3 * $x)"
+    def byteAt(off: Int) =
+      s"((((seed % 9973) * 2654435761 + ($base + $off) * 1103515245 + 12345) // 65536) % 256)"
+    s"CASE WHEN $x < pw AND $y < ph THEN 384 " +
+      s"ELSE ${byteAt(0)} + ${byteAt(1)} + ${byteAt(2)} END"
+  }
+
   private def imageHashCtes: String =
-    s"""geo AS (
-       |  SELECT doc_id, doc_id // 8 AS seed,
-       |    (doc_id // 8) % 37 + 9 AS w,
-       |    (doc_id // 8) % 29 + 7 AS h,
-       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 37 + 9) // 9 ELSE 0 END AS pw,
-       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 29 + 7) // 7 ELSE 0 END AS ph
-       |  FROM documents
-       |), lums AS (
+    s"""$imageGeoCte, lums AS (
        |  SELECT doc_id, w, h,
        |    list_transform(range(63), g -> $imageLumSql) AS L
        |  FROM geo
