@@ -68,7 +68,7 @@ object Bench {
       "q103_analytics_dag", "q104_trends_dag", "q105_fx_rate_dag",
       "q106_upsert_sink", "q108_streaming_dedup", "q110_sessionize_tws",
       "q111_streaming_funnel", "q112_backfill", "q113_streaming_hll",
-      "q114_streaming_cms", "q131_span_incremental")
+      "q114_streaming_cms", "q131_span_incremental", "q169_dsv2_stream")
     // Per-query 1-min loadavg, sampled right after each query finishes:
     // BENCH_r16 was taken at loadavg ~11/32 and read 74% slower than the
     // clean window — without a per-query load trace that misreads as a

@@ -860,4 +860,68 @@ object PipelineQueries {
 
   def q164Oracle: String =
     "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+  private val q169Invocation = new AtomicInteger(0)
+
+  /** q169: DSv2 STREAMING read
+    * ([[graft.sources.dsv2.RawJsonSource]] via `MICRO_BATCH_READ` — the
+    * crawler-tail continuous-ingest tier above q99's batch read): crawl
+    * chunks land in FOUR separate file drops into a watched raw zone,
+    * and a running `readStream` over the connector consumes each drop
+    * as its own micro-batch with FILE-GRANULAR offsets (an offset is
+    * the sorted visible-file list; a batch reads exactly end \ start,
+    * so a file is read exactly once however the drops interleave).
+    * q99's deterministic crawler-shaped generator (corrupt every ~101st
+    * line, skipped at source), partitioned `p_partkey % 4` across the
+    * drops — the streamed union must equal the one-shot batch read, so
+    * the oracle IS q99's aggregate over the full table: a dropped file,
+    * a re-read file, or an offset slip diverges the count/sum. Offset
+    * serialization, restart replay and hidden-file invisibility are
+    * spec-pinned (RawJsonStreamSpec).
+    */
+  def q169Dsv2Stream(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q169Invocation.incrementAndGet()
+    val base = s"$scratch/q169_$inv/raw"
+    val out = s"$scratch/q169_$inv/rows"
+    val ckpt = s"$scratch/q169_$inv/ckpt"
+    val pk = col("p_partkey")
+    def s(c: Column): Column = c.cast("string")
+    val line = when(pk % 101 === 0, lit("{broken"))
+      .otherwise(concat(lit("{\"product_id\": "), s(pk),
+        lit(", \"price\": "), s((pk % 800 + 150) * 1000),
+        lit(", \"brand\": \"Brand "), s(pk % 50),
+        lit("\", \"active\": "), s(pk % 3 === 0), lit("}")))
+    val src = Tables.part(spark, dir).select(pk.as("pk"), line.as("value"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("product_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("brand",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("active",
+        org.apache.spark.sql.types.BooleanType)))
+    val q = spark.readStream.format("graft.sources.dsv2.RawJsonSource")
+      .schema(schema).option("path", base).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .start()
+    try {
+      (0 until 4).foreach { b =>
+        src.filter(col("pk") % 4 === b).select(col("value"))
+          .coalesce(2).write.mode("overwrite").text(s"$base/chunk_$b")
+        q.processAllAvailable() // drain exactly this drop's micro-batch
+      }
+    } finally q.stop()
+    spark.read.parquet(out)
+      .filter(col("price") > 200000L && col("active") === true)
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("total_price"))
+  }
+
+  /** The streamed union must equal the batch read — q99's oracle. */
+  def q169Oracle: String = q99Oracle
 }

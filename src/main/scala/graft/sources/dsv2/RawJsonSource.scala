@@ -64,6 +64,7 @@ private[dsv2] class RawJsonTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RawJsonScanBuilder(schema, path)
@@ -208,20 +209,38 @@ private[dsv2] class RawJsonScan(path: String, required: StructType,
       spark.sparkContext.hadoopConfiguration)
     new RawJsonReaderFactory(required, pushed, conf)
   }
+
+  // --- STREAMING read tier (MICRO_BATCH_READ): the crawler-tail
+  // continuous-ingest shape — a raw zone that keeps receiving crawl-chunk
+  // files is consumed as a stream with FILE-GRANULAR offsets: an Offset
+  // is the sorted list of files already visible, a micro-batch reads
+  // exactly (end \ start), and the offset log makes that exactly-once
+  // across restarts. Correctness leans on the zone's append discipline
+  // (files are IMMUTABLE once visible — this connector's own write path
+  // publishes by rename from a hidden staging dir, so a partially
+  // written file is never listed). Filters/pruning push down exactly as
+  // in batch: the streaming planner drives the same ScanBuilder.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new RawJsonMicroBatchStream(path, required, pushed,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+  }
 }
 
 private[dsv2] object RawJsonFiles {
-  /** One InputPartition per data file under `path` (the raw zone is
-    * written in crawl-chunk files, the natural parallel unit). The
+  /** Visible data files under `path` (recursive), sorted. The
     * hidden-name filter applies to DIRECTORIES too: _temporary attempt
     * files and _spark_metadata logs under a crashed/streaming writer's
     * output are valid JSON lines that are NOT data (the built-in reader
     * excludes them; emitting them would mean duplicate/phantom rows).
+    * A missing root lists as empty — a streaming source may start
+    * watching before the first crawl chunk lands.
     */
-  def partitions(path: String): Array[InputPartition] = {
-    val spark = org.apache.spark.sql.SparkSession.active
+  def list(path: String, hadoopConf: org.apache.hadoop.conf.Configuration)
+      : Seq[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(hadoopConf)
     def files(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq.flatMap { s =>
         val name = s.getPath.getName
@@ -229,8 +248,72 @@ private[dsv2] object RawJsonFiles {
         else if (s.isDirectory) files(s.getPath)
         else Seq(s.getPath)
       }
-    files(p).map(f => RawJsonInputPartition(f.toString): InputPartition).toArray
+    if (!fs.exists(p)) Nil
+    else files(p).map(_.toString).sorted
   }
+
+  /** One InputPartition per data file (the raw zone is written in
+    * crawl-chunk files, the natural parallel unit).
+    */
+  def partitions(path: String): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    list(path, spark.sparkContext.hadoopConfiguration)
+      .map(f => RawJsonInputPartition(f): InputPartition).toArray
+  }
+}
+
+/** File-list offset: `json` is the sorted file array — exactly-once is
+  * the set difference between consecutive offsets. O(files) per offset
+  * entry; a production zone with millions of chunk files would keep a
+  * compacted file log beside the data (the built-in FileStreamSource
+  * shape) and put log INDICES in the offset instead — same contract,
+  * different bookkeeping tier.
+  */
+private[dsv2] case class RawJsonStreamOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = {
+    val mapper = new ObjectMapper()
+    val arr = mapper.createArrayNode()
+    files.sorted.foreach(arr.add)
+    mapper.writeValueAsString(arr)
+  }
+}
+
+private[dsv2] class RawJsonMicroBatchStream(path: String,
+    required: StructType, pushed: Array[Filter],
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = RawJsonStreamOffset(Nil)
+
+  override def latestOffset(): Offset =
+    RawJsonStreamOffset(RawJsonFiles.list(path, conf.value))
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new ObjectMapper().readTree(json)
+    require(node != null && node.isArray,
+      s"graft raw-json stream offset must be a JSON array, got: $json")
+    val files = (0 until node.size()).map(node.get(_).asText())
+    RawJsonStreamOffset(files)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val done = start.asInstanceOf[RawJsonStreamOffset].files.toSet
+    end.asInstanceOf[RawJsonStreamOffset].files
+      .filterNot(done)
+      .sorted
+      .map(f => RawJsonInputPartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RawJsonReaderFactory(required, pushed, conf)
+
+  // the offset log IS the commit record; files are immutable once visible
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Scan for a pushed aggregation: reads each file ONCE, folds every
