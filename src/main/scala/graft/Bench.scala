@@ -77,7 +77,27 @@ object Bench {
     def load1(): Double = scala.util.Try(java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")(0).toDouble)
       .getOrElse(-1.0)
+    // Own-load estimation (round-18): a busy 32-thread bench trips the
+    // loadavg threshold on its OWN load — every r17 artifact read
+    // `contended: true` even when the box started at loadavg 0.5, which
+    // destroys the flag's round-over-round discounting purpose. Estimate
+    // the bench JVM's own contribution as process-CPU-seconds per
+    // wall-second over each query's interval (the JVM's sustained core
+    // usage — the same unit loadavg is denominated in) and flag on the
+    // FOREIGN residual max(0, load1 − own) instead. load1 is a 1-minute
+    // EWMA while `own` is the interval's instantaneous usage, so the
+    // residual is approximate early in the run and trustworthy once the
+    // bench has been saturating for ~a minute — the regime where the old
+    // flag misfired.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def procCpuNs(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
     val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val perQueryOwn = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val perQueryForeign = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       // Harness-bucket gates run ONCE regardless of best-of-N: their
       // wall-clock is a scenario drive (dozens of sequential jobs /
@@ -87,6 +107,8 @@ object Bench {
       // are already excluded from data_path_total, so nothing the rounds
       // compare loses precision.
       val nRuns = if (harness(name)) 1 else runs
+      val wall0 = System.nanoTime()
+      val cpu0 = procCpuNs()
       val times = (1 to nRuns).map { _ =>
         val dt = run(fn)
         // leaked per-query caches must not skew later timings (Verify does
@@ -94,7 +116,16 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      perQueryLoad(name) = load1()
+      val wallNs = math.max(1L, System.nanoTime() - wall0)
+      val cpu1 = procCpuNs()
+      val own = if (cpu0 < 0 || cpu1 < 0) -1.0
+        else (cpu1 - cpu0).toDouble / wallNs
+      val l1 = load1()
+      perQueryLoad(name) = l1
+      perQueryOwn(name) = math.round(own * 1000) / 1000.0
+      perQueryForeign(name) =
+        if (own < 0 || l1 < 0) -1.0
+        else math.round(math.max(0.0, l1 - own) * 1000) / 1000.0
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val total = results.values.filter(_ >= 0).sum
@@ -113,16 +144,24 @@ object Bench {
     // driver's parsed field is self-contained again.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Contention gate: a 1-min loadavg above cores/4 during the run means
-    // this box was doing other heavy work and the numbers are not
-    // round-over-round comparable (the BENCH_r16 lesson — loadavg ~11/32
-    // inflated the total 74% over the clean window).
+    // Contention gate, SELF-LOAD-AWARE (round-18): foreign load = the
+    // loadavg residual after subtracting this JVM's own measured core
+    // usage. A foreign residual above cores/4 means OTHER work was eating
+    // the box and the numbers are not round-over-round comparable (the
+    // BENCH_r16 lesson); the bench's own 32-thread saturation no longer
+    // trips the flag (the r17 lesson — every artifact read contended:true
+    // on a box that started at loadavg 0.5).
     val cores = Runtime.getRuntime.availableProcessors()
     val load1Max = (perQueryLoad.values ++ Seq(-1.0)).max
-    val contended = load1Max > cores / 4.0
+    val foreignMax = (perQueryForeign.values.filter(_ >= 0) ++ Seq(0.0)).max
+    val contended = foreignMax > cores / 4.0
     val loadsFull = perQueryLoad.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qsFull,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load1_per_query":$loadsFull,"load1_max":$load1Max,"cores":$cores,"contended":$contended}"""
+    val ownFull = perQueryOwn.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val foreignFull = perQueryForeign.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qsFull,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load1_per_query":$loadsFull,"own_cores_per_query":$ownFull,"foreign_load1_per_query":$foreignFull,"load1_max":$load1Max,"foreign_load1_max":$foreignMax,"cores":$cores,"contended":$contended}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     // The compact stdout line carries NO per-query map — at 144+ queries
@@ -138,7 +177,7 @@ object Bench {
     val failedAll = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val failed = failedAll.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","load1_max":${r3(load1Max)},"contended":$contended,"full_artifact":"$outPath"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","load1_max":${r3(load1Max)},"foreign_load1_max":${r3(foreignMax)},"contended":$contended,"full_artifact":"$outPath"}"""
     spark.stop()
     // printed AFTER spark.stop(), as the process's last stdout line, with
     // build.sbt's StdoutOutput strategy keeping sbt's "[info] " prefix off
