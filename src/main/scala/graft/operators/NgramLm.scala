@@ -121,10 +121,14 @@ object NgramLm {
       s"target too large for exact arithmetic (N=$n V=$v): " +
         s"AlphaDen*SScale*(N+V) would overflow BIGINT — lower SScale")
     // auto-routing (JoinRouting): the bigram table is the largest count
-    // table and its distinct-row count is bounded by N (every bigram type
-    // occurs at least once) — the conservative estimate the already-paid
-    // (N, V) agg gives for free; the knob stays as an explicit override
-    val bc = JoinRouting.route(cnt.sparkSession, broadcastCounts, n)
+    // table and its distinct-row count is bounded by BOTH N (every bigram
+    // type occurs at least once) AND V² (there are only V² type pairs) —
+    // min of the two, from the already-paid (N, V) agg: V² binds for
+    // narrow vocabularies (token-heavy synthetic/templated corpora), N
+    // for natural text; the knob stays as an explicit override
+    val vv = if (v >= 3037000499L) Long.MaxValue else v * v // v² < 2⁶³ guard
+    val bc = JoinRouting.route(cnt.sparkSession, broadcastCounts,
+      math.min(n, vv))
     val uw = bc(uni.select(col("w").as("__uw"), col("c1").as("__c1w")))
     val up = bc(uni.select(col("w").as("__up"), col("c1").as("__c1p")))
     val bg = bc(big.select(col("prev").as("__bp"), col("w").as("__bw"),
