@@ -82,19 +82,35 @@ object Bench {
     // `contended: true` even when the box started at loadavg 0.5, which
     // destroys the flag's round-over-round discounting purpose. Estimate
     // the bench JVM's own contribution as process-CPU-seconds per
-    // wall-second over each query's interval (the JVM's sustained core
-    // usage — the same unit loadavg is denominated in) and flag on the
-    // FOREIGN residual max(0, load1 − own) instead. load1 is a 1-minute
-    // EWMA while `own` is the interval's instantaneous usage, so the
-    // residual is approximate early in the run and trustworthy once the
-    // bench has been saturating for ~a minute — the regime where the old
-    // flag misfired.
+    // wall-second (the JVM's sustained core usage — the unit loadavg is
+    // denominated in), smoothed through the SAME 1-minute exponential
+    // decay the kernel applies to load1 (an instantaneous own estimate
+    // under-subtracts right after a heavy query: load1 still carries the
+    // burst the current interval no longer shows), and flag on the
+    // FOREIGN residual max(0, load1 − own_ewma).
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean match {
         case b: com.sun.management.OperatingSystemMXBean => Some(b)
         case _ => None
       }
     def procCpuNs(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    // kernel-matched EWMA of this process's core usage; updated per
+    // measured interval with decay exp(-dt/60)
+    var ownEwma = 0.0
+    def ewmaUpdate(ownInst: Double, dtSec: Double): Double = {
+      val a = math.exp(-dtSec / 60.0)
+      ownEwma = ownEwma * a + ownInst * (1 - a)
+      ownEwma
+    }
+    // prime with the JVM's life-to-date usage (class loading, Spark init,
+    // the untimed warmup) so the first queries' load1 — which already
+    // carries that burst — is not misread as foreign
+    locally {
+      val upSec = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getUptime / 1000.0
+      val c = procCpuNs()
+      if (c >= 0 && upSec > 0) { ewmaUpdate(c / 1e9 / upSec, upSec); () }
+    }
     val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val perQueryOwn = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val perQueryForeign = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -118,8 +134,10 @@ object Bench {
       }
       val wallNs = math.max(1L, System.nanoTime() - wall0)
       val cpu1 = procCpuNs()
-      val own = if (cpu0 < 0 || cpu1 < 0) -1.0
+      val ownInst = if (cpu0 < 0 || cpu1 < 0) -1.0
         else (cpu1 - cpu0).toDouble / wallNs
+      val own = if (ownInst < 0) -1.0
+        else ewmaUpdate(ownInst, wallNs / 1e9)
       val l1 = load1()
       perQueryLoad(name) = l1
       perQueryOwn(name) = math.round(own * 1000) / 1000.0

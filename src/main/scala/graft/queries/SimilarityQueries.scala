@@ -211,7 +211,7 @@ object SimilarityQueries {
     *     twins exactly, the cross-codec invariance a lexical
     *     fingerprint can never see.
     */
-  private[queries] def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def imageCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
       col("doc_id"),
       expr("doc_id DIV 8").as("seed"),
