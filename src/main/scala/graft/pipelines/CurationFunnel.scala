@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.functions.{QualityRules, TextFns}
 import graft.operators.{NbClassifier, NgramLm, OpCache}
 
+/** One PLUGGABLE funnel stage: `pass(survivors, raw)` returns the ids
+  * (first column of the returned frame) that SURVIVE this stage.
+  * `survivors` is the previous stage's surviving corpus slice (full
+  * rows — a stage may tokenize, score, or join it); `raw` is the
+  * UNFILTERED corpus for stages whose models/reference sets must see
+  * data upstream cuts would hide (the NB classifier fits on raw; a
+  * decontamination stage derives its benchmark set from raw). Stage
+  * names become attribution labels, so they must be unique and must
+  * not collide with the built-in 'invalid'/'kept'.
+  */
+final case class FunnelStage(name: String,
+    pass: (DataFrame, DataFrame) => DataFrame)
+
 /** Curation FUNNEL report — per-document drop attribution across the
   * composed filter chain (the FineWeb/RefinedWeb reporting discipline:
   * a production curation run publishes not just the survivors but WHY
@@ -13,13 +26,25 @@ import graft.operators.{NbClassifier, NgramLm, OpCache}
   * corpus audits both start from that table; RefinedWeb's Figure 2 and
   * FineWeb's ablation tables are exactly per-stage removal-rate
   * accounts). Each stage sees only the previous stage's survivors — the
-  * pipeline order, not four independent flags: the LM TRAINS on the
+  * pipeline order, not independent flags: the LM TRAINS on the
   * already-cleaned corpus (CCNet trains after dedup for the same
   * reason), so stage order changes the model, which is why a funnel is
   * a first-class composition and not a join of the per-stage gates.
   *
-  * Stage order (first failure wins, every non-null-id doc attributed):
-  *   1. `invalid`     — null/empty normalized text: no content to judge;
+  * Round 18: the chain is PLUGGABLE ([[FunnelStage]] / [[stagesOf]]) —
+  * production funnels splice decontamination/PII/policy stages into the
+  * standard dedup→rules→LM→classifier spine, and because downstream
+  * models train on upstream survivors, splicing is a SEMANTIC change
+  * the composition must own (the LM behind a spliced decontamination
+  * stage trains on a different stratum), not a post-hoc flag join. The
+  * standard chain ([[standardStages]] plus the built-in 'invalid') is
+  * the q163 gate; a decontamination-spliced chain is gated separately
+  * (q170), its oracle replaying the WHOLE re-ordered cascade.
+  *
+  * Stage order of the STANDARD chain (first failure wins, every
+  * non-null-id doc attributed):
+  *   1. `invalid`     — null/empty normalized text (built-in: no
+  *                      content for any stage to judge);
   *   2. `exact_dedup` — not the min-id survivor of its md5(norm)
   *                      fingerprint group (#30's rule);
   *   3. `rules`       — fails the Gopher doc-grain rule set (#38b);
@@ -28,7 +53,9 @@ import graft.operators.{NbClassifier, NgramLm, OpCache}
   *   5. `classifier`  — NB margin non-positive (#38d), fitted on the
   *                      RAW corpus strata (GPT-3's shape: the negative
   *                      class IS raw crawl, so the model sees it
-  *                      pre-filter) and applied frozen to survivors;
+  *                      pre-filter) and applied frozen to survivors —
+  *                      fit AND score off ONE shared tokenization
+  *                      ([[NbClassifier.fitAndScoreIds]]);
   *   6. `kept`.
   *
   * Scale shape: each constituent keeps its own shipped scale path (the
@@ -36,61 +63,85 @@ import graft.operators.{NbClassifier, NgramLm, OpCache}
   * id-set semi-join narrows the corpus (ids only — never wide rows —
   * and each id set is cached because it feeds both the next stage and
   * the final attribution); the attribution is one left-join cascade of
-  * the four id sets with a first-match CASE.
+  * the stage id sets with a first-match CASE.
   */
 object CurationFunnel {
 
-  /** (doc_id, stage) for every non-null-id document of `docs`. */
-  def stages(docs: DataFrame, idCol: String, textCol: String,
-             posPred: Column, negPred: Column,
-             th: QualityRules.Thresholds, lmKeepPct: Int): DataFrame = {
+  /** The standard five-stage spine (after the built-in 'invalid'):
+    * exact_dedup → rules → lm → classifier — q163's chain, exposed as a
+    * stage list so callers splice around it.
+    */
+  def standardStages(idCol: String, textCol: String,
+                     posPred: Column, negPred: Column,
+                     th: QualityRules.Thresholds,
+                     lmKeepPct: Int): Seq[FunnelStage] = Seq(
+    FunnelStage("exact_dedup", (surv, _) =>
+      surv.select(col(idCol), TextFns.fingerprint(col(textCol)).as("__fp"))
+        .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol))),
+    FunnelStage("rules", (surv, _) =>
+      QualityRules.report(surv, idCol, textCol, th)
+        .filter(col("passed")).select(col("doc_id").as(idCol))),
+    FunnelStage("lm", (surv, _) =>
+      NgramLm.flagged(surv, idCol, textCol, posPred, lmKeepPct)
+        .filter(col("keep")).select(col("doc_id").as(idCol))),
+    // FITTED ON THE RAW CORPUS, applied to the survivors (GPT-3's
+    // shape: the negative stratum IS raw crawl, so the model must see
+    // it pre-filter; and a frozen raw-corpus fit cannot lose a whole
+    // training stratum to an upstream cut). ONE shared tokenization
+    // serves fit AND score (fitAndScoreIds)
+    FunnelStage("classifier", (surv, raw) =>
+      NbClassifier.fitAndScoreIds(raw, idCol, textCol, posPred, negPred,
+        surv.select(col(idCol)))
+        .filter(col("pred")).select(col("doc_id").as(idCol))))
+
+  /** (doc_id, stage) for every non-null-id document of `docs`, through
+    * an ARBITRARY stage chain: built-in 'invalid' first, then each
+    * [[FunnelStage]] in order over the previous stage's survivors,
+    * 'kept' last.
+    */
+  def stagesOf(docs: DataFrame, idCol: String, textCol: String,
+               chain: Seq[FunnelStage]): DataFrame = {
+    val names = chain.map(_.name)
+    require(names.distinct.size == names.size,
+      s"stage names must be unique, got $names")
+    require(!names.contains("invalid") && !names.contains("kept"),
+      "'invalid' and 'kept' are the built-in first/last labels")
     val base = docs.filter(col(idCol).isNotNull)
     val norm = TextFns.normalizeText(col(textCol))
     val valid = base.filter(col(textCol).isNotNull && length(norm) > 0)
     val validIds = OpCache.cache(valid.select(col(idCol)))
-    // stage 2: exact dedup — min id per content fingerprint
-    val d1 = OpCache.cache(valid
-      .select(col(idCol), TextFns.fingerprint(col(textCol)).as("__fp"))
-      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol)))
-    val s1 = valid.join(d1, Seq(idCol), "left_semi")
-    // stage 3: Gopher doc-grain rules over dedup survivors
-    val d2 = OpCache.cache(QualityRules.report(s1, idCol, textCol, th)
-      .filter(col("passed")).select(col("doc_id").as(idCol)))
-    val s2 = s1.join(d2, Seq(idCol), "left_semi")
-    // stage 4: LM filter, trained on the surviving target stratum
-    val d3 = OpCache.cache(NgramLm.flagged(s2, idCol, textCol, posPred,
-      lmKeepPct).filter(col("keep")).select(col("doc_id").as(idCol)))
-    // stage 5: NB classifier — FITTED ON THE RAW CORPUS, applied to the
-    // survivors (GPT-3's shape: the negative stratum IS raw crawl, so
-    // the model must see it pre-filter; and a frozen raw-corpus fit
-    // cannot lose a whole training stratum to an upstream cut). ONE
-    // shared tokenization serves fit AND score: the survivors' counts
-    // are an id semi-join of the cached flagged (doc, w) frame, not a
-    // second corpus-wide tokenize+shuffle (fitAndScoreIds) — s3's id set
-    // IS d3, so the semi-join needs no extra materialization
-    val d4 = OpCache.cache(
-      NbClassifier.fitAndScoreIds(docs, idCol, textCol, posPred, negPred, d3)
-        .filter(col("pred")).select(col("doc_id").as(idCol)))
+    var surv = valid
+    val stageIds = chain.map { st =>
+      val out = st.pass(surv, docs)
+      val ids = OpCache.cache(out.select(col(out.columns.head).as(idCol)))
+      surv = surv.join(ids, Seq(idCol), "left_semi")
+      st.name -> ids
+    }
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(true))
-    base.select(col(idCol))
-      .join(flag(validIds, "__valid"), Seq(idCol), "left")
-      .join(flag(d1, "__d1"), Seq(idCol), "left")
-      .join(flag(d2, "__d2"), Seq(idCol), "left")
-      .join(flag(d3, "__d3"), Seq(idCol), "left")
-      .join(flag(d4, "__d4"), Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__valid").isNull, "invalid")
-          .when(col("__d1").isNull, "exact_dedup")
-          .when(col("__d2").isNull, "rules")
-          .when(col("__d3").isNull, "lm")
-          .when(col("__d4").isNull, "classifier")
-          .otherwise("kept").as("stage"))
+    val joined = stageIds.zipWithIndex.foldLeft(
+      base.select(col(idCol))
+        .join(flag(validIds, "__valid"), Seq(idCol), "left")) {
+      case (acc, ((_, ids), i)) =>
+        acc.join(flag(ids, s"__s$i"), Seq(idCol), "left")
+    }
+    val attribution = stageIds.zipWithIndex.foldLeft(
+      when(col("__valid").isNull, "invalid")) {
+      case (c, ((name, _), i)) => c.when(col(s"__s$i").isNull, name)
+    }.otherwise("kept")
+    joined.select(col(idCol), attribution.as("stage"))
   }
 
+  /** The standard chain — q163's gate shape. */
+  def stages(docs: DataFrame, idCol: String, textCol: String,
+             posPred: Column, negPred: Column,
+             th: QualityRules.Thresholds, lmKeepPct: Int): DataFrame =
+    stagesOf(docs, idCol, textCol,
+      standardStages(idCol, textCol, posPred, negPred, th, lmKeepPct))
+
   /** The stage-count rollup (stage, n_docs) — the published funnel
-    * table; dim-sized (≤ 6 rows) whatever the corpus.
+    * table; dim-sized (≤ stages+2 rows) whatever the corpus.
     */
   def report(docs: DataFrame, idCol: String, textCol: String,
              posPred: Column, negPred: Column,

@@ -994,6 +994,136 @@ object CurationQueries {
        |FROM fb b""".stripMargin
   }
 
+  /** Shingle-hash-list CTE fragment (the q123 replay shapes with a
+    * parameterized source) — `${p}shl(doc_id, hashes)` mirrors
+    * [[graft.operators.dedup.TextShingles]]' width-3 hashing exactly.
+    */
+  private def shingleHashListCtes(p: String, fromSql: String,
+                                  n: Int): String = {
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    s"""${p}sdocs AS (
+       |  SELECT doc_id, $norm AS norm FROM $fromSql WHERE text IS NOT NULL
+       |), ${p}stoks AS (
+       |  SELECT doc_id, norm, string_split(norm, ' ') AS t FROM ${p}sdocs
+       |), ${p}ssh AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= $n
+       |    THEN list_transform(range(len(t)-${n - 1}), i -> array_to_string(t[i+1:i+$n], ' '))
+       |    ELSE [norm] END AS shingles
+       |  FROM ${p}stoks
+       |), ${p}shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(shingles,
+       |    s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647)) AS hashes
+       |  FROM ${p}ssh
+       |)""".stripMargin
+  }
+
+  /** q170's benchmark stratum: every ~11th document plays the external
+    * eval set (q123's convention).
+    */
+  val FunnelBenchMod = 11
+
+  /** q170's shingle width: 8 — the GPT-3 appendix-C production grain.
+    * Width matters here: at n=3 the synthetic corpus's narrow
+    * vocabulary collides so broadly that decontamination would wipe the
+    * LM's entire training stratum (measured 29/454 clean at sf0.001 vs
+    * 447/454 at n=8) — exactly the recall/precision trade #30d's width
+    * knob exists for.
+    */
+  val FunnelDeconN = 8
+
+  /** q170: DECONTAMINATION-SPLICED funnel — the pluggable-stage
+    * composition ([[graft.pipelines.CurationFunnel.stagesOf]]): the
+    * standard q163 spine with a benchmark n-gram decontamination stage
+    * (#30d's operator, the GPT-3/Pile discipline) SPLICED between
+    * `rules` and `lm`. The splice is a semantic change, not a flag
+    * join: the LM now TRAINS on the decontaminated survivors' target
+    * stratum — a leaked benchmark document can no longer shape the
+    * quality model that judges everything downstream — and the oracle
+    * replays the RE-ORDERED cascade end-to-end (the q163 CTE chain with
+    * the decon hit-join spliced at exactly that point), so a funnel
+    * that merely flagged instead of re-training would hash-fail.
+    */
+  def q170FunnelSpliced(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.{CurationFunnel, FunnelStage}
+    val std = CurationFunnel.standardStages("doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+      TextQueries.Q127Th, FunnelLmKeepPct)
+    val decon = FunnelStage("decontaminated", (surv, raw) =>
+      graft.operators.dedup.Decontaminate.flag(surv,
+        raw.filter(col("doc_id") % FunnelBenchMod === 0), "doc_id", "text",
+        shingleN = FunnelDeconN)
+        .filter(!col("contaminated")).select(col("doc_id")))
+    // after rules, before lm: downstream models see decontaminated data
+    val chain = std.take(2) ++ Seq(decon) ++ std.drop(2)
+    CurationFunnel.stagesOf(Tables.documents(spark, dir), "doc_id", "text",
+      chain)
+  }
+
+  def q170Oracle: String = {
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    val d2From = "SELECT b.doc_id, b.text FROM fb b JOIN fd1 USING (doc_id)"
+    val d3From =
+      "(SELECT b.doc_id, b.lang, b.text FROM fb b JOIN fdec USING (doc_id))"
+    val d4From =
+      "(SELECT b.doc_id, b.lang, b.text FROM fb b JOIN fd3 USING (doc_id))"
+    s"""WITH fb AS (
+       |  SELECT doc_id, lang, text, $norm AS norm
+       |  FROM documents WHERE doc_id IS NOT NULL
+       |), fvalid AS (
+       |  SELECT * FROM fb WHERE text IS NOT NULL AND length(norm) > 0
+       |), fd1 AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM fvalid GROUP BY md5(norm)
+       |),
+       |${TextQueries.qualityCtes(d2From, TextQueries.Q127Th)},
+       |fd2 AS (
+       |  SELECT doc_id FROM qrstats
+       |  WHERE ${TextQueries.qualityPassedSql(TextQueries.Q127Th)}
+       |),
+       |${shingleHashListCtes("db",
+          s"(SELECT doc_id, text FROM documents WHERE doc_id % $FunnelBenchMod = 0)",
+          FunnelDeconN)},
+       |${shingleHashListCtes("dt",
+          "(SELECT b.doc_id, b.text FROM fb b JOIN fd2 USING (doc_id))",
+          FunnelDeconN)},
+       |dbh AS (
+       |  SELECT DISTINCT unnest(hashes) AS h FROM dbshl
+       |), dth AS (
+       |  SELECT doc_id, unnest(hashes) AS h FROM dtshl
+       |), dhits AS (
+       |  SELECT doc_id, COUNT(DISTINCT h) AS nh FROM dth JOIN dbh USING (h)
+       |  GROUP BY 1
+       |), fdec AS (
+       |  SELECT f.doc_id FROM fd2 f LEFT JOIN dhits USING (doc_id)
+       |  WHERE COALESCE(nh, 0) = 0
+       |),
+       |${lmSptCtes("fl", "lang = 'en'", d3From)},
+       |flnn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM flspt
+       |), flcum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT lm_score_per_tok AS v, COUNT(*) AS c FROM flspt GROUP BY 1) t
+       |), flthr AS (
+       |  SELECT MIN(v) AS t FROM flcum CROSS JOIN flnn
+       |  WHERE cum >= n - ((n * $FunnelLmKeepPct) // 100) + 1
+       |), fd3 AS (
+       |  SELECT doc_id FROM flspt CROSS JOIN flthr WHERE lm_score_per_tok >= t
+       |),
+       |${nbCtes("fn", "lang = 'en'", "lang IS NOT NULL AND lang <> 'en'",
+         "documents", d4From)},
+       |fd4 AS (
+       |  SELECT doc_id FROM fnnbsc WHERE pos_score > neg_score
+       |)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.doc_id NOT IN (SELECT doc_id FROM fvalid) THEN 'invalid'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd1) THEN 'exact_dedup'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd2) THEN 'rules'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fdec) THEN 'decontaminated'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd3) THEN 'lm'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd4) THEN 'classifier'
+       |       ELSE 'kept' END AS stage
+       |FROM fb b""".stripMargin
+  }
+
   /** q165: shard export INTEGRITY stats — q157's manifest reduced to
     * the per-shard audit table (count, min/max/xor of the 52-bit order
     * hashes) a byte-reproducible export ships beside its shards: any

@@ -100,4 +100,54 @@ class CurationFunnelSpec extends SparkSpec {
     assert(out(7L) == "classifier",
       "the de doc must fall at the classifier under the raw reference-vs-crawl fit")
   }
+
+  // --- pluggable stages (round 18) --------------------------------------
+
+  test("stagesOf(standardStages) is identical to the fixed chain") {
+    val viaList = CurationFunnel.stagesOf(corpus, "doc_id", "text",
+      CurationFunnel.standardStages("doc_id", "text",
+        col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+        Th, 60))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaList == run(60))
+  }
+
+  test("a spliced decontamination stage attributes and re-trains downstream") {
+    import graft.pipelines.FunnelStage
+    // doc 6 quotes a 5-word phrase of the 'bench' doc 20 verbatim; the
+    // spliced stage must catch it AFTER rules and BEFORE lm
+    val benchPhrase = "the fox and the dog have fun with trees"
+    val docs = corpus.union(Seq(
+      (20L, benchPhrase + " at the bench", "bench")).toDF("doc_id", "text", "lang"))
+    val std = CurationFunnel.standardStages("doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+      Th, 100)
+    val decon = FunnelStage("decontaminated", (surv, raw) =>
+      graft.operators.dedup.Decontaminate.flag(surv,
+        raw.filter(col("lang") === "bench"), "doc_id", "text", shingleN = 5)
+        .filter(!col("contaminated")).select(col("doc_id")))
+    val chain = std.take(2) ++ Seq(decon) ++ std.drop(2)
+    val out = CurationFunnel.stagesOf(docs, "doc_id", "text", chain)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(6L) == "decontaminated",
+      s"the quoting doc must fall at the spliced stage, got ${out(6L)}")
+    assert(out(20L) == "decontaminated",
+      "the bench doc itself trivially shares its own shingles")
+    // earlier stages keep priority over the splice
+    assert(out(4L) == "exact_dedup" && out(5L) == "rules")
+    // clean docs flow through to the downstream stages untouched
+    assert(Set("lm", "classifier", "kept").contains(out(3L)))
+  }
+
+  test("stage-name collisions and reserved labels fail loudly") {
+    import graft.pipelines.FunnelStage
+    val noop = FunnelStage("x", (s, _) => s.select(col("doc_id")))
+    intercept[IllegalArgumentException] {
+      CurationFunnel.stagesOf(corpus, "doc_id", "text", Seq(noop, noop))
+    }
+    intercept[IllegalArgumentException] {
+      CurationFunnel.stagesOf(corpus, "doc_id", "text",
+        Seq(FunnelStage("invalid", (s, _) => s.select(col("doc_id")))))
+    }
+  }
 }
