@@ -59,15 +59,29 @@ object BinaryEmbeddingPipeline {
   val StubModel = "stub"
 
   /** md5-hex content fingerprint of a decodable payload (None when no
-    * ImageIO reader accepts it): the decoded-pixel identity the dedup
-    * stage groups on.
+    * codec accepts it): the DECODED-content identity the dedup stage
+    * groups on. Images fingerprint their pixel luminances
+    * (`"w:h:l0:l1:…"`, row-major); WAV audio fingerprints its decoded
+    * PCM16 samples (`"wav:rate:n:s0:s1:…"` — through the real
+    * AudioSystem codec path, so a re-containerized identical recording
+    * fingerprints identically). The modality tags cannot collide: image
+    * fingerprints start with a digit, audio with `wav:`.
     */
   private[pipelines] def contentFingerprint(blob: Array[Byte]): Option[String] =
-    BinaryPipeline.sniff(blob).flatMap { _ =>
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(blob)))
-      catch { case scala.util.control.NonFatal(_) => None }
-    }.map { img =>
+    BinaryPipeline.sniff(blob).flatMap {
+      case "audio/wav" => wavFingerprint(blob)
+      case _           => imageFingerprint(blob)
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def imageFingerprint(blob: Array[Byte]): Option[String] =
+    (try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob)))
+    catch { case scala.util.control.NonFatal(_) => None }).map { img =>
       val w = img.getWidth
       val h = img.getHeight
       val sb = new java.lang.StringBuilder(w * h * 4 + 16)
@@ -83,9 +97,39 @@ object BinaryEmbeddingPipeline {
         }
         y += 1
       }
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
+      md5Hex(sb.toString)
+    }
+
+  /** Decoded-sample fingerprint via the real javax.sound codec path
+    * (the [[BinaryPipeline.audioFeatures]] decode discipline: format
+    * negotiation + frame accounting, not byte peeking); 16-bit mono
+    * PCM only — anything else is the undecodable case.
+    */
+  private def wavFingerprint(blob: Array[Byte]): Option[String] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getSampleRate <= 0) return None
+        val bytes = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        val sb = new java.lang.StringBuilder(n * 7 + 24)
+        sb.append("wav:").append(fmt.getSampleRate.toInt).append(':')
+          .append(n)
+        var i = 0
+        while (i < n) {
+          sb.append(':').append(bb.getShort.toInt)
+          i += 1
+        }
+        if (n == 0) None else Some(md5Hex(sb.toString))
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None // corrupt: drop path
     }
 
   /** One row per content group SURVIVING the exact dedup:

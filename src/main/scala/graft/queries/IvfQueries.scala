@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 
 import graft.Tables
 import graft.operators.similarity.{IvfAnn, KMeansExact, KMeansTwoLevel}
@@ -658,6 +659,90 @@ object IvfQueries {
       threshold = SemThreshold, trainIters = TrainIters,
       dims = SimilarityQueries.Dims,
       oracleFlatLadder = true) // the oracle replays the flat ladder only
+
+  /** q172: MIXED-MODALITY embedding pipeline — q168's chain over a
+    * corpus that is half REAL images, half REAL WAV audio (one binary
+    * column, heterogeneous payloads — the multimodal-table shape): the
+    * content fingerprint dispatches per sniffed container (decoded
+    * PIXELS for images, decoded PCM16 SAMPLES through the actual
+    * javax.sound codec path for audio, modality-tagged so they can
+    * never collide), audio twins collapse exactly like image twins,
+    * and one semantic-dedup pass runs over the union. The oracle
+    * replays BOTH decoders' content from the generator spec — every
+    * pixel luminance and every 16-bit sample — both md5 fingerprints,
+    * the per-modality group collapses, and the full q121 chain over
+    * the combined vectors.
+    */
+  def q172MixedEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.multimodal.BinaryPipeline
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("doc_id DIV 8").as("seed"))
+    val imgs = BinaryPipeline.encodeBmpPatched(spark,
+      d.filter(col("doc_id") % 2 === 0)
+        .withColumn("w", col("seed") % 37 + 9)
+        .withColumn("h", col("seed") % 29 + 7)
+        .withColumn("pw", when(col("doc_id") % 5 === 4,
+          expr("w DIV 9")).otherwise(lit(0)))
+        .withColumn("ph", when(col("doc_id") % 5 === 4,
+          expr("h DIV 7")).otherwise(lit(0))),
+      "doc_id", "w", "h", "seed", "pw", "ph", patchValue = 128)
+    val wavs = BinaryPipeline.encodeWav(spark,
+      d.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("n", (col("seed") % 300 + 50).cast("int"))
+        .withColumn("rate", lit(8000)),
+      "doc_id", "n", "rate", "seed")
+    graft.pipelines.BinaryEmbeddingPipeline.run(
+      imgs.unionByName(wavs), Tables.embeddings(spark, dir),
+      "doc_id", "blob", threshold = SemThreshold, trainIters = TrainIters,
+      dims = SimilarityQueries.Dims, oracleFlatLadder = true)
+  }
+
+  def q172Oracle: String = {
+    val corpus = "SELECT doc_id AS vec_id, embedding FROM embjoin"
+    s"""WITH igeo AS (
+       |  SELECT doc_id, doc_id // 8 AS seed,
+       |    (doc_id // 8) % 37 + 9 AS w,
+       |    (doc_id // 8) % 29 + 7 AS h,
+       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 37 + 9) // 9 ELSE 0 END AS pw,
+       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 29 + 7) // 7 ELSE 0 END AS ph
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), iplums AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(w * h), p -> ${SimilarityQueries.imagePixelLumSql}) AS L
+       |  FROM igeo
+       |), ifp AS (
+       |  SELECT doc_id,
+       |    md5(CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || ':' ||
+       |      array_to_string(L, ':')) AS f
+       |  FROM iplums
+       |), wgeo AS (
+       |  SELECT doc_id, doc_id // 8 AS seed, (doc_id // 8) % 300 + 50 AS n
+       |  FROM documents WHERE doc_id % 2 <> 0
+       |), wsmp AS (
+       |  SELECT doc_id, n, list_transform(range(n), i ->
+       |    ((((seed % 9973) * 2654435761 + i * 1103515245 + 12345) // 65536) % 65536) - 32768) AS S
+       |  FROM wgeo
+       |), wfp AS (
+       |  SELECT doc_id,
+       |    md5('wav:8000:' || CAST(n AS VARCHAR) || ':' ||
+       |      array_to_string(S, ':')) AS f
+       |  FROM wsmp
+       |), cfp AS (
+       |  SELECT doc_id, f FROM ifp UNION ALL SELECT doc_id, f FROM wfp
+       |), surv AS MATERIALIZED (
+       |  SELECT f, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+       |  FROM cfp GROUP BY f
+       |), nv AS (
+       |  SELECT MAX(vec_id) + 1 AS n FROM embeddings
+       |), embjoin AS MATERIALIZED (
+       |  SELECT s.doc_id, s.n_dups, e.vec_id, e.embedding
+       |  FROM surv s JOIN embeddings e
+       |    ON e.vec_id = CAST('0x' || substr(s.f, 1, 8) AS BIGINT) % (SELECT n FROM nv)
+       |),
+       |${semFlagCtes(corpus, SemThreshold)}
+       |SELECT ej.doc_id, ej.n_dups, ej.vec_id, f.cluster_id, f.kept
+       |FROM embjoin ej JOIN semflags f ON f.vec_id = ej.doc_id""".stripMargin
+  }
 
   def q168Oracle: String = {
     val corpus = "SELECT doc_id AS vec_id, embedding FROM embjoin"

@@ -336,6 +336,44 @@ object SimilarityQueries {
        |FROM ih a JOIN ih b ON b.doc_id > a.doc_id
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= ${ImageHash.DefaultMaxHamming}""".stripMargin
 
+  /** q171: image duplicate CLUSTERS — the multimodal×CC composition
+    * closing the image-dedup story (q166 hashes → q167 banded pairs →
+    * the q52 transitive-closure substrate, now pre-contracted): a
+    * re-encoded BMP/PNG twin, its patched near-dup, and every
+    * exact-pixel copy land in ONE cluster with the min doc_id as the
+    * deterministic survivor — exactly what a LAION-class pipeline keeps
+    * per image. The oracle replays hashes, the full Hamming ball, and
+    * the closure as a recursive CTE (the q52 discipline).
+    */
+  def q171ImageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ImageHash.nearDupPairs(
+      ImageHash.hashes(spark, imageCorpus(spark, dir), "doc_id", "blob"),
+      "doc_id")
+    graft.operators.dedup.DupClusters.components(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  def q171Oracle: String =
+    s"""WITH RECURSIVE $imageHashCtes, ipairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ih a JOIN ih b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= ${ImageHash.DefaultMaxHamming}
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM ipairs
+       |  UNION SELECT b_id, a_id FROM ipairs
+       |), reach AS (
+       |  SELECT src AS node, dst AS r FROM edges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM reach rc JOIN edges e ON rc.r = e.src
+       |), comp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+       |)
+       |SELECT c.doc_id, c.cluster_rep, cnt.cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+       |      FROM comp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
+
   def q96Oracle: String =
     """WITH p AS (
       |  SELECT doc_id, COALESCE(n_chars, 0) % 6 + 2 AS nf FROM documents

@@ -76,6 +76,21 @@ class BinaryEmbedderSpiSpec extends SparkSpec {
       "BMP and its PNG twin must collapse into one min-id content group")
   }
 
+  test("audio twins collapse by decoded samples; modalities never collide") {
+    import graft.operators.multimodal.Wav
+    val media = Seq(
+      (1L, Wav.encode(100, 8000, 5L)),
+      (2L, Wav.encode(100, 8000, 5L)), // identical samples → one group
+      (3L, Wav.encode(100, 8000, 6L)), // distinct samples → own group
+      (4L, Bmp.encode(16, 12, 5L)))    // an image never merges with audio
+      .toDF("doc_id", "blob")
+    val out = runChain(media, BinaryEmbeddingPipeline.StubModel)
+      .select("doc_id", "n_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L),
+      s"audio twins must collapse, modalities must stay apart: $out")
+  }
+
   test("undecodable payloads are dropped before the embed stage") {
     val junk = Array.fill[Byte](32)(9)
     val media = Seq((1L, Bmp.encode(16, 12, 1L)), (2L, junk))
