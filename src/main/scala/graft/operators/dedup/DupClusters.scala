@@ -123,17 +123,19 @@ object DupClusters {
       iter += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
+      // the decrease flag rides the SAME projection the round already
+      // checkpoints, so convergence ("no label decreased" — labels only
+      // ever decrease, making that the fixpoint test) is a cheap scan of
+      // the materialized frame instead of a second labels-sized shuffle
+      // join per round (which used to cost as much as the round itself)
       val next = labels.alias("l")
         .join(nbrMin, col("l.node") === nbrMin("src"), "left")
         .select(col("l.node").as("node"),
-          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep"))
+          least(col("l.rep"), coalesce(col("nbr_rep"), col("l.rep"))).as("rep"),
+          (col("nbr_rep") < col("l.rep")).as("__changed"))
         .localCheckpoint()
-      // labels only ever decrease, so "no label decreased" is the fixpoint
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.rep") < col("o.rep"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
     }
     require(converged,
       s"connected components did not converge in $maxIter rounds — a " +

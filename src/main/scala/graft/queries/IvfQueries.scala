@@ -673,7 +673,10 @@ object IvfQueries {
     * the per-modality group collapses, and the full q121 chain over
     * the combined vectors.
     */
-  def q172MixedEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  /** The q172 mixed corpus: evens = patched seed-grouped BMPs, odds =
+    * seed-grouped WAVs (exposed for the sf10 production-arm probe).
+    */
+  private[graft] def q172Corpus(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.multimodal.BinaryPipeline
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("doc_id DIV 8").as("seed"))
@@ -691,11 +694,14 @@ object IvfQueries {
         .withColumn("n", (col("seed") % 300 + 50).cast("int"))
         .withColumn("rate", lit(8000)),
       "doc_id", "n", "rate", "seed")
+    imgs.unionByName(wavs)
+  }
+
+  def q172MixedEmbedding(spark: SparkSession, dir: String): DataFrame =
     graft.pipelines.BinaryEmbeddingPipeline.run(
-      imgs.unionByName(wavs), Tables.embeddings(spark, dir),
+      q172Corpus(spark, dir), Tables.embeddings(spark, dir),
       "doc_id", "blob", threshold = SemThreshold, trainIters = TrainIters,
       dims = SimilarityQueries.Dims, oracleFlatLadder = true)
-  }
 
   def q172Oracle: String = {
     val corpus = "SELECT doc_id AS vec_id, embedding FROM embjoin"

@@ -346,9 +346,12 @@ object SimilarityQueries {
     * the closure as a recursive CTE (the q52 discipline).
     */
   def q171ImageDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ImageHash.nearDupPairs(
+    // cached: components() consumes its pair input three times (node
+    // universe both ways + the pre-contraction pass) and the pair
+    // lineage here is the whole decode→hash→band join
+    val pairs = graft.operators.OpCache.cache(ImageHash.nearDupPairs(
       ImageHash.hashes(spark, imageCorpus(spark, dir), "doc_id", "blob"),
-      "doc_id")
+      "doc_id"))
     graft.operators.dedup.DupClusters.components(pairs, "a_id", "b_id")
       .select(col("node").as("doc_id"), col("cluster_rep"),
         col("cluster_size"))

@@ -37,6 +37,19 @@ ALLOW = {
          "side to prove it scalar (detector limitation, not a plan "
          "shape; NgramLm.flagged / CurationFunnel.stages)"),
     ],
+    "q170_funnel_spliced": [
+        ("BNLJ-nonscalar",
+         "the SAME q149 1-row exact-rank threshold broadcast as "
+         "q163's allowance (HashAggregate Keys:[] (340) -> SinglePartition "
+         "Exchange -> Filter isnotnull -> Project -> BroadcastExchange "
+         "IdentityBroadcastMode (345) -> the lm keep cut at node 346), "
+         "scalar by construction; q170 is q163's chain with the "
+         "decontamination stage spliced, so the identical subtree renders "
+         "nested inside the cached LM-survivor InMemoryRelation's "
+         "AdaptiveSparkPlan block where the child-indent walk cannot reach "
+         "the broadcast side (same detector limitation, not a plan shape; "
+         "NgramLm.flagged / CurationFunnel.stagesOf)"),
+    ],
     "q120_guarded_join": [
         ("BNLJ-nonscalar",
          "the guard's null-safe semi-join evaluated on the SINGLE synthetic "
