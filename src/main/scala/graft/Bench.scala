@@ -171,8 +171,15 @@ object Bench {
     // on a box that started at loadavg 0.5).
     val cores = Runtime.getRuntime.availableProcessors()
     val load1Max = (perQueryLoad.values ++ Seq(-1.0)).max
-    val foreignMax = (perQueryForeign.values.filter(_ >= 0) ++ Seq(0.0)).max
-    val contended = foreignMax > cores / 4.0
+    // Fallback, not fail-open: on a JVM without the com.sun OS bean every
+    // perQueryForeign is -1 — the filtered max would default to 0.0 and
+    // contended would read false no matter how hot the box was, silently
+    // LOSING the old load1 safety check instead of degrading to it.
+    val foreignSamples = perQueryForeign.values.filter(_ >= 0)
+    val contended =
+      if (foreignSamples.nonEmpty) foreignSamples.max > cores / 4.0
+      else load1Max > cores / 4.0 // pre-r18 gate: own-load unmeasurable
+    val foreignMax = (foreignSamples ++ Seq(0.0)).max
     val loadsFull = perQueryLoad.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ownFull = perQueryOwn.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -38,17 +38,32 @@ object JoinRouting {
     * shuffle — the user turned broadcasts off globally.
     */
   def autoByRows(spark: SparkSession, estRows: Long): Boolean = {
-    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    // "-1" (the documented disable value) has no byte suffix and fails
-    // byteStringAsBytes' parser — handle bare integers (incl. negatives)
-    // directly, suffixed forms ("10MB") via the Spark util
-    val t = raw.trim
-    val bytes =
-      try {
-        if (t.matches("-?[0-9]+")) t.toLong
-        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(t)
-      } catch { case _: Exception => 10L << 20 }
+    val bytes = parseThreshold(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
     bytes > 0 && estRows <= bytes / BytesPerCountRow
+  }
+
+  /** Threshold string → bytes. "-1" (the documented disable value) has
+    * no byte suffix and fails byteStringAsBytes' parser — bare integers
+    * (incl. negatives) are handled directly, suffixed forms ("10MB") via
+    * the Spark util. LOUD on anything unparseable: `spark.conf.set`
+    * validates this key itself, but a value arriving through an
+    * unvalidated channel (SparkConf at submit time, a copied-in
+    * properties file) must surface as the misconfiguration it is —
+    * silently routing joins from a substituted 10 MB default would hide
+    * it behind a plan-shape change nobody asked for.
+    */
+  private[graft] def parseThreshold(raw: String): Long = {
+    val t = raw.trim
+    try {
+      if (t.matches("-?[0-9]+")) t.toLong
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(t)
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"unparseable spark.sql.autoBroadcastJoinThreshold '$raw' — " +
+          "fix the conf (e.g. '10MB' or '-1'); graft does not " +
+          "substitute a default for a malformed value", e)
+    }
   }
 
   /** The routed exchange: broadcast hint or identity (shuffle join). */

@@ -144,35 +144,50 @@ object ImageHash {
     require(maxHamming >= 0 && maxHamming < bands,
       s"banded retrieval is exact only for maxHamming < bands, " +
         s"got maxHamming=$maxHamming bands=$bands")
-    val widths = bandWidths(bands)
-    val offsets = widths.scanLeft(0)(_ + _).init
     val h = hashes.filter(col("dhash").isNotNull)
       .select(col(idCol).as("hid"), col("dhash"), col("ahash"))
-    val bandStructs = widths.indices.map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("dhash"), offsets(b))
-          .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
-    }
-    val banded = h
-      .select(col("hid"), col("dhash"), col("ahash"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("hid"), col("dhash"), col("ahash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("hid").as("a_id"),
-      col("dhash").as("a_d"), col("ahash").as("a_a"))
-    val b = banded.select(col("band"), col("key"), col("hid").as("b_id"),
-      col("dhash").as("b_d"), col("ahash").as("b_a"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      // hashes are functions of the ids, so the pair row is distinct on
-      // (a_id, b_id) — dedup BEFORE the popcount so multi-band collisions
-      // are verified once
-      .select(col("a_id"), col("b_id"), col("a_d"), col("b_d"),
-        col("a_a"), col("b_a"))
-      .distinct()
+    // candidate retrieval over (id, band, key) ONLY — the hash columns
+    // must not ride the band explode, the self-join exchange, or the
+    // multi-band-collision distinct (they widened those shuffles ~40%
+    // until round 19); they re-join onto the deduped id pairs below,
+    // where candidate volume is already subquadratic
+    val ids = bandedIdPairs(h, "hid", maxHamming, bands)
+    ids
+      .join(h.select(col("hid").as("a_id"), col("dhash").as("a_d"),
+        col("ahash").as("a_a")), Seq("a_id"))
+      .join(h.select(col("hid").as("b_id"), col("dhash").as("b_d"),
+        col("ahash").as("b_a")), Seq("b_id"))
       .filter(bit_count(col("a_d").bitwiseXOR(col("b_d"))) <= maxHamming)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_d").bitwiseXOR(col("b_d"))).cast("int").as("ham_d"),
         bit_count(col("a_a").bitwiseXOR(col("b_a"))).cast("int").as("ham_a"))
+  }
+
+  /** Distinct candidate id pairs (a_id < b_id) sharing ≥ 1 band key of
+    * the `hashCol`-named 56-bit hash in `h(idCol, hashCol…)` — the
+    * narrow core of [[nearDupPairs]], shared with the audio leg
+    * ([[AudioHash.nearDupPairs]]) and the incremental index
+    * ([[ImageHashIndex]]). Input rows must already be non-null-hash.
+    * The pair rows are deduped on ids BEFORE any verify: hashes are
+    * functions of the ids, so multi-band collisions are the same pair.
+    */
+  private[multimodal] def bandedIdPairs(h: DataFrame, idCol: String,
+      maxHamming: Int, bands: Int, hashCol: String = "dhash"): DataFrame = {
+    val widths = bandWidths(bands)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val bandStructs = widths.indices.map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col(hashCol), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
+    }
+    val banded = h
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("band"), col("key"), col(idCol).as("a_id"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("b_id")),
+        Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
   }
 }

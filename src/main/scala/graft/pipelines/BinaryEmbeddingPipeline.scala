@@ -191,8 +191,9 @@ object BinaryEmbeddingPipeline {
           .select(col("doc_id"), col("n_dups"), col("vec_id"),
             col("embedding"))
       case None =>
-        // bounded scalar (one aggregate row): the stub keyspace size
-        val nVecs = embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1
+        // bounded scalar (one aggregate row): the stub keyspace size,
+        // empty/sparse lookup tables rejected loudly
+        val nVecs = Embedders.stubKeyspaceSize(embeddings)
         surv
           .withColumn("vec_id",
             conv(substring(col("fp"), 1, 8), 16, 10).cast("long") % nVecs)

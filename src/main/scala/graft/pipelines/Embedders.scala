@@ -87,4 +87,29 @@ object Embedders {
     java.util.ServiceLoader.load(classOf[BinaryEmbedder], loader)
       .iterator().asScala.map(e => e.model -> e).toMap
   }
+
+  /** The stub keyspace size, with the contract checked LOUDLY: the stub
+    * embed stage keys `hash(fp) mod nVecs` into the lookup table, so the
+    * table must be non-empty (an empty one previously surfaced as an
+    * opaque NPE off a null max) and its vec_id keyspace must be exactly
+    * the CONTIGUOUS [0, max] — a sparse keyspace would silently DROP
+    * every survivor whose hash lands on a hole at the inner join, the
+    * one failure a dedup pipeline cannot absorb. One bounded aggregate
+    * row (min/max/distinct-count over the dim-sized lookup table).
+    */
+  def stubKeyspaceSize(embeddings: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val r = embeddings.agg(min(col("vec_id")), max(col("vec_id")),
+      count_distinct(col("vec_id")), count(lit(1))).head()
+    require(!r.isNullAt(1) && r.getLong(3) > 0,
+      "stub embed stage needs a non-empty embeddings lookup table " +
+        "(no vec_id rows found) — pass the embeddings parquet or register " +
+        "a real Embedder/BinaryEmbedder SPI")
+    val (lo, hi, nd, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    require(lo == 0L && nd == hi + 1 && n == nd,
+      s"stub embed stage requires a contiguous, duplicate-free vec_id " +
+        s"keyspace [0, max]: got min=$lo max=$hi distinct=$nd rows=$n — " +
+        "a hole would silently drop every survivor hashing onto it")
+    hi + 1
+  }
 }

@@ -138,8 +138,9 @@ object EmbeddingPipeline {
           .select(col("chunk_id"), col("n_dups"), col("vec_id"),
             col("embedding"))
       case None =>
-        // bounded scalar (one aggregate row): the stub keyspace size
-        val nVecs = embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1
+        // bounded scalar (one aggregate row): the stub keyspace size,
+        // empty/sparse lookup tables rejected loudly
+        val nVecs = Embedders.stubKeyspaceSize(embeddings)
         surv
           .withColumn("vec_id",
             conv(substring(md5(col("fp").cast("binary")), 1, 8), 16, 10)

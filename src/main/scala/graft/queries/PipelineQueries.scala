@@ -878,6 +878,14 @@ object PipelineQueries {
     * a re-read file, or an offset slip diverges the count/sum. Offset
     * serialization, restart replay and hidden-file invisibility are
     * spec-pinned (RawJsonStreamSpec).
+    *
+    * Exactly-once holds END TO END here because both tiers hold their
+    * half: the read tier replays a batch as exactly the same file set
+    * (the offset log), and the sink is IDEMPOTENT — each micro-batch
+    * overwrites its own batchId-keyed partition dir, so a retried batch
+    * replaces itself instead of double-appending (foreachBatch alone is
+    * at-least-once; a plain `mode("append")` would duplicate rows on
+    * retry).
     */
   def q169Dsv2Stream(spark: SparkSession, dir: String): DataFrame = {
     val inv = q169Invocation.incrementAndGet()
@@ -905,8 +913,9 @@ object PipelineQueries {
       .schema(schema).option("path", base).load()
       .writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").parquet(out); ()
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // idempotent: a retried batch OVERWRITES its own partition dir
+        df.write.mode("overwrite").parquet(s"$out/batch=$batchId"); ()
       }
       .start()
     try {

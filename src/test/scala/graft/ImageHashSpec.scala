@@ -91,4 +91,37 @@ class ImageHashSpec extends SparkSpec {
       assert(w.sum == ImageHash.Bits && w.forall(_ >= 1))
     }
   }
+
+  test("the candidate distinct is ids-only: no hash column rides the band join") {
+    // round-19 narrowing: the band self-join + multi-band-collision
+    // distinct must exchange (a_id, b_id) [+ band/key] only; the four
+    // 8-byte hash columns re-join AFTER dedup. Pin it by plan shape:
+    // every HashAggregate keyed by a_id/b_id must carry NO dhash/ahash
+    // grouping or aggregate columns.
+    val df = ImageHash.nearDupPairs(
+      hashOf(Seq(1L -> bmp(1L), 2L -> bmp(1L), 3L -> bmp(2L))), "doc_id")
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def aggs(p: SparkPlan): Seq[BaseAggregateExec] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => aggs(a.executedPlan)
+        case q: QueryStageExec        => aggs(q.plan)
+        case b: BaseAggregateExec     => Seq(b)
+        case _                        => Seq.empty
+      }
+      self ++ p.children.flatMap(aggs)
+    }
+    val pairAggs = aggs(df.queryExecution.executedPlan).filter(
+      _.groupingExpressions.exists(_.toString.contains("a_id")))
+    assert(pairAggs.nonEmpty, "the candidate dedup must be an aggregate")
+    pairAggs.foreach { a =>
+      val cols = (a.groupingExpressions ++ a.aggregateExpressions)
+        .map(_.toString).mkString(",")
+      assert(!cols.contains("_d") && !cols.contains("_a#") &&
+        !cols.contains("dhash") && !cols.contains("ahash"),
+        s"candidate distinct must not carry hash columns: $cols")
+    }
+  }
 }

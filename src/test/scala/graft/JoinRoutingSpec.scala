@@ -50,6 +50,19 @@ class JoinRoutingSpec extends SparkSpec {
     }
   }
 
+  test("threshold parse fails LOUDLY on an unparseable value") {
+    // spark.conf.set validates this key itself in Spark 4, so the parser
+    // is exercised directly — it guards values arriving through
+    // UNvalidated channels (submit-time SparkConf, properties files)
+    val e = intercept[IllegalArgumentException] {
+      JoinRouting.parseThreshold("ten megabytes")
+    }
+    assert(e.getMessage.contains("ten megabytes"),
+      s"the error must name the malformed value: ${e.getMessage}")
+    assert(JoinRouting.parseThreshold("-1") == -1L)
+    assert(JoinRouting.parseThreshold("10MB") == 10L << 20)
+  }
+
   test("NbClassifier auto-routes with the session threshold; knob overrides") {
     def scored(knob: Option[Boolean]) = NbClassifier.score(
       corpus, "doc_id", "text",
