@@ -214,8 +214,21 @@ object Wav {
   def sampleValue(seed: Long, i: Long): Int =
     ((Bmp.lcg(seed, i) % 65536L) - 32768L).toInt
 
-  def encode(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+  def encode(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] =
+    encodeScaled(nSamples, sampleRate, seed, 1)
+
+  /** [[encode]] with a VOLUME divisor: sample i = sampleValue/div with
+    * Java truncating division (symmetric in sign, so
+    * |s/div| = |s| div div exactly — the form an external oracle replays
+    * as `abs(s) // div` with a nonnegative operand, no floor-vs-trunc
+    * ambiguity). The audio near-dup gates plant quieter twins of one
+    * recording with it — every decoded sample still externally
+    * predictable.
+    */
+  def encodeScaled(nSamples: Int, sampleRate: Int, seed: Long,
+                   div: Int): Array[Byte] = {
     require(nSamples > 0 && sampleRate > 0, s"bad shape $nSamples@$sampleRate")
+    require(div >= 1, s"volume divisor must be >= 1, got $div")
     val dataSize = 2 * nSamples
     val b = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -231,7 +244,7 @@ object Wav {
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
     while (i < nSamples) {
-      b.putShort(sampleValue(seed, i.toLong).toShort)
+      b.putShort((sampleValue(seed, i.toLong) / div).toShort)
       i += 1
     }
     b.array()
@@ -475,6 +488,27 @@ object BinaryPipeline {
       .as[(Long, Int, Int, Long)]
       .mapPartitions(_.map { case (id, n, rate, seed) =>
         (id, Wav.encode(n, rate, seed))
+      })
+      .toDF(idCol, "blob")
+  }
+
+  /** [[encodeWav]] with a per-row VOLUME divisor column
+    * ([[Wav.encodeScaled]]) — the audio near-dup gates' way to plant
+    * replayable quieter twins (div = 1 is the unscaled recording).
+    */
+  def encodeWavScaled(spark: SparkSession, df: DataFrame, idCol: String,
+                      nCol: String, rateCol: String, seedCol: String,
+                      divCol: String): DataFrame = {
+    import spark.implicits._
+    // spread before the CPU-bound per-row encode (single-split input
+    // trap — the q95 probe's 12× lesson)
+    df.select(col(idCol).cast("long"), col(nCol).cast("int"),
+        col(rateCol).cast("int"), col(seedCol).cast("long"),
+        col(divCol).cast("int"))
+      .repartition(col(idCol))
+      .as[(Long, Int, Int, Long, Int)]
+      .mapPartitions(_.map { case (id, n, rate, seed, div) =>
+        (id, Wav.encodeScaled(n, rate, seed, div))
       })
       .toDF(idCol, "blob")
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.multimodal.{BinaryPipeline, ImageHash}
+import graft.operators.multimodal.{AudioHash, BinaryPipeline, ImageHash}
 import graft.operators.similarity.{CosineTopK, LshAnn}
 
 /** Similarity-search and multimodal queries (SURVEY §2 items 34-36, 41). */
@@ -376,6 +376,100 @@ object SimilarityQueries {
        |FROM comp c
        |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
        |      FROM comp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
+
+  /** Shared derivation for the audio-dedup gates (q173/q174): documents
+    * become REAL WAV recordings with planted duplicate structure, all of
+    * it replayable —
+    *   - seed = doc_id DIV 8: groups of ≤8 consecutive ids share one
+    *     recording (constant group SIZE — the pair output stays linear
+    *     in n, the imageCorpus discipline);
+    *   - n = 171 + seed % 450 samples (twins agree; ≥ 3 samples per
+    *     profile window);
+    *   - rate = 8000 + (doc_id % 3)·4000 — RE-HEADERED twins: the rate
+    *     lives only in the WAV header, so group members are
+    *     byte-DIFFERENT files carrying identical samples (what a
+    *     lexical fingerprint can never collapse);
+    *   - doc_id % 5 = 4 rows are VOLUME-SCALED ([[Wav.encodeScaled]],
+    *     div 4) — a planted perceptual near-dup whose every decoded
+    *     sample the oracle still predicts (`abs(s) // 4`).
+    */
+  private[graft] def audioCorpus(spark: SparkSession, dir: String): DataFrame =
+    BinaryPipeline.encodeWavScaled(spark,
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        (expr("doc_id DIV 8") % 450 + 171).as("n"),
+        ((col("doc_id") % 3) * 4000 + 8000).as("rate"),
+        expr("doc_id DIV 8").as("seed"),
+        when(col("doc_id") % 5 === 4, lit(4)).otherwise(lit(1)).as("dv")),
+      "doc_id", "n", "rate", "seed", "dv")
+
+  /** q173: audio perceptual HASHES over REAL decoded PCM16 samples —
+    * the [[graft.plans.EnergyDiffHash]] energy-profile difference hash
+    * ([[AudioHash.hashes]]) on the [[audioCorpus]] derivation. The
+    * oracle PREDICTS the 56-bit hash per document from the encoding
+    * spec alone: the LCG sample stream, the volume divisor, the
+    * 57-window integer split, Σ|s| per window, and the bit fold — so a
+    * decode slip anywhere in the javax.sound path diverges the gate.
+    */
+  def q173AudioHash(spark: SparkSession, dir: String): DataFrame =
+    AudioHash.hashes(spark, audioCorpus(spark, dir), "doc_id", "blob")
+
+  /** CTE chain ending in `ah(doc_id, sample_rate, n_samples, ehash)` —
+    * the full [[q173AudioHash]] replay, shared with q174. Sample i of
+    * the stream is `(lcg(seed,i) % 65536) - 32768` (the q95 replay);
+    * window w spans [w·n DIV 57, (w+1)·n DIV 57).
+    */
+  private def audioHashCtes: String = {
+    def sampleAbs =
+      "(abs(((((seed % 9973) * 2654435761 + ((w*n)//57 + j) * 1103515245 " +
+        "+ 12345) // 65536) % 65536) - 32768) // dv)"
+    s"""ageo AS (
+       |  SELECT doc_id, doc_id // 8 AS seed,
+       |    171 + (doc_id // 8) % 450 AS n,
+       |    CASE WHEN doc_id % 5 = 4 THEN 4 ELSE 1 END AS dv
+       |  FROM documents
+       |), aprof AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(57), w ->
+       |      list_sum(list_transform(range(((w+1)*n)//57 - (w*n)//57),
+       |        j -> $sampleAbs))) AS E
+       |  FROM ageo
+       |), ah AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       |    CAST(n AS BIGINT) AS n_samples,
+       |    CAST(list_sum(list_transform(range(56), b ->
+       |      CASE WHEN E[b+2] > E[b+1] THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+       |      AS BIGINT) AS ehash
+       |  FROM aprof
+       |)""".stripMargin
+  }
+
+  def q173Oracle: String =
+    s"""WITH $audioHashCtes
+       |SELECT doc_id, sample_rate, n_samples, ehash FROM ah""".stripMargin
+
+  /** q174: audio NEAR-DUP pairs — the banded Hamming retrieval q167
+    * proved, on the q173 hashes ([[AudioHash.nearDupPairs]], 3 bands of
+    * ~19 bits, radius 2, exact by pigeonhole). The oracle replays the
+    * full Hamming ball as a quadratic xor/popcount join over the
+    * replayed hashes: re-headered twins (same seed, different rate
+    * byte-patterns) surface at ham_e 0, the volume-scaled twins at
+    * ham_e ≤ 2 wherever truncation leaves the window comparisons intact
+    * — and a missed pair, a phantom, or an energy slip diverges the
+    * gate at any SF.
+    */
+  def q174AudioNearDup(spark: SparkSession, dir: String): DataFrame =
+    AudioHash.nearDupPairs(
+      AudioHash.hashes(spark, audioCorpus(spark, dir), "doc_id", "blob"),
+      "doc_id")
+
+  def q174Oracle: String =
+    s"""WITH $audioHashCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS ham_e
+       |FROM ah a JOIN ah b ON b.doc_id > a.doc_id
+       |WHERE bit_count(xor(a.ehash, b.ehash)) <= ${AudioHash.DefaultMaxHamming}""".stripMargin
 
   def q96Oracle: String =
     """WITH p AS (
