@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.multimodal.{AudioHash, BinaryPipeline, ImageHash}
+import graft.operators.multimodal.{AudioHash, BinaryPipeline, ImageHash, VideoHash}
 import graft.operators.similarity.{CosineTopK, LshAnn}
 
 /** Similarity-search and multimodal queries (SURVEY §2 items 34-36, 41). */
@@ -470,6 +470,76 @@ object SimilarityQueries {
        |  CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS ham_e
        |FROM ah a JOIN ah b ON b.doc_id > a.doc_id
        |WHERE bit_count(xor(a.ehash, b.ehash)) <= ${AudioHash.DefaultMaxHamming}""".stripMargin
+
+  /** Shared derivation for the video near-dup gate (q175): documents
+    * become REAL 6-frame DIB-AVI videos with planted overlap structure —
+    *   - group g = doc_id DIV 8; frame geometry from g (w ∈ [9,29],
+    *     h ∈ [7,23]; constant group size, the imageCorpus discipline);
+    *   - frame seeds base..base+5 with base = g·100 (+4 for the
+    *     doc_id % 4 = 3 rows): unshifted group members carry IDENTICAL
+    *     footage (6 shared frames), the two shifted members overlap the
+    *     rest in exactly 2 frames (below the share threshold — caught
+    *     only by each other) and each other in 6;
+    *   - the ·100 stride keeps adjacent groups' frame seeds disjoint.
+    */
+  private[graft] def videoCorpus(spark: SparkSession, dir: String): DataFrame =
+    BinaryPipeline.encodeAvi(spark,
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        (expr("doc_id DIV 8") % 21 + 9).as("w"),
+        (expr("doc_id DIV 8") % 17 + 7).as("h"),
+        lit(6).as("nf"),
+        (expr("doc_id DIV 8") * 100 +
+          when(col("doc_id") % 4 === 3, 4).otherwise(0)).as("seed")),
+      "doc_id", "w", "h", "nf", "seed")
+
+  /** q175: VIDEO near-dup pairs — frame-sample hashing
+    * ([[VideoHash]]): demux each AVI's frames (the q96 path), hash each
+    * through the 41b perceptual grid hash, pair videos sharing ≥ 3
+    * distinct frame hashes (hot frames DF-capped first). The oracle
+    * replays the whole chain from the encoding spec: per-frame LCG
+    * pixels → sampled grids → dHashes → the distinct/DF-cap/share-count
+    * pair rule — identical-footage twins must surface at n_shared = 6,
+    * the shifted pair at 6, shifted-vs-unshifted overlaps (2 frames)
+    * must NOT, so both a hash slip and a threshold slip diverge.
+    */
+  def q175VideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    VideoHash.nearDupPairs(
+      VideoHash.frameHashes(spark, videoCorpus(spark, dir), "doc_id",
+        "blob", frames = 8),
+      "doc_id")
+
+  def q175Oracle: String =
+    s"""WITH vgeo AS (
+       |  SELECT doc_id,
+       |    (doc_id // 8) % 21 + 9 AS w,
+       |    (doc_id // 8) % 17 + 7 AS h,
+       |    (doc_id // 8) * 100 +
+       |      CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 0 END AS base
+       |  FROM documents
+       |), vframes AS (
+       |  SELECT doc_id, w, h, base + unnest(range(6)) AS seed,
+       |    0 AS pw, 0 AS ph
+       |  FROM vgeo
+       |), vlums AS (
+       |  SELECT doc_id, list_transform(range(63), g -> $imageLumSql) AS L
+       |  FROM vframes
+       |), vh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(list_sum(list_transform(range(56), b ->
+       |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 2] > L[(b // 8) * 9 + (b % 8) + 1]
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS fhash
+       |  FROM vlums
+       |), vkept AS (
+       |  SELECT * FROM vh
+       |  WHERE fhash IN (SELECT fhash FROM vh GROUP BY 1
+       |                  HAVING COUNT(*) <= ${VideoHash.DefaultMaxDf})
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM vkept a JOIN vkept b ON a.fhash = b.fhash AND b.doc_id > a.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= ${VideoHash.DefaultMinShared}""".stripMargin
 
   def q96Oracle: String =
     """WITH p AS (
