@@ -111,6 +111,51 @@ object TextFns {
   def emailCount(text: Column): Column = countRaw(text, EmailPattern)
   def urlCount(text: Column): Column = countRaw(text, UrlPattern)
 
+  // --- PII scrubbing (SURVEY §2 item 57b): the production curation
+  // families beyond email/URL hygiene — RefinedWeb's PII pass and
+  // FineWeb's pipeline both scrub phone numbers, IP addresses and
+  // ID-shaped numbers before training. Patterns stay in the common
+  // subset Java regex and RE2 evaluate identically (no lookaround, no
+  // backrefs; \b is the ASCII word boundary in both), so a DuckDB
+  // oracle replays both the counts and the redacted text bitwise.
+
+  private val PhonePattern =
+    """(\+\d{1,2}[- ])?\(?\d{3}\)?[- ]\d{3}[- ]\d{4}"""
+  private val Ipv4Pattern = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val IdNumPattern = """\b\d{3}-\d{2}-\d{4}\b"""
+
+  /** The (pattern, placeholder) chain of [[piiRedact]], applied in
+    * order. Email runs FIRST (an address is the only family containing
+    * letters — scrubbing it cannot create or destroy a later match);
+    * phone before ID before IP, so a full phone span is consumed as a
+    * phone and never re-parsed piecemeal. Exposed for oracle builders.
+    */
+  val PiiChain: Seq[(String, String)] = Seq(
+    EmailPattern -> "<EMAIL>",
+    PhonePattern -> "<PHONE>",
+    IdNumPattern -> "<ID>",
+    Ipv4Pattern  -> "<IP>")
+
+  /** Scrub all PII families to placeholder tokens. */
+  def piiRedact(text: Column): Column =
+    PiiChain.foldLeft(text) { case (t, (p, repl)) =>
+      regexp_replace(t, p, repl)
+    }
+
+  /** Per-family span counts over the RAW text (pre-redaction audit —
+    * independent counts, computed before any placeholder insertion).
+    */
+  def phoneCount(text: Column): Column = countRaw(text, PhonePattern)
+  def ipCount(text: Column): Column = countRaw(text, Ipv4Pattern)
+  def idNumCount(text: Column): Column = countRaw(text, IdNumPattern)
+
+  /** Total PII spans across all four families — the funnel-stage drop
+    * statistic (documents saturated with PII are removed, not
+    * redacted, in production curation).
+    */
+  def piiTotal(text: Column): Column =
+    emailCount(text) + phoneCount(text) + ipCount(text) + idNumCount(text)
+
   private def countRaw(text: Column, pattern: String): Column =
     when(text.isNull, 0)
       .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0))))

@@ -95,6 +95,22 @@ object CurationFunnel {
         surv.select(col(idCol)))
         .filter(col("pred")).select(col("doc_id").as(idCol))))
 
+  /** PII saturation stage (SURVEY §2 item 57c — the RefinedWeb/FineWeb
+    * discipline): documents with more than `maxPii` PII spans across
+    * the four families ([[TextFns.piiTotal]]: email, phone, IPv4,
+    * ID-number) are DROPPED — a document that is mostly contact records
+    * is not prose worth redacting; light hits are left for the
+    * redaction transform (#57/57b) downstream of curation. A pure
+    * codegen projection + filter (regexp counts over the survivor
+    * slice), spliced anywhere in the spine via [[stagesOf]].
+    */
+  def piiStage(idCol: String, textCol: String, maxPii: Int): FunnelStage = {
+    require(maxPii >= 0, s"maxPii must be >= 0, got $maxPii")
+    FunnelStage("pii", (surv, _) =>
+      surv.filter(TextFns.piiTotal(col(textCol)) <= maxPii)
+        .select(col(idCol)))
+  }
+
   /** (doc_id, stage) for every non-null-id document of `docs`, through
     * an ARBITRARY stage chain: built-in 'invalid' first, then each
     * [[FunnelStage]] in order over the previous stage's survivors,

@@ -1124,6 +1124,102 @@ object CurationQueries {
        |FROM fb b""".stripMargin
   }
 
+  /** q177's PII saturation threshold: > 2 spans drops the document. */
+  val PiiFunnelMax = 2
+
+  /** q177: PII-SPLICED funnel — the second production splice through
+    * q170's pluggable-stage machinery (the RefinedWeb/FineWeb
+    * discipline: PII scrubbing is a curation STAGE, not a post-hoc
+    * transform): [[graft.pipelines.CurationFunnel.piiStage]] drops
+    * PII-saturated documents (> [[PiiFunnelMax]] spans across emails /
+    * phones / ID numbers / IPv4s) between `exact_dedup` and `rules`,
+    * so the rules statistics, the LM's training stratum and the NB
+    * fit all see the PII-cleaned corpus. The corpus plants PII via
+    * [[ExtraQueries.piiSuffix]] (saturated every ~7th doc, one email
+    * every ~5th), and the oracle replays the ENTIRE re-ordered cascade
+    * over the concatenated text — fingerprints, PII counts, rules, the
+    * retrained LM, the NB fit — so a funnel that merely flagged, or a
+    * count that drifted one span, hash-fails.
+    */
+  def q177PiiFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.CurationFunnel
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      concat(col("text"), ExtraQueries.piiSuffix).as("text"))
+    val std = CurationFunnel.standardStages("doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+      TextQueries.Q127Th, FunnelLmKeepPct)
+    // after exact_dedup, before rules: everything downstream trains on
+    // the PII-cleaned corpus
+    val chain = std.take(1) ++
+      Seq(CurationFunnel.piiStage("doc_id", "text", PiiFunnelMax)) ++
+      std.drop(1)
+    CurationFunnel.stagesOf(docs, "doc_id", "text", chain)
+  }
+
+  def q177Oracle: String = {
+    val norm = """trim(regexp_replace(lower(t), '\s+', ' ', 'g'))"""
+    val piiTotal = graft.functions.TextFns.PiiChain.map { case (p, _) =>
+      s"len(regexp_extract_all(b.text, '$p'))"
+    }.mkString(" + ")
+    val d2From = "SELECT b.doc_id, b.text FROM fb b JOIN fpii USING (doc_id)"
+    val d3From =
+      "(SELECT b.doc_id, b.lang, b.text FROM fb b JOIN fd2 USING (doc_id))"
+    val d4From =
+      "(SELECT b.doc_id, b.lang, b.text FROM fb b JOIN fd3 USING (doc_id))"
+    val rawFrom =
+      s"(SELECT doc_id, lang, text || $piiSuffixSqlIndented AS text FROM documents)"
+    s"""WITH fb AS (
+       |  SELECT doc_id, lang, t AS text, $norm AS norm
+       |  FROM (SELECT doc_id, lang, text || $piiSuffixSqlIndented AS t
+       |        FROM documents WHERE doc_id IS NOT NULL)
+       |), fvalid AS (
+       |  SELECT * FROM fb WHERE text IS NOT NULL AND length(norm) > 0
+       |), fd1 AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM fvalid GROUP BY md5(norm)
+       |), fpii AS (
+       |  SELECT b.doc_id FROM fb b JOIN fd1 USING (doc_id)
+       |  WHERE $piiTotal <= $PiiFunnelMax
+       |),
+       |${TextQueries.qualityCtes(d2From, TextQueries.Q127Th)},
+       |fd2 AS (
+       |  SELECT doc_id FROM qrstats
+       |  WHERE ${TextQueries.qualityPassedSql(TextQueries.Q127Th)}
+       |),
+       |${lmSptCtes("fl", "lang = 'en'", d3From)},
+       |flnn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM flspt
+       |), flcum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+       |  FROM (SELECT lm_score_per_tok AS v, COUNT(*) AS c FROM flspt GROUP BY 1) t
+       |), flthr AS (
+       |  SELECT MIN(v) AS t FROM flcum CROSS JOIN flnn
+       |  WHERE cum >= n - ((n * $FunnelLmKeepPct) // 100) + 1
+       |), fd3 AS (
+       |  SELECT doc_id FROM flspt CROSS JOIN flthr WHERE lm_score_per_tok >= t
+       |),
+       |${nbCtes("fn", "lang = 'en'", "lang IS NOT NULL AND lang <> 'en'",
+         rawFrom, d4From)},
+       |fd4 AS (
+       |  SELECT doc_id FROM fnnbsc WHERE pos_score > neg_score
+       |)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.doc_id NOT IN (SELECT doc_id FROM fvalid) THEN 'invalid'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd1) THEN 'exact_dedup'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fpii) THEN 'pii'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd2) THEN 'rules'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd3) THEN 'lm'
+       |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fd4) THEN 'classifier'
+       |       ELSE 'kept' END AS stage
+       |FROM fb b""".stripMargin
+  }
+
+  /** [[ExtraQueries.piiSuffixSql]] with its newlines flattened — it
+    * embeds mid-expression here.
+    */
+  private def piiSuffixSqlIndented: String =
+    ExtraQueries.piiSuffixSql.linesIterator.map(_.trim).mkString(" ")
+
   /** q165: shard export INTEGRITY stats — q157's manifest reduced to
     * the per-shard audit table (count, min/max/xor of the 52-bit order
     * hashes) a byte-reproducible export ships beside its shards: any

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -227,6 +227,76 @@ object ExtraQueries {
        |  regexp_replace(regexp_replace(contact, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g') AS clean_text,
        |  CAST(len(regexp_extract_all(contact, '$email')) AS INTEGER) AS n_emails,
        |  CAST(len(regexp_extract_all(contact, '$url')) AS INTEGER) AS n_urls
+       |FROM src""".stripMargin
+  }
+
+  /** Planted PII suffix shared by the q176/q177 gates — every ~7th
+    * document (doc_id % 7 = 3, CASE-first so the overlap with the light
+    * class resolves identically in both engines) is SATURATED with PII
+    * (2 phones + 1 ID number + 1 IPv4 = 4 spans), every ~5th
+    * (doc_id % 5 = 1) carries one id-derived email; plain `||`/concat
+    * keeps null texts null (the funnel's 'invalid' contract must not be
+    * disturbed by the plant).
+    */
+  private[queries] def piiSuffix: Column =
+    when(col("doc_id") % 7 === 3,
+      lit(" call (555) 123-4567 or +1 555-123-4567 id 123-45-6789 host 10.0.0.1"))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com")))
+      .otherwise(lit(""))
+
+  private[queries] val piiSuffixSql: String =
+    """CASE WHEN doc_id % 7 = 3
+      |       THEN ' call (555) 123-4567 or +1 555-123-4567 id 123-45-6789 host 10.0.0.1'
+      |     WHEN doc_id % 5 = 1
+      |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |     ELSE '' END""".stripMargin
+
+  /** The [[TextFns.PiiChain]] as a chained DuckDB regexp_replace over
+    * column expression `t` — ONE source of truth for patterns and
+    * order (a drifted pattern diverges q176's clean_text hash).
+    */
+  private[queries] def piiRedactSql(t: String): String =
+    TextFns.PiiChain.foldLeft(t) { case (acc, (p, repl)) =>
+      s"regexp_replace($acc, '$p', '$repl', 'g')"
+    }
+
+  /** Per-family count SQL over possibly-null column `t`. */
+  private[queries] def piiCountSql(t: String, pattern: String): String =
+    s"CASE WHEN $t IS NULL THEN 0 ELSE " +
+      s"CAST(len(regexp_extract_all($t, '$pattern')) AS INTEGER) END"
+
+  /** q176: PII scrubbing across the production families (§2 item 57b —
+    * phones, IPv4, ID numbers, plus #57's emails): placeholder
+    * redaction and per-family audit counts, all regexes in the
+    * Java∩RE2 subset so the oracle replays the REDACTED TEXT bitwise,
+    * not just the counts. The planted suffix ([[piiSuffix]]) makes the
+    * expected spans predictable while the regexes still sweep the full
+    * document text.
+    */
+  def q176PiiStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"), piiSuffix)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFns.piiRedact(t).as("clean_text"),
+      TextFns.emailCount(t).as("n_emails"),
+      TextFns.phoneCount(t).as("n_phones"),
+      TextFns.idNumCount(t).as("n_ids"),
+      TextFns.ipCount(t).as("n_ips"))
+  }
+
+  def q176Oracle: String = {
+    val Seq(email, phone, idnum, ip) = TextFns.PiiChain.map(_._1)
+    s"""WITH src AS (
+       |  SELECT doc_id, text || $piiSuffixSql AS t FROM documents
+       |)
+       |SELECT doc_id,
+       |  ${piiRedactSql("t")} AS clean_text,
+       |  ${piiCountSql("t", email)} AS n_emails,
+       |  ${piiCountSql("t", phone)} AS n_phones,
+       |  ${piiCountSql("t", idnum)} AS n_ids,
+       |  ${piiCountSql("t", ip)} AS n_ips
        |FROM src""".stripMargin
   }
 

@@ -139,6 +139,37 @@ class CurationFunnelSpec extends SparkSpec {
     assert(Set("lm", "classifier", "kept").contains(out(3L)))
   }
 
+  test("a spliced PII stage drops saturated docs, keeps light hits, respects order") {
+    // doc 6 gains 4 PII spans (saturated at maxPii=2), doc 8 one email
+    // (light — kept); doc 4 stays an exact dup of 3 so the splice must
+    // not outrank exact_dedup
+    val pii = " call (555) 123-4567 or +1 555-123-4567 id 123-45-6789 host 10.0.0.1"
+    val docs = corpus.withColumn("text",
+      when(col("doc_id") === 6, concat(col("text"), lit(pii)))
+        .when(col("doc_id") === 8,
+          concat(col("text"), lit(" contact user8@example.com")))
+        .otherwise(col("text")))
+    val std = CurationFunnel.standardStages("doc_id", "text",
+      col("lang") === "en", col("lang").isNotNull && col("lang") =!= "en",
+      Th, 100)
+    val chain = std.take(1) ++
+      Seq(CurationFunnel.piiStage("doc_id", "text", maxPii = 2)) ++
+      std.drop(1)
+    val out = CurationFunnel.stagesOf(docs, "doc_id", "text", chain)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(6L) == "pii", s"4 spans > 2 must drop at pii, got ${out(6L)}")
+    assert(out(4L) == "exact_dedup", "the splice must not outrank dedup")
+    assert(!Set("pii").contains(out(8L)) && out(8L) != "invalid",
+      s"one email is under the threshold, got ${out(8L)}")
+    assert(out(5L) == "rules", "downstream stages still attribute")
+  }
+
+  test("piiStage rejects a negative threshold loudly") {
+    intercept[IllegalArgumentException] {
+      CurationFunnel.piiStage("doc_id", "text", maxPii = -1)
+    }
+  }
+
   test("stage-name collisions and reserved labels fail loudly") {
     import graft.pipelines.FunnelStage
     val noop = FunnelStage("x", (s, _) => s.select(col("doc_id")))

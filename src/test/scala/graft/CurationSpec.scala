@@ -42,6 +42,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == (None, 0, 0), "null text stays null; counts read 0")
   }
 
+  test("piiRedact scrubs each family to its own token; families never cross-fire") {
+    val df = Seq(
+      (1L, "dial (555) 123-4567 or +1 555-123-4567 today"),
+      (2L, "ssn 123-45-6789 on host 10.0.0.1 port 80"),
+      (3L, "mail x@y.example please"),
+      (4L, "version 1.2 build 3-4-5 is fine"), // shapes NEAR the patterns
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextFns.piiRedact(col("t")).as("r"),
+        TextFns.phoneCount(col("t")).as("p"), TextFns.idNumCount(col("t")).as("s"),
+        TextFns.ipCount(col("t")).as("i"), TextFns.emailCount(col("t")).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5))).toMap
+    assert(out(1) == (Some("dial <PHONE> or <PHONE> today"), 2, 0, 0, 0))
+    assert(out(2) == (Some("ssn <ID> on host <IP> port 80"), 0, 1, 1, 0))
+    assert(out(3) == (Some("mail <EMAIL> please"), 0, 0, 0, 1))
+    assert(out(4) == (Some("version 1.2 build 3-4-5 is fine"), 0, 0, 0, 0),
+      "near-miss shapes must not redact")
+    assert(out(5) == (None, 0, 0, 0, 0), "null stays null; counts read 0")
+  }
+
   test("packing: start-offset assignment — boundary-crossing docs overflow their pack") {
     import graft.operators.Packing
     val docs = Seq((1L, 200), (2L, 200), (3L, 900), (4L, 50), (5L, 450))
