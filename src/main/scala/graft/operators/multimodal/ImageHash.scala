@@ -173,6 +173,22 @@ object ImageHash {
     */
   private[multimodal] def bandedIdPairs(h: DataFrame, idCol: String,
       maxHamming: Int, bands: Int, hashCol: String = "dhash"): DataFrame = {
+    val banded = bandedPostings(h, idCol, bands, hashCol)
+    banded.select(col("band"), col("key"), col(idCol).as("a_id"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("b_id")),
+        Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** The band-bucket POSTINGS of the `hashCol`-named 56-bit hash:
+    * (idCol, band, key), `bands` rows per input row — the retrieval
+    * substrate [[bandedIdPairs]] self-joins and the incremental index
+    * ([[ImageHashIndex]]) persists.
+    */
+  private[multimodal] def bandedPostings(h: DataFrame, idCol: String,
+      bands: Int, hashCol: String = "dhash"): DataFrame = {
     val widths = bandWidths(bands)
     val offsets = widths.scanLeft(0)(_ + _).init
     val bandStructs = widths.indices.map { b =>
@@ -180,14 +196,8 @@ object ImageHash {
         shiftright(col(hashCol), offsets(b))
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
     }
-    val banded = h
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.select(col("band"), col("key"), col(idCol).as("a_id"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("b_id")),
-        Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
+    h.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").cast("int").as("band"),
+        col("bk.key").as("key"))
   }
 }

@@ -541,6 +541,35 @@ object SimilarityQueries {
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= ${VideoHash.DefaultMinShared}""".stripMargin
 
+  private val q178Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q178: INCREMENTAL image-hash index
+    * ([[graft.operators.multimodal.ImageHashIndex]] — the daily-append
+    * discipline for the 41c retrieval): the q166/q167 image corpus
+    * arrives as THREE interleaved crawl days (doc_id % 3 — every
+    * duplicate group and its PNG-transcoded/patched members are split
+    * ACROSS days, so cross-batch pairing is exercised, not just
+    * within-batch), each appended to a fresh on-disk index; the union
+    * of the per-append new-pair outputs must equal the ONE-SHOT batch
+    * pairing — so the oracle IS q167's full-Hamming-ball replay. A
+    * double-counted pair (re-pairing a stored bucket), a missed
+    * cross-day pair (delta not probed against the store), or an
+    * arrival-order leak (pairs ordered by arrival instead of id)
+    * diverges rows or hashes.
+    */
+  def q178ImageIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q178Invocation.incrementAndGet()
+    val idxDir = s"${PipelineQueries.scratch}/q178_$inv/index"
+    val corpus = graft.operators.OpCache.cache(imageCorpus(spark, dir))
+    (0 until 3).map { day =>
+      graft.operators.multimodal.ImageHashIndex.append(spark, idxDir,
+        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob")
+    }.reduce(_ unionByName _)
+  }
+
+  /** The appended union must equal the batch pairing — q167's oracle. */
+  def q178Oracle: String = q167Oracle
+
   def q96Oracle: String =
     """WITH p AS (
       |  SELECT doc_id, COALESCE(n_chars, 0) % 6 + 2 AS nf FROM documents

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.multimodal.{Bmp, ImageHash, ImageHashIndex}
+
+/** [[ImageHashIndex]]: the invariants the q178 batching-invariance gate
+  * cannot phrase — pair ATTRIBUTION (a cross-batch pair lands in the
+  * later member's batch, exactly once), output FROZENNESS (a batch's
+  * returned frame never changes when later appends land), and the
+  * empty-store bootstrap.
+  */
+class ImageHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 24
+  private val H = 18
+
+  private def bmp(seed: Long) = Bmp.encode(W, H, seed)
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("imghashidx").toString
+
+  private def append(dir: String, rows: Seq[(Long, Array[Byte])]) =
+    ImageHashIndex.append(spark, dir,
+      rows.toDF("doc_id", "blob"), "doc_id", "blob")
+
+  test("a cross-batch twin pairs exactly once, in the later batch") {
+    val dir = tmpDir()
+    val b0 = append(dir, Seq(1L -> bmp(7L), 2L -> bmp(9L)))
+    assert(b0.count() == 0, "distinct images in batch 0 must not pair")
+    val b1 = append(dir, Seq(3L -> bmp(7L))) // twin of stored id 1
+    val p1 = b1.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(p1.toSeq == Seq((1L, 3L, 0)),
+      s"the cross-batch twin must surface once, ordered by id: ${p1.toSeq}")
+    // batch 0's frame is FROZEN: re-evaluating it after batch 1 landed
+    // must not resurrect pairs from the grown store
+    assert(b0.count() == 0,
+      "an earlier batch's output must never change under later appends")
+  }
+
+  test("within-batch and cross-batch pairs coexist; union equals one-shot") {
+    val dir = tmpDir()
+    val day0 = Seq(1L -> bmp(1L), 2L -> bmp(2L))
+    val day1 = Seq(3L -> bmp(1L), 4L -> bmp(1L), 5L -> bmp(3L))
+    val union = append(dir, day0).unionByName(append(dir, day1))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = ImageHash.nearDupPairs(
+      ImageHash.hashes(spark, (day0 ++ day1).toDF("doc_id", "blob"),
+        "doc_id", "blob"), "doc_id")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(union == oneShot && oneShot == Set((1L, 3L), (1L, 4L), (3L, 4L)),
+      s"appends must reproduce the batch pairing: $union vs $oneShot")
+  }
+
+  test("undecodable payloads are excluded from the index") {
+    val dir = tmpDir()
+    append(dir, Seq(1L -> Array.fill[Byte](32)(5)))
+    val b1 = append(dir, Seq(2L -> Array.fill[Byte](32)(5)))
+    assert(b1.count() == 0,
+      "junk payloads carry no hash and must never pair")
+  }
+}
