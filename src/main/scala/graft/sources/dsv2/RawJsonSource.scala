@@ -212,19 +212,24 @@ private[dsv2] class RawJsonScan(path: String, required: StructType,
 
   // --- STREAMING read tier (MICRO_BATCH_READ): the crawler-tail
   // continuous-ingest shape — a raw zone that keeps receiving crawl-chunk
-  // files is consumed as a stream with FILE-GRANULAR offsets: an Offset
-  // is the sorted list of files already visible, a micro-batch reads
-  // exactly (end \ start), and the offset log makes that exactly-once
-  // across restarts. Correctness leans on the zone's append discipline
-  // (files are IMMUTABLE once visible — this connector's own write path
-  // publishes by rename from a hidden staging dir, so a partially
-  // written file is never listed). Filters/pruning push down exactly as
-  // in batch: the streaming planner drives the same ScanBuilder.
+  // files is consumed as a stream with FILE-GRANULAR offsets backed by a
+  // COMPACTED FILE LOG in the checkpoint dir (round 19; the built-in
+  // FileStreamSource's bookkeeping tier): an Offset is a single log
+  // INDEX — O(1) bytes however many chunk files the zone holds — and the
+  // log pins each discovered file to a permanent position, so a
+  // micro-batch reads exactly log positions (start, end] and a restart
+  // replays the identical file set. Correctness leans on the zone's
+  // append discipline (files are IMMUTABLE once visible — this
+  // connector's own write path publishes by rename from a hidden staging
+  // dir, so a partially written file is never listed). Filters/pruning
+  // push down exactly as in batch: the streaming planner drives the same
+  // ScanBuilder.
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val spark = org.apache.spark.sql.SparkSession.active
     new RawJsonMicroBatchStream(path, required, pushed,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      checkpointLocation)
   }
 }
 
@@ -262,12 +267,11 @@ private[dsv2] object RawJsonFiles {
   }
 }
 
-/** File-list offset: `json` is the sorted file array — exactly-once is
-  * the set difference between consecutive offsets. O(files) per offset
-  * entry; a production zone with millions of chunk files would keep a
-  * compacted file log beside the data (the built-in FileStreamSource
-  * shape) and put log INDICES in the offset instead — same contract,
-  * different bookkeeping tier.
+/** LEGACY (pre-round-19) file-list offset — O(files) per entry. Kept so
+  * a checkpoint written by an older build restarts cleanly: its
+  * committed offset deserializes to this and [[RawJsonMicroBatchStream]]
+  * treats the listed files as already-consumed when planning the first
+  * post-upgrade batch.
   */
 private[dsv2] case class RawJsonStreamOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -279,39 +283,179 @@ private[dsv2] case class RawJsonStreamOffset(files: Seq[String])
   }
 }
 
+/** Index offset: `idx` = number of files in the stream's file-log
+  * prefix already consumed. O(1) bytes regardless of zone size — the
+  * whole point of the log tier.
+  */
+private[dsv2] case class RawJsonIndexOffset(idx: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = s"""{"v":2,"idx":$idx}"""
+}
+
+/** The per-query FILE LOG under `<checkpoint>/graft_file_log/`: an
+  * append-only sequence of chunk files (`<n>.log`, newline-separated
+  * zone paths in discovery order — newly-visible files are sorted
+  * before logging so positions are deterministic) periodically folded
+  * into `<n>.compact` snapshots (every [[RawJsonFileLog.CompactEvery]]
+  * chunks; the compact covers ALL positions ≤ its id, after which older
+  * chunk/compact files are deleted). A file's log POSITION is permanent
+  * — that is what makes an index offset a replayable record. Crash
+  * safety: the compact is written before anything is deleted, and
+  * restore reads max-compact + later chunks, so a crash between the
+  * two leaves only harmless redundancy.
+  *
+  * Single-writer by construction: the log lives in the query's OWN
+  * checkpoint dir and Spark drives a MicroBatchStream from one driver
+  * thread.
+  */
+private[dsv2] class RawJsonFileLog(logDir: String,
+                                   conf: org.apache.hadoop.conf.Configuration) {
+  import RawJsonFileLog.CompactEvery
+
+  private val dir = new Path(logDir)
+  private val fs = dir.getFileSystem(conf)
+
+  /** Ordered logged files (position i = element i) + fast membership. */
+  private val ordered = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val member = scala.collection.mutable.HashSet.empty[String]
+  private var lastChunkId = -1L
+
+  restore()
+
+  private def idOf(name: String): Long =
+    name.substring(0, name.indexOf('.')).toLong
+
+  private def readLines(p: Path): Seq[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  private def restore(): Unit = {
+    if (!fs.exists(dir)) return
+    val entries = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".log") || n.endsWith(".compact"))
+    if (entries.isEmpty) return
+    val compacts = entries.filter(_.endsWith(".compact"))
+    val baseId = if (compacts.isEmpty) -1L else compacts.map(idOf).max
+    if (baseId >= 0)
+      ordered ++= readLines(new Path(dir, f"$baseId%020d.compact"))
+    entries.filter(_.endsWith(".log")).map(idOf).filter(_ > baseId).sorted
+      .foreach(id => ordered ++= readLines(new Path(dir, f"$id%020d.log")))
+    member ++= ordered
+    lastChunkId = (entries.map(idOf) :+ -1L).max
+  }
+
+  def size: Long = ordered.length.toLong
+
+  /** Log positions (start, end] — the micro-batch's file set. */
+  def slice(start: Long, end: Long): Seq[String] = {
+    require(start >= 0 && end <= size && start <= end,
+      s"log slice ($start, $end] out of range 0..$size — the offset " +
+        "references positions this checkpoint's file log never recorded")
+    ordered.slice(start.toInt, end.toInt).toSeq
+  }
+
+  /** Position of the first unseen file among `visible`, after appending
+    * the unseen ones (sorted) as a new chunk; no-op when nothing new.
+    * Returns the new log size.
+    */
+  def appendNew(visible: Seq[String]): Long = {
+    val fresh = visible.filterNot(member).sorted
+    if (fresh.nonEmpty) {
+      lastChunkId += 1
+      write(new Path(dir, f"$lastChunkId%020d.log"), fresh)
+      ordered ++= fresh
+      member ++= fresh
+      if (lastChunkId % CompactEvery == CompactEvery - 1) compact()
+    }
+    size
+  }
+
+  private def write(p: Path, lines: Seq[String]): Unit = {
+    val out = fs.create(p, false) // never overwrite a log position
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    ()
+  }
+
+  private def compact(): Unit = {
+    write(new Path(dir, f"$lastChunkId%020d.compact"), ordered.toSeq)
+    // compact durable; now drop superseded entries
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val superseded =
+        (n.endsWith(".log") && idOf(n) <= lastChunkId) ||
+          (n.endsWith(".compact") && idOf(n) < lastChunkId)
+      if (superseded) { fs.delete(p, false); () }
+    }
+  }
+}
+
+private[dsv2] object RawJsonFileLog {
+  /** Fold the log every this many chunks. */
+  val CompactEvery = 10
+}
+
 private[dsv2] class RawJsonMicroBatchStream(path: String,
     required: StructType, pushed: Array[Filter],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = RawJsonStreamOffset(Nil)
+  private lazy val log =
+    new RawJsonFileLog(s"$checkpointLocation/graft_file_log", conf.value)
 
+  override def initialOffset(): Offset = RawJsonIndexOffset(0L)
+
+  /** Discover, log, and return the O(1) index offset. */
   override def latestOffset(): Offset =
-    RawJsonStreamOffset(RawJsonFiles.list(path, conf.value))
+    RawJsonIndexOffset(log.appendNew(RawJsonFiles.list(path, conf.value)))
 
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)
-    require(node != null && node.isArray,
-      s"graft raw-json stream offset must be a JSON array, got: $json")
-    val files = (0 until node.size()).map(node.get(_).asText())
-    RawJsonStreamOffset(files)
+    if (node != null && node.isArray) {
+      // pre-round-19 checkpoint: the offset carried the full file list
+      val files = (0 until node.size()).map(node.get(_).asText())
+      RawJsonStreamOffset(files)
+    } else {
+      require(node != null && node.isObject && node.has("idx") &&
+        node.get("v").asInt() == 2,
+        s"graft raw-json stream offset must be a v2 index object or a " +
+          s"legacy file array, got: $json")
+      RawJsonIndexOffset(node.get("idx").asLong())
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val done = start.asInstanceOf[RawJsonStreamOffset].files.toSet
-    end.asInstanceOf[RawJsonStreamOffset].files
-      .filterNot(done)
-      .sorted
-      .map(f => RawJsonInputPartition(f): InputPartition)
-      .toArray
+    val endIdx = end match {
+      case RawJsonIndexOffset(i) => i
+      case RawJsonStreamOffset(_) => throw new IllegalStateException(
+        "a legacy file-list offset can only appear as a batch START " +
+          "(the restored committed offset); ends are always index offsets")
+    }
+    start match {
+      case RawJsonIndexOffset(s) =>
+        log.slice(s, endIdx)
+          .map(f => RawJsonInputPartition(f): InputPartition).toArray
+      case RawJsonStreamOffset(files) =>
+        // upgrade replay: everything in the log prefix not already
+        // consumed by the legacy offset's file list
+        val done = files.toSet
+        log.slice(0L, endIdx).filterNot(done)
+          .map(f => RawJsonInputPartition(f): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RawJsonReaderFactory(required, pushed, conf)
 
-  // the offset log IS the commit record; files are immutable once visible
+  // Spark's offset log IS the commit record; files are immutable once
+  // visible and their log positions permanent
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

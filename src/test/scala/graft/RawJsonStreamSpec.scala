@@ -64,10 +64,20 @@ class RawJsonStreamSpec extends SparkSpec {
       () => writeChunk(raw, "chunk-c.jsonl", Seq(6L, 7L)))
     assert(second.sorted == Seq(6L, 7L),
       s"restart must skip offset-logged files, got $second")
-    // the offset log carries the visible-file list (the replay record)
+    // round 19: offsets are O(1) INDEX entries; the FILE LOG beside the
+    // checkpoint carries the replayable file-position record
     val off0 = Files.readString(Paths.get(ckpt, "offsets", "0"))
-    assert(off0.contains("chunk-a.jsonl"),
-      s"offset log must record the file list, got: $off0")
+    assert(off0.contains("\"v\":2") && off0.contains("\"idx\""),
+      s"offsets must be v2 index entries, got: $off0")
+    assert(!off0.contains("chunk-a.jsonl"),
+      s"file names must live in the file log, not the offset: $off0")
+    // Spark hands each source its own checkpoint subdir (sources/<i>)
+    val logDir = Paths.get(ckpt, "sources", "0", "graft_file_log")
+    val logged = Files.list(logDir).toArray.map(_.toString)
+      .filter(p => p.endsWith(".log") || p.endsWith(".compact"))
+      .flatMap(p => Files.readString(Paths.get(p)).split("\n")).toSeq
+    assert(logged.exists(_.contains("chunk-a.jsonl")),
+      s"the file log must pin every discovered file, got: $logged")
   }
 
   test("hidden staging/bookkeeping files never become stream rows") {
