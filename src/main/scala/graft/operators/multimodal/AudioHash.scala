@@ -145,13 +145,26 @@ object AudioHash {
     require(maxHamming >= 0 && maxHamming < bands,
       s"banded retrieval is exact only for maxHamming < bands, " +
         s"got maxHamming=$maxHamming bands=$bands")
-    val h = hashes.filter(col("ehash").isNotNull)
-      .select(col(idCol).as("hid"), col("ehash"))
-    ImageHash.bandedIdPairs(h, "hid", maxHamming, bands, hashCol = "ehash")
-      .join(h.select(col("hid").as("a_id"), col("ehash").as("a_e")), Seq("a_id"))
-      .join(h.select(col("hid").as("b_id"), col("ehash").as("b_e")), Seq("b_id"))
-      .filter(bit_count(col("a_e").bitwiseXOR(col("b_e"))) <= maxHamming)
+    // cached: the banded frame feeds both join sides over the whole
+    // decode+profile lineage — one decode pass, guaranteed
+    val h = graft.operators.OpCache.cache(
+      hashes.filter(col("ehash").isNotNull)
+        .select(col(idCol).as("hid"), col("ehash")))
+    // verify AT the band join, dedup the post-cut narrow projection —
+    // the load-bearing order ImageHash.nearDupPairs documents (the 100×
+    // probe measured a 25× candidate-to-pair ratio on correlated
+    // corpora; deduping pre-cut pushes all of it through the exchange)
+    val banded = ImageHash.bandedPostings(h, "hid", bands, hashCol = "ehash")
+    val a = banded.select(col("band"), col("key"), col("hid").as("a_id"),
+      col("ehash").as("a_e"))
+    val b = banded.select(col("band"), col("key"), col("hid").as("b_id"),
+      col("ehash").as("b_e"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id") &&
+        bit_count(col("a_e").bitwiseXOR(col("b_e"))) <= maxHamming)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_e").bitwiseXOR(col("b_e"))).cast("int").as("ham_e"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("ham_e")).as("ham_e"))
   }
 }

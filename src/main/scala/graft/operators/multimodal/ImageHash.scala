@@ -144,60 +144,65 @@ object ImageHash {
     require(maxHamming >= 0 && maxHamming < bands,
       s"banded retrieval is exact only for maxHamming < bands, " +
         s"got maxHamming=$maxHamming bands=$bands")
-    val h = hashes.filter(col("dhash").isNotNull)
-      .select(col(idCol).as("hid"), col("dhash"), col("ahash"))
-    // candidate retrieval over (id, band, key) ONLY — the hash columns
-    // must not ride the band explode, the self-join exchange, or the
-    // multi-band-collision distinct (they widened those shuffles ~40%
-    // until round 19); they re-join onto the deduped id pairs below,
-    // where candidate volume is already subquadratic
-    val ids = bandedIdPairs(h, "hid", maxHamming, bands)
-    ids
-      .join(h.select(col("hid").as("a_id"), col("dhash").as("a_d"),
-        col("ahash").as("a_a")), Seq("a_id"))
-      .join(h.select(col("hid").as("b_id"), col("dhash").as("b_d"),
-        col("ahash").as("b_a")), Seq("b_id"))
-      .filter(bit_count(col("a_d").bitwiseXOR(col("b_d"))) <= maxHamming)
+    // cached: the banded frame feeds both join sides over the whole
+    // decode+hash lineage — one decode pass, guaranteed
+    val h = graft.operators.OpCache.cache(
+      hashes.filter(col("dhash").isNotNull)
+        .select(col(idCol).as("hid"), col("dhash"), col("ahash")))
+    // VERIFY AT THE JOIN, then dedup narrow rows. Order matters at
+    // scale and both ways of getting it wrong were measured on the 100×
+    // corpus (ProbeQ167, 500k images): the hashes must ride the band
+    // join so the popcount cut executes against the join output —
+    // correlated corpora produce ~25× more band candidates than true
+    // pairs (314M vs 12.5M there), and deduplicating ids BEFORE the cut
+    // pushes all of them through the exchange (227 s); conversely the
+    // multi-band dedup must run on the POST-cut (a_id, b_id, hams)
+    // projection — 24 B/row — not on rows still carrying the four 8-byte
+    // hash columns (the r18 shape this round narrowed ~2×).
+    val banded = bandedPostings(h, "hid", bands)
+    val a = banded.select(col("band"), col("key"), col("hid").as("a_id"),
+      col("dhash").as("a_d"), col("ahash").as("a_a"))
+    val b = banded.select(col("band"), col("key"), col("hid").as("b_id"),
+      col("dhash").as("b_d"), col("ahash").as("b_a"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id") &&
+        bit_count(col("a_d").bitwiseXOR(col("b_d"))) <= maxHamming)
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_d").bitwiseXOR(col("b_d"))).cast("int").as("ham_d"),
         bit_count(col("a_a").bitwiseXOR(col("b_a"))).cast("int").as("ham_a"))
+      .groupBy(col("a_id"), col("b_id"))
+      // hams are functions of the ids: multi-band duplicates agree, min
+      // is just the deterministic pick
+      .agg(min(col("ham_d")).as("ham_d"), min(col("ham_a")).as("ham_a"))
   }
 
-  /** Distinct candidate id pairs (a_id < b_id) sharing ≥ 1 band key of
-    * the `hashCol`-named 56-bit hash in `h(idCol, hashCol…)` — the
-    * narrow core of [[nearDupPairs]], shared with the audio leg
-    * ([[AudioHash.nearDupPairs]]) and the incremental index
-    * ([[ImageHashIndex]]). Input rows must already be non-null-hash.
-    * The pair rows are deduped on ids BEFORE any verify: hashes are
-    * functions of the ids, so multi-band collisions are the same pair.
+  /** The array of (band, key) structs for the `hashCol`-named 56-bit
+    * hash — exploded by every banded consumer ([[nearDupPairs]], the
+    * audio leg, the incremental index), with whatever verify columns
+    * the caller carries alongside.
     */
-  private[multimodal] def bandedIdPairs(h: DataFrame, idCol: String,
-      maxHamming: Int, bands: Int, hashCol: String = "dhash"): DataFrame = {
-    val banded = bandedPostings(h, idCol, bands, hashCol)
-    banded.select(col("band"), col("key"), col(idCol).as("a_id"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("b_id")),
-        Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-  }
-
-  /** The band-bucket POSTINGS of the `hashCol`-named 56-bit hash:
-    * (idCol, band, key), `bands` rows per input row — the retrieval
-    * substrate [[bandedIdPairs]] self-joins and the incremental index
-    * ([[ImageHashIndex]]) persists.
-    */
-  private[multimodal] def bandedPostings(h: DataFrame, idCol: String,
-      bands: Int, hashCol: String = "dhash"): DataFrame = {
+  private[graft] def bandKeys(hashCol: String,
+                              bands: Int): org.apache.spark.sql.Column = {
     val widths = bandWidths(bands)
     val offsets = widths.scanLeft(0)(_ + _).init
-    val bandStructs = widths.indices.map { b =>
+    array(widths.indices.map { b =>
       struct(lit(b).as("band"),
         shiftright(col(hashCol), offsets(b))
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
-    }
-    h.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").cast("int").as("band"),
-        col("bk.key").as("key"))
+    }: _*)
+  }
+
+  /** The band-bucket POSTINGS of the `hashCol`-named 56-bit hash WITH
+    * the hash columns riding: (carried…, band, key), `bands` rows per
+    * input — the substrate the incremental index persists (hashes in
+    * the postings so the popcount verify runs AT the bucket join; see
+    * [[nearDupPairs]] for why that order is load-bearing).
+    */
+  private[graft] def bandedPostings(h: DataFrame, idCol: String,
+      bands: Int, hashCol: String = "dhash"): DataFrame = {
+    val carried = h.columns.map(col)
+    h.select(carried :+ explode(bandKeys(hashCol, bands)).as("bk"): _*)
+      .select(carried :+ col("bk.band").cast("int").as("band") :+
+        col("bk.key").as("key"): _*)
   }
 }

@@ -92,12 +92,12 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
-  test("the candidate distinct is ids-only: no hash column rides the band join") {
-    // round-19 narrowing: the band self-join + multi-band-collision
-    // distinct must exchange (a_id, b_id) [+ band/key] only; the four
-    // 8-byte hash columns re-join AFTER dedup. Pin it by plan shape:
-    // every HashAggregate keyed by a_id/b_id must carry NO dhash/ahash
-    // grouping or aggregate columns.
+  test("verify-at-join, then a narrow dedup: the load-bearing plan order") {
+    // Both orders of getting this wrong were measured at 100×
+    // (ProbeQ167): the popcount cut must execute AT the band join —
+    // BELOW the multi-band dedup aggregate — and the aggregate itself
+    // must group on ids with only the 4-byte precomputed ham columns,
+    // never the four 8-byte hash columns.
     val df = ImageHash.nearDupPairs(
       hashOf(Seq(1L -> bmp(1L), 2L -> bmp(1L), 3L -> bmp(2L))), "doc_id")
     df.collect()
@@ -115,13 +115,17 @@ class ImageHashSpec extends SparkSpec {
     }
     val pairAggs = aggs(df.queryExecution.executedPlan).filter(
       _.groupingExpressions.exists(_.toString.contains("a_id")))
-    assert(pairAggs.nonEmpty, "the candidate dedup must be an aggregate")
+    assert(pairAggs.nonEmpty, "the multi-band dedup must be an aggregate")
     pairAggs.foreach { a =>
       val cols = (a.groupingExpressions ++ a.aggregateExpressions)
         .map(_.toString).mkString(",")
-      assert(!cols.contains("_d") && !cols.contains("_a#") &&
-        !cols.contains("dhash") && !cols.contains("ahash"),
-        s"candidate distinct must not carry hash columns: $cols")
+      assert(!cols.contains("dhash") && !cols.contains("ahash") &&
+        !cols.contains("a_d#") && !cols.contains("b_d#") &&
+        !cols.contains("a_a#") && !cols.contains("b_a#"),
+        s"the dedup aggregate must not carry 8-byte hash columns: $cols")
+      // the popcount verify sits BELOW the aggregate (at the band join)
+      assert(a.toString.contains("bit_count"),
+        s"the popcount cut must execute below the dedup aggregate:\n$a")
     }
   }
 }
