@@ -50,6 +50,18 @@ ALLOW = {
          "the broadcast side (same detector limitation, not a plan shape; "
          "NgramLm.flagged / CurationFunnel.stagesOf)"),
     ],
+    "q177_pii_funnel": [
+        ("BNLJ-nonscalar",
+         "the SAME q149 1-row exact-rank threshold broadcast as q163/q170's "
+         "allowances (node 274: Cross join on lm_score_per_tok >= __thr, "
+         "the broadcast side a Keys:[] exact-rank aggregate), scalar by "
+         "construction; q177 is q163's chain with the PII stage spliced, so "
+         "the identical subtree renders nested inside the cached "
+         "LM-survivor InMemoryRelation's AdaptiveSparkPlan block where the "
+         "child-indent walk cannot reach the broadcast side (same detector "
+         "limitation, not a plan shape; NgramLm.flagged / "
+         "CurationFunnel.stagesOf + piiStage)"),
+    ],
     "q120_guarded_join": [
         ("BNLJ-nonscalar",
          "the guard's null-safe semi-join evaluated on the SINGLE synthetic "
