@@ -13,17 +13,19 @@ import graft.operators.OpCache
   * banded hash index ON DISK, assigns only the delta, and re-pairs only
   * the buckets the delta touches.
   *
-  * Layout under `indexDir`:
-  *   - `postings/` — (key, hid, dhash, ahash) partitioned by `band`:
-  *     the persisted band-bucket postings WITH the hash columns riding,
-  *     so the popcount verify executes AT the delta-vs-store bucket
-  *     join (the load-bearing order [[ImageHash.nearDupPairs]]
-  *     documents: correlated corpora produce ~25× more bucket
-  *     candidates than true pairs, and the cut must kill them before
-  *     any exchange). 16 extra bytes per posting row buys that — the
-  *     LSH-index trade every production system makes;
+  * Layout under `indexDir` (BOTH tables batch-keyed, so appends are
+  * idempotent and rollback-able per batch):
+  *   - `postings/batch=N/band=B/` — the persisted band-bucket postings
+  *     (key, hid, dhash, ahash) WITH the hash columns riding, so the
+  *     popcount verify executes AT the delta-vs-store bucket join (the
+  *     load-bearing order [[ImageHash.nearDupPairs]] documents:
+  *     correlated corpora produce ~25× more bucket candidates than true
+  *     pairs, and the cut must kill them before any exchange). 16 extra
+  *     bytes per posting row buys that — the LSH-index trade every
+  *     production system makes;
   *   - `pairs/batch=N/` — the PAIRS LEDGER: each append's newly-formed
-  *     pairs, frozen.
+  *     pairs, frozen; published LAST, so it doubles as the batch's
+  *     applied marker (the streaming sink's retry no-op).
   *
   * [[append]] hashes the day's images, pairs them against themselves AND
   * against the stored postings sharing a band key, persists the result
@@ -62,28 +64,45 @@ object ImageHashIndex {
     StructField("a_id", LongType), StructField("b_id", LongType),
     StructField("ham_d", IntegerType), StructField("ham_a", IntegerType)))
 
-  private def readOrEmpty(spark: SparkSession, path: String,
-                          schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
   /** Hash + index the day's images; return the pairs NEW with this
     * batch: (a_id, b_id, ham_d, ham_a), a_id < b_id by ID (not arrival).
+    *
+    * `batchId`: None (the daily-driver path) auto-numbers by ledger
+    * count; Some(id) (the STREAMING foreachBatch path) keys both tables
+    * by the stream's batch id and makes the append IDEMPOTENT — a
+    * retried micro-batch whose publish completed returns its frozen
+    * ledger without touching anything, and a partially-published crash
+    * (one table's batch dir present without the other's) is rolled back
+    * and redone. Publish protocol: both tables stage under hidden dirs
+    * (invisible to the parquet reads), postings rename first, the PAIRS
+    * rename LAST — the pairs dir is the applied marker, so the marker
+    * can never exist without the postings it was computed against.
     */
   def append(spark: SparkSession, indexDir: String, images: DataFrame,
              idCol: String, blobCol: String,
              maxHamming: Int = ImageHash.DefaultMaxHamming,
-             bands: Int = ImageHash.DefaultMaxHamming + 1): DataFrame = {
+             bands: Int = ImageHash.DefaultMaxHamming + 1,
+             batchId: Option[Long] = None): DataFrame = {
     require(bands >= 1 && bands <= ImageHash.Bits,
       s"bands in [1,${ImageHash.Bits}], got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"banded retrieval is exact only for maxHamming < bands, " +
         s"got maxHamming=$maxHamming bands=$bands")
     val postPath = s"$indexDir/postings"
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bid = batchId.getOrElse(nextBatchId(spark, s"$indexDir/pairs").toLong)
+    val pairsDir = new org.apache.hadoop.fs.Path(s"$indexDir/pairs/batch=$bid")
+    val postDir = new org.apache.hadoop.fs.Path(s"$postPath/batch=$bid")
+    if (fs.exists(pairsDir)) {
+      // the marker publishes LAST, so its presence proves the postings
+      // landed too — a retried applied batch is a pure read
+      return spark.read.schema(pairsSchema).parquet(pairsDir.toString)
+    }
+    // crashed partial publish (postings without the marker): roll back
+    // so the pair computation below sees a store WITHOUT this batch
+    if (fs.exists(postDir))
+      require(fs.delete(postDir, true), s"rollback $postDir failed")
     // the delta postings feed three consumers (both dd sides, dx, the
     // persist) over the whole decode+hash lineage — decode once
     val deltaPost = OpCache.cache(ImageHash.bandedPostings(
@@ -94,7 +113,7 @@ object ImageHashIndex {
       "hid", bands)
       .select(col("band"), col("key"), col("hid"), col("dhash"),
         col("ahash")))
-    val storedPost = readOrEmpty(spark, postPath, postingsSchema)
+    val storedPost = readPostings(spark, postPath)
     def sided(df: DataFrame, s: String): DataFrame =
       df.select(col("band"), col("key"), col("hid").as(s + "_id"),
         col("dhash").as(s + "_d"), col("ahash").as(s + "_a"))
@@ -118,14 +137,70 @@ object ImageHashIndex {
         bit_count(col("a_a").bitwiseXOR(col("b_a"))).cast("int").as("ham_a"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("ham_d")).as("ham_d"), min(col("ham_a")).as("ham_a"))
-    // ledger write EXECUTES the pair plan against the pre-append store;
-    // only then does the delta land in the index. mode("error"): a batch
-    // dir collision means two appends raced — fail, never interleave.
-    val batchId = nextBatchId(spark, s"$indexDir/pairs")
-    val batchDir = s"$indexDir/pairs/batch=$batchId"
-    pairs.write.mode("error").parquet(batchDir)
-    deltaPost.write.mode("append").partitionBy("band").parquet(postPath)
-    spark.read.schema(pairsSchema).parquet(batchDir)
+    // Publish protocol (the SwapWrite discipline over two tables):
+    //   1. STAGE the pairs — this EXECUTES the pair plan against the
+    //      pre-append store (hidden staging dirs are invisible to the
+    //      storedPost read);
+    //   2. publish the postings (stage + rename);
+    //   3. rename the pairs staging into place LAST — the applied
+    //      marker, so it can never exist without the postings it was
+    //      computed against. A crash in any window leaves either hidden
+    //      stagings (deleted and redone on retry) or postings without
+    //      the marker (rolled back at the top of this method).
+    def stage(df: DataFrame, staging: org.apache.hadoop.fs.Path,
+              partitionCols: Seq[String]): Unit = {
+      if (fs.exists(staging))
+        require(fs.delete(staging, true), s"delete stale $staging failed")
+      val w = df.write.mode("error")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staging.toString)
+    }
+    def rename(staging: org.apache.hadoop.fs.Path,
+               target: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(target.getParent)
+      require(fs.rename(staging, target), s"publish $staging -> $target failed")
+    }
+    val pairsStaging =
+      new org.apache.hadoop.fs.Path(s"$indexDir/pairs/.staging_$bid")
+    val postStaging =
+      new org.apache.hadoop.fs.Path(s"$postPath/.staging_$bid")
+    stage(pairs, pairsStaging, Nil)
+    stage(deltaPost, postStaging, Seq("band"))
+    rename(postStaging, postDir)
+    rename(pairsStaging, pairsDir)
+    spark.read.schema(pairsSchema).parquet(pairsDir.toString)
+  }
+
+  /** All published postings batches (the hidden stagings and the
+    * `batch=` partition column stripped): the store the delta joins.
+    */
+  private def readPostings(spark: SparkSession, postPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(postPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+    // explicit schema: an all-junk batch publishes an EMPTY postings dir
+    // (no parquet footer to infer from), which is still a valid store
+    if (hasData)
+      spark.read.schema(postingsSchema).parquet(postPath)
+        .select(col("band").cast("int").as("band"), col("key"), col("hid"),
+          col("dhash"), col("ahash"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema)
+  }
+
+  /** The full pairs LEDGER (every batch's new pairs, `batch` stripped) —
+    * what downstream CC clustering consumes.
+    */
+  def pairs(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/pairs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+    require(hasData, s"no published ledger batches under $p")
+    spark.read.schema(pairsSchema).parquet(p.toString)
+      .select(col("a_id"), col("b_id"), col("ham_d").cast("int").as("ham_d"),
+        col("ham_a").cast("int").as("ham_a"))
   }
 
   /** Next ledger batch number = count of existing `batch=` dirs. */

@@ -570,6 +570,150 @@ object SimilarityQueries {
   /** The appended union must equal the batch pairing — q167's oracle. */
   def q178Oracle: String = q167Oracle
 
+  /** q179: audio duplicate CLUSTERS — q171's multimodal×CC composition
+    * for sound (q173 hashes → q174 banded pairs → the pre-contracted
+    * q52 closure, min-doc-id survivors): a re-headered copy, its
+    * volume-scaled twin, and every exact re-encode land in ONE cluster
+    * with a deterministic keeper — the per-recording keep table a
+    * production audio corpus ships. Oracle: the full hash replay, the
+    * quadratic Hamming ball, and the closure as a recursive CTE.
+    */
+  def q179AudioDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // cached: components() consumes its pair input three times and the
+    // pair lineage is the whole decode→profile→hash→band join
+    val pairs = graft.operators.OpCache.cache(AudioHash.nearDupPairs(
+      AudioHash.hashes(spark, audioCorpus(spark, dir), "doc_id", "blob"),
+      "doc_id"))
+    graft.operators.dedup.DupClusters.components(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  def q179Oracle: String =
+    s"""WITH RECURSIVE $audioHashCtes, apairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ah a JOIN ah b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.ehash, b.ehash)) <= ${AudioHash.DefaultMaxHamming}
+       |), aedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM apairs
+       |  UNION SELECT b_id, a_id FROM apairs
+       |), areach AS (
+       |  SELECT src AS node, dst AS r FROM aedges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM areach rc JOIN aedges e ON rc.r = e.src
+       |), acomp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM areach GROUP BY node
+       |)
+       |SELECT c.doc_id, c.cluster_rep, cnt.cluster_size
+       |FROM acomp c
+       |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+       |      FROM acomp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
+
+  /** q180: video duplicate CLUSTERS — the same composition at the
+    * video grain (q175 share-count pairs → CC): identical-footage
+    * copies chain into one cluster with the min-id keeper, while the
+    * 2-frame-overlap decoys stay OUTSIDE the unshifted cluster but
+    * chain to each other. Oracle: per-frame hash replay, the DF-capped
+    * share-count pair rule, the recursive closure.
+    */
+  def q180VideoDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.OpCache.cache(VideoHash.nearDupPairs(
+      VideoHash.frameHashes(spark, videoCorpus(spark, dir), "doc_id",
+        "blob", frames = 8),
+      "doc_id"))
+    graft.operators.dedup.DupClusters.components(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  def q180Oracle: String = {
+    // q175's pair rule as a CTE (the SELECT list re-shaped to ids only)
+    val pairCte =
+      s"""vpairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM vkept a JOIN vkept b ON a.fhash = b.fhash AND b.doc_id > a.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= ${VideoHash.DefaultMinShared}
+         |)""".stripMargin
+    s"""WITH RECURSIVE vgeo AS (
+       |  SELECT doc_id,
+       |    (doc_id // 8) % 21 + 9 AS w,
+       |    (doc_id // 8) % 17 + 7 AS h,
+       |    (doc_id // 8) * 100 +
+       |      CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 0 END AS base
+       |  FROM documents
+       |), vframes AS (
+       |  SELECT doc_id, w, h, base + unnest(range(6)) AS seed,
+       |    0 AS pw, 0 AS ph
+       |  FROM vgeo
+       |), vlums AS (
+       |  SELECT doc_id, list_transform(range(63), g -> $imageLumSql) AS L
+       |  FROM vframes
+       |), vh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(list_sum(list_transform(range(56), b ->
+       |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 2] > L[(b // 8) * 9 + (b % 8) + 1]
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS fhash
+       |  FROM vlums
+       |), vkept AS (
+       |  SELECT * FROM vh
+       |  WHERE fhash IN (SELECT fhash FROM vh GROUP BY 1
+       |                  HAVING COUNT(*) <= ${VideoHash.DefaultMaxDf})
+       |), $pairCte, vedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM vpairs
+       |  UNION SELECT b_id, a_id FROM vpairs
+       |), vreach AS (
+       |  SELECT src AS node, dst AS r FROM vedges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM vreach rc JOIN vedges e ON rc.r = e.src
+       |), vcomp AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_rep FROM vreach GROUP BY node
+       |)
+       |SELECT c.doc_id, c.cluster_rep, cnt.cluster_size
+       |FROM vcomp c
+       |JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+       |      FROM vcomp GROUP BY 1) cnt USING (cluster_rep)""".stripMargin
+  }
+
+  final case class ImgEvent(doc_id: Long, blob: Array[Byte])
+
+  private val q181Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q181: STREAMING image-index maintenance
+    * ([[graft.streaming.ImageIndexStreamSink]] — the q152 sink
+    * discipline for the 41i index): the image corpus arrives through a
+    * REAL MemoryStream in three interleaved micro-batches (doc_id % 3 —
+    * dup groups split ACROSS batches), each appended to the on-disk
+    * banded index via foreachBatch; the LAST batch is then re-applied
+    * directly and must NO-OP on the pairs-ledger marker (the retry
+    * surface). The gated result is the ledger read back from DISK, and
+    * the oracle is q167's one-shot Hamming-ball replay — the
+    * batching-invariance monoid contract checked by an engine that
+    * never saw the batching, with a double-applied retry diverging
+    * rows.
+    */
+  def q181ImageIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q181Invocation.incrementAndGet()
+    val idxDir = s"${PipelineQueries.scratch}/q181_$inv/index"
+    import spark.implicits._
+    val corpus = graft.operators.OpCache.cache(imageCorpus(spark, dir))
+    val sink = graft.streaming.ImageIndexStreamSink.appendBatch(
+      idxDir, "doc_id", "blob") _
+    val batches = FeedHarness.batchesOf(
+      corpus.select((col("doc_id") % 3).as("b"), col("doc_id"),
+        col("blob")), "b")(r => ImgEvent(r.getLong(1), r.getAs[Array[Byte]](2)))
+    FeedHarness.driveForeach(spark, batches)(sink)
+    // retry of the LAST applied batch id — must no-op on the marker
+    sink(corpus.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("blob")), 2L)
+    graft.streaming.ImageIndexStreamSink.readPairs(spark, idxDir)
+  }
+
+  /** The streamed ledger union must equal the batch pairing — q167's
+    * oracle (the q178 contract through a real stream).
+    */
+  def q181Oracle: String = q167Oracle
+
   def q96Oracle: String =
     """WITH p AS (
       |  SELECT doc_id, COALESCE(n_chars, 0) % 6 + 2 AS nf FROM documents

@@ -62,4 +62,42 @@ class ImageHashIndexSpec extends SparkSpec {
     assert(b1.count() == 0,
       "junk payloads carry no hash and must never pair")
   }
+
+  test("a retried applied batch no-ops on the ledger marker") {
+    val dir = tmpDir()
+    def appendAt(id: Long, rows: Seq[(Long, Array[Byte])]) =
+      ImageHashIndex.append(spark, dir, rows.toDF("doc_id", "blob"),
+        "doc_id", "blob", batchId = Some(id))
+    appendAt(0L, Seq(1L -> bmp(7L)))
+    appendAt(1L, Seq(2L -> bmp(7L)))
+    // foreachBatch retry surface: re-apply batch 1 with DIFFERENT rows —
+    // the frozen ledger must come back and the store must be untouched
+    val retried = appendAt(1L, Seq(3L -> bmp(7L)))
+    assert(retried.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)), "retry must return the originally-applied pairs")
+    assert(ImageHashIndex.pairs(spark, dir).count() == 1,
+      "a retry must not add ledger entries")
+    val b2 = appendAt(2L, Seq(4L -> bmp(7L)))
+    assert(b2.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 4L), (2L, 4L)),
+      "the retried rows must never have entered the postings store")
+  }
+
+  test("a crashed partial publish (postings without the marker) rolls back and redoes") {
+    val dir = tmpDir()
+    ImageHashIndex.append(spark, dir, Seq(1L -> bmp(5L)).toDF("doc_id", "blob"),
+      "doc_id", "blob", batchId = Some(0L))
+    // simulate the crash window: batch 1's postings published, pairs
+    // marker never renamed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partial = new org.apache.hadoop.fs.Path(s"$dir/postings/batch=1")
+    fs.mkdirs(partial)
+    val b1 = ImageHashIndex.append(spark, dir,
+      Seq(2L -> bmp(5L)).toDF("doc_id", "blob"),
+      "doc_id", "blob", batchId = Some(1L))
+    assert(b1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)),
+      "the redo must pair against a store WITHOUT the partial batch")
+  }
 }
