@@ -203,6 +203,61 @@ object ImageHashIndex {
         col("ham_a").cast("int").as("ham_a"))
   }
 
+  /** Fold every published postings batch into ONE `batch=<maxId>` dir —
+    * the table-maintenance step a daily-append index needs (the #49e
+    * compaction discipline, and the same reason the stream-offset file
+    * log compacts): each append adds a batch dir, and at crawl cadence
+    * the delta-vs-store join's file listing grows linearly with history.
+    * The PAIRS ledger is untouched — its entries are frozen facts (and
+    * the idempotence markers for streaming retries, which therefore
+    * keep no-oping across compactions). Folding into the MAX covered id
+    * can never collide with a future append: stream batch ids only
+    * grow, and the manual path numbers by ledger count, which
+    * compaction does not change.
+    *
+    * Swap protocol = [[graft.sources.Compaction.compactDir]]'s
+    * retire-then-rename over the postings ROOT: stage the folded copy
+    * as a hidden sibling, retire the live root, rename the staging in,
+    * delete the retired copy — an in-process failure restores the old
+    * root, and no window exists where readers see doubled rows. Returns
+    * the number of batch dirs folded (0 = already compact, free to
+    * re-run). Single-writer discipline, like [[append]].
+    */
+  def compact(spark: SparkSession, indexDir: String): Int = {
+    val postRoot = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val fs = postRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(postRoot)) return 0
+    val batchDirs = fs.listStatus(postRoot).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (batchDirs.length < 2) return 0
+    val maxId = batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong).max
+    val uuid = java.util.UUID.randomUUID
+    val staging = new org.apache.hadoop.fs.Path(
+      postRoot.getParent, s".postings-compact-$uuid")
+    val retired = new org.apache.hadoop.fs.Path(
+      postRoot.getParent, s".postings-retired-$uuid")
+    readPostings(spark, postRoot.toString)
+      .write.mode("error").partitionBy("band")
+      .parquet(s"$staging/batch=$maxId")
+    def mustRename(from: org.apache.hadoop.fs.Path,
+                   to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed")
+    try {
+      mustRename(postRoot, retired)
+      try mustRename(staging, postRoot)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          require(fs.rename(retired, postRoot),
+            s"swap AND restore failed — data intact at $retired and $staging")
+          throw e
+      }
+      require(fs.delete(retired, true), s"delete $retired failed")
+    } finally {
+      if (fs.exists(staging) && fs.exists(postRoot)) fs.delete(staging, true)
+    }
+    batchDirs.length
+  }
+
   /** Next ledger batch number = count of existing `batch=` dirs. */
   private def nextBatchId(spark: SparkSession, pairsPath: String): Int = {
     val p = new org.apache.hadoop.fs.Path(pairsPath)

@@ -714,6 +714,39 @@ object SimilarityQueries {
     */
   def q181Oracle: String = q167Oracle
 
+  private val q182Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q182: image-index COMPACTION invariance — the 41i/41l maintenance
+    * step gated end-to-end: two daily appends land, the postings table
+    * COMPACTS (every batch dir folds into one through the #49e
+    * retire-swap), then a third day appends AGAINST THE COMPACTED
+    * STORE. The union of the three ledger outputs must still equal
+    * q167's one-shot Hamming-ball replay — a row lost or doubled by the
+    * fold, or a post-compaction append that misses stored buckets,
+    * diverges. The in-plan require pins that a real fold happened (two
+    * dirs → one), so the gate cannot silently pass by never compacting.
+    */
+  def q182ImageIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.multimodal.ImageHashIndex
+    val inv = q182Invocation.incrementAndGet()
+    val idxDir = s"${PipelineQueries.scratch}/q182_$inv/index"
+    val corpus = graft.operators.OpCache.cache(imageCorpus(spark, dir))
+    val early = (0 until 2).map { day =>
+      ImageHashIndex.append(spark, idxDir,
+        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob")
+    }
+    val folded = ImageHashIndex.compact(spark, idxDir)
+    require(folded == 2, s"compaction must fold both batch dirs, got $folded")
+    require(ImageHashIndex.compact(spark, idxDir) == 0,
+      "re-running compaction on a compact index must be a no-op")
+    val late = ImageHashIndex.append(spark, idxDir,
+      corpus.filter(col("doc_id") % 3 === 2), "doc_id", "blob")
+    (early :+ late).reduce(_ unionByName _)
+  }
+
+  /** Compaction must not move values — q167's oracle again. */
+  def q182Oracle: String = q167Oracle
+
   def q96Oracle: String =
     """WITH p AS (
       |  SELECT doc_id, COALESCE(n_chars, 0) % 6 + 2 AS nf FROM documents

@@ -83,6 +83,25 @@ class ImageHashIndexSpec extends SparkSpec {
       "the retried rows must never have entered the postings store")
   }
 
+  test("compaction folds batch dirs; retries of pre-compaction batches still no-op") {
+    val dir = tmpDir()
+    def appendAt(id: Long, rows: Seq[(Long, Array[Byte])]) =
+      ImageHashIndex.append(spark, dir, rows.toDF("doc_id", "blob"),
+        "doc_id", "blob", batchId = Some(id))
+    appendAt(0L, Seq(1L -> bmp(7L)))
+    appendAt(1L, Seq(2L -> bmp(9L)))
+    assert(ImageHashIndex.compact(spark, dir) == 2)
+    assert(ImageHashIndex.compact(spark, dir) == 0, "idempotent re-run")
+    // the ledger markers survive the fold: a retry of batch 0 no-ops
+    assert(appendAt(0L, Seq(9L -> bmp(7L))).count() == 0)
+    // a post-compaction append still pairs against the folded store
+    val b2 = appendAt(2L, Seq(3L -> bmp(7L), 4L -> bmp(9L)))
+    assert(b2.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 4L)),
+      "compaction must not lose or double any stored posting")
+  }
+
   test("a crashed partial publish (postings without the marker) rolls back and redoes") {
     val dir = tmpDir()
     ImageHashIndex.append(spark, dir, Seq(1L -> bmp(5L)).toDF("doc_id", "blob"),
