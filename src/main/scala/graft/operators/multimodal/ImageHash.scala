@@ -87,26 +87,37 @@ object ImageHash {
         }
         real match {
           case Some((img, fmt)) =>
-            val w = img.getWidth
-            val h = img.getHeight
-            val g = new Array[Int](gr * gc)
-            var gy = 0
-            while (gy < gr) {
-              var gx = 0
-              while (gx < gc) {
-                val rgb = img.getRGB(gx * w / gc, gy * h / gr)
-                g(gy * gc + gx) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                  (rgb & 0xff)
-                gx += 1
-              }
-              gy += 1
-            }
-            ImageGridRow(id, Some(w), Some(h), fmt, Some(g))
+            ImageGridRow(id, Some(img.getWidth), Some(img.getHeight), fmt,
+              Some(gridOf(img)))
           case None => ImageGridRow(id, None, None, "fake/raw", None)
         }
       })
       .toDF()
       .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** The point-sampled luminance grid from an ALREADY-decoded frame —
+    * exposed so single-decode pipelines (MediaCurationPipeline) derive
+    * it and the content fingerprint from ONE ImageIO.read.
+    */
+  private[graft] def gridOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val gc = ImageGridHash.GridCols
+    val gr = ImageGridHash.GridRows
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = new Array[Int](gr * gc)
+    var gy = 0
+    while (gy < gr) {
+      var gx = 0
+      while (gx < gc) {
+        val rgb = img.getRGB(gx * w / gc, gy * h / gr)
+        g(gy * gc + gx) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    g
   }
 
   /** (idCol, width, height, format, dhash, ahash): [[grids]] folded by

@@ -81,24 +81,30 @@ object BinaryEmbeddingPipeline {
   private def imageFingerprint(blob: Array[Byte]): Option[String] =
     (try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(blob)))
-    catch { case scala.util.control.NonFatal(_) => None }).map { img =>
-      val w = img.getWidth
-      val h = img.getHeight
-      val sb = new java.lang.StringBuilder(w * h * 4 + 16)
-      sb.append(w).append(':').append(h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sb.append(':').append(
-            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff))
-          x += 1
-        }
-        y += 1
+    catch { case scala.util.control.NonFatal(_) => None }).map(imageFpOf)
+
+  /** The image content fingerprint from an ALREADY-decoded frame —
+    * exposed so single-decode pipelines ([[MediaCurationPipeline]])
+    * derive it and the perceptual grid from ONE ImageIO.read.
+    */
+  private[pipelines] def imageFpOf(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sb = new java.lang.StringBuilder(w * h * 4 + 16)
+    sb.append(w).append(':').append(h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sb.append(':').append(
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff))
+        x += 1
       }
-      md5Hex(sb.toString)
+      y += 1
     }
+    md5Hex(sb.toString)
+  }
 
   /** Decoded-sample fingerprint via the real javax.sound codec path
     * (the [[BinaryPipeline.audioFeatures]] decode discipline: format

@@ -750,6 +750,86 @@ object IvfQueries {
        |FROM embjoin ej JOIN semflags f ON f.vec_id = ej.doc_id""".stripMargin
   }
 
+  /** q183: the COMPLETE image-dedup LADDER
+    * ([[graft.pipelines.MediaCurationPipeline]]) — one decode feeding
+    * exact → perceptual → semantic in pipeline order, each rung
+    * shrinking what the next (more expensive) rung sees: content
+    * fingerprints collapse byte-disjoint re-encodes, grid-dHash banded
+    * pairs + CC collapse the patched near-dups ONTO the exact
+    * survivors (with the raw-item mass aggregated into each keeper),
+    * and only the keepers pay the embed + SemDeDup rungs. The oracle
+    * replays the ENTIRE ladder from raw documents + embeddings: every
+    * decoded pixel, both identities, the exact collapse, the Hamming
+    * ball over survivors, the recursive closure, the per-keeper mass
+    * rollup, the md5-mod-n embed keys and the full q121 chain — a
+    * stage wired in the wrong order (e.g. perceptual before exact, or
+    * embedding non-keepers) hash-fails.
+    */
+  def q183MediaLadder(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.MediaCurationPipeline.run(
+      SimilarityQueries.imageCorpus(spark, dir),
+      Tables.embeddings(spark, dir), "doc_id", "blob",
+      threshold = SemThreshold, trainIters = TrainIters,
+      dims = SimilarityQueries.Dims,
+      oracleFlatLadder = true) // the oracle replays the flat ladder only
+
+  def q183Oracle: String = {
+    val corpus = "SELECT doc_id AS vec_id, embedding FROM kembjoin"
+    s"""WITH RECURSIVE ${SimilarityQueries.imageGeoCte}, plums AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(w * h), p -> ${SimilarityQueries.imagePixelLumSql}) AS L
+       |  FROM geo
+       |), cfp AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    md5(CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || ':' ||
+       |      array_to_string(L, ':')) AS f
+       |  FROM plums
+       |), xsurv AS MATERIALIZED (
+       |  SELECT f, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM cfp GROUP BY f
+       |), glums AS (
+       |  SELECT doc_id, list_transform(range(63), g -> ${SimilarityQueries.imageLumSql}) AS L
+       |  FROM geo
+       |), sih AS MATERIALIZED (
+       |  SELECT s.doc_id,
+       |    CAST(list_sum(list_transform(range(56), b ->
+       |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 2] > L[(b // 8) * 9 + (b % 8) + 1]
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS dhash
+       |  FROM xsurv s JOIN glums g USING (doc_id)
+       |), spairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sih a JOIN sih b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= ${graft.operators.multimodal.ImageHash.DefaultMaxHamming}
+       |), sedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM spairs
+       |  UNION SELECT b_id, a_id FROM spairs
+       |), sreach AS (
+       |  SELECT src AS node, dst AS r FROM sedges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM sreach rc JOIN sedges e ON rc.r = e.src
+       |), scomp AS (
+       |  SELECT node, MIN(r) AS rep FROM sreach GROUP BY node
+       |), mem AS (
+       |  SELECT s.doc_id, COALESCE(c.rep, s.doc_id) AS rep, s.n_exact
+       |  FROM xsurv s LEFT JOIN scomp c ON c.node = s.doc_id
+       |), keepers AS MATERIALIZED (
+       |  SELECT rep AS doc_id, CAST(SUM(n_exact) AS BIGINT) AS n_source_items,
+       |    CAST(COUNT(*) AS BIGINT) AS n_perceptual
+       |  FROM mem GROUP BY rep
+       |), knv AS (
+       |  SELECT MAX(vec_id) + 1 AS n FROM embeddings
+       |), kembjoin AS MATERIALIZED (
+       |  SELECT k.doc_id, k.n_source_items, k.n_perceptual, e.vec_id, e.embedding
+       |  FROM keepers k JOIN cfp ON cfp.doc_id = k.doc_id
+       |  JOIN embeddings e
+       |    ON e.vec_id = CAST('0x' || substr(cfp.f, 1, 8) AS BIGINT) % (SELECT n FROM knv)
+       |),
+       |${semFlagCtes(corpus, SemThreshold)}
+       |SELECT ej.doc_id, ej.n_source_items, ej.n_perceptual, ej.vec_id,
+       |  f.cluster_id, f.kept
+       |FROM kembjoin ej JOIN semflags f ON f.vec_id = ej.doc_id""".stripMargin
+  }
+
   def q168Oracle: String = {
     val corpus = "SELECT doc_id AS vec_id, embedding FROM embjoin"
     s"""WITH ${SimilarityQueries.imageGeoCte}, plums AS (

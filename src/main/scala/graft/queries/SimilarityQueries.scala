@@ -247,7 +247,7 @@ object SimilarityQueries {
     * for the (w, h, seed, pw, ph) geometry row — the q30 replay plus
     * the patch CASE.
     */
-  private def imageLumSql: String = {
+  private[queries] def imageLumSql: String = {
     val px = "((g % 9) * w // 9)"
     val py = "((g // 9) * h // 7)"
     val base = s"((h - 1 - $py) * ((3 * w + 3) // 4 * 4) + 3 * $px)"
