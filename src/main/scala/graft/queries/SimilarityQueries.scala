@@ -747,6 +747,82 @@ object SimilarityQueries {
   /** Compaction must not move values — q167's oracle again. */
   def q182Oracle: String = q167Oracle
 
+  /** q184: the MULTIMODAL DEDUP REPORT — the dim-sized audit table a
+    * production curation run publishes beside its keep lists (the
+    * FineWeb-ablation shape at media grain): per modality, how many
+    * items exist, how many sit in the near-dup graph, how many clusters
+    * they collapse to, and how much is redundant. Composes the 41e/41j
+    * cluster machinery (images AND audio over their gate corpora) into
+    * two rollup rows; the oracle replays BOTH closures end-to-end and
+    * both rollups — so this gate re-checks the entire image and audio
+    * dedup stacks through an independent aggregate lens.
+    */
+  def q184MultimodalDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.OpCache
+    import graft.operators.dedup.DupClusters
+    def row(modality: String, corpus: DataFrame,
+            pairs: DataFrame): DataFrame = {
+      val comps = DupClusters.components(OpCache.cache(pairs), "a_id", "b_id")
+      val stats = comps.agg(
+        count(lit(1)).as("n_linked"),
+        count_distinct(col("cluster_rep")).as("n_clusters"))
+      corpus.agg(count(lit(1)).as("n_items")).crossJoin(stats)
+        .select(lit(modality).as("modality"), col("n_items"),
+          col("n_linked"), col("n_clusters"),
+          (col("n_linked") - col("n_clusters")).as("n_redundant"))
+    }
+    val img = imageCorpus(spark, dir)
+    val aud = audioCorpus(spark, dir)
+    row("image", img,
+      ImageHash.nearDupPairs(
+        ImageHash.hashes(spark, img, "doc_id", "blob"), "doc_id"))
+      .unionByName(row("audio", aud,
+        AudioHash.nearDupPairs(
+          AudioHash.hashes(spark, aud, "doc_id", "blob"), "doc_id")))
+  }
+
+  def q184Oracle: String =
+    s"""WITH RECURSIVE $imageHashCtes, ipairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ih a JOIN ih b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= ${ImageHash.DefaultMaxHamming}
+       |), iedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM ipairs
+       |  UNION SELECT b_id, a_id FROM ipairs
+       |), ireach AS (
+       |  SELECT src AS node, dst AS r FROM iedges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM ireach rc JOIN iedges e ON rc.r = e.src
+       |), icomp AS (
+       |  SELECT node, MIN(r) AS rep FROM ireach GROUP BY node
+       |), $audioHashCtes, apairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ah a JOIN ah b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.ehash, b.ehash)) <= ${AudioHash.DefaultMaxHamming}
+       |), aedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM apairs
+       |  UNION SELECT b_id, a_id FROM apairs
+       |), areach AS (
+       |  SELECT src AS node, dst AS r FROM aedges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM areach rc JOIN aedges e ON rc.r = e.src
+       |), acomp AS (
+       |  SELECT node, MIN(r) AS rep FROM areach GROUP BY node
+       |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM documents)
+       |SELECT 'image' AS modality, n.n_items,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM icomp) AS n_linked,
+       |  (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM icomp) AS n_clusters,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM icomp)
+       |    - (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM icomp) AS n_redundant
+       |FROM n
+       |UNION ALL
+       |SELECT 'audio', n.n_items,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM acomp),
+       |  (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM acomp),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM acomp)
+       |    - (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM acomp)
+       |FROM n""".stripMargin
+
   def q96Oracle: String =
     """WITH p AS (
       |  SELECT doc_id, COALESCE(n_chars, 0) % 6 + 2 AS nf FROM documents
