@@ -15,10 +15,25 @@ class OpCacheSpec extends SparkSpec {
   private def cachedRddCount: Int =
     spark.sparkContext.getPersistentRDDs.size
 
+  /** Clean-slate precondition: clearCache drops SQL-cached frames, but
+    * EARLIER SUITES' dead localCheckpoint blocks (DupClusters inside the
+    * pipeline specs) linger until the ContextCleaner's GC pass — which
+    * made this suite's `=== 0` baselines order- and timing-sensitive
+    * (surfaced in round 19 when MediaCurationPipelineSpec landed a few
+    * suites before this one). Suites run sequentially in the forked test
+    * JVM, so the leftovers are provably dead frames — unpersist them
+    * deterministically.
+    */
+  private def hardClear(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   private def docs = Tables.documents(spark, sf("0.001"))
 
   test("scoped releases every cache the dedup family creates") {
-    spark.catalog.clearCache()
+    hardClear()
     assert(cachedRddCount === 0)
     OpCache.scoped {
       // all four caching operators, with terminal actions inside the scope
@@ -31,7 +46,7 @@ class OpCacheSpec extends SparkSpec {
   }
 
   test("scoped releases similarity caches and survives exceptions") {
-    spark.catalog.clearCache()
+    hardClear()
     val vecs = Tables.embeddings(spark, sf("0.001"))
     intercept[RuntimeException] {
       OpCache.scoped {
@@ -45,7 +60,7 @@ class OpCacheSpec extends SparkSpec {
   }
 
   test("nested scopes release innermost caches at innermost exit") {
-    spark.catalog.clearCache()
+    hardClear()
     OpCache.scoped {
       SimHash.signatures(docs, "doc_id", "text").count()
       val outer = cachedRddCount
@@ -64,7 +79,7 @@ class OpCacheSpec extends SparkSpec {
   }
 
   test("unscoped calls still cache (session contract) and results stay correct") {
-    spark.catalog.clearCache()
+    hardClear()
     val scoped = OpCache.scoped {
       NGramJaccard.pairs(docs, "doc_id", "text", 0.8)
         .orderBy("doc_a", "doc_b").collect().toSeq
