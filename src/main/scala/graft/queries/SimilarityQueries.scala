@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.multimodal.{AudioHash, BinaryPipeline, ImageHash, VideoHash}
+import graft.operators.multimodal.{AudioHash, AudioHashIndex, BinaryPipeline, ImageHash, VideoHash}
 import graft.operators.similarity.{CosineTopK, LshAnn}
 
 /** Similarity-search and multimodal queries (SURVEY §2 items 34-36, 41). */
@@ -731,9 +731,13 @@ object SimilarityQueries {
     val inv = q182Invocation.incrementAndGet()
     val idxDir = s"${PipelineQueries.scratch}/q182_$inv/index"
     val corpus = graft.operators.OpCache.cache(imageCorpus(spark, dir))
+    // materialized (localCheckpoint is eager): compaction now folds the
+    // PAIRS ledger too, so a lazy frame over a pre-compaction batch dir
+    // would dangle — the documented maintenance-window contract
     val early = (0 until 2).map { day =>
       ImageHashIndex.append(spark, idxDir,
         corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob")
+        .localCheckpoint()
     }
     val folded = ImageHashIndex.compact(spark, idxDir)
     require(folded == 2, s"compaction must fold both batch dirs, got $folded")
@@ -746,6 +750,70 @@ object SimilarityQueries {
 
   /** Compaction must not move values — q167's oracle again. */
   def q182Oracle: String = q167Oracle
+
+  private val q185Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q185: INCREMENTAL audio-hash index
+    * ([[graft.operators.multimodal.AudioHashIndex]] — the generic
+    * [[graft.operators.multimodal.BandedHashIndex]] protocol q178
+    * proved for images, instantiated for the 41g energy hash; before
+    * this round the audio modality had NO incremental index and every
+    * append would have re-paired history): the q173/q174 audio corpus
+    * arrives as THREE interleaved crawl days (doc_id % 3 — re-headered
+    * and volume-scaled twins split ACROSS days, so cross-batch pairing
+    * is exercised), each appended to a fresh on-disk banded index; the
+    * union of the per-append new-pair outputs must equal the ONE-SHOT
+    * batch pairing — so the oracle IS q174's full-Hamming-ball replay.
+    * A double-counted pair, a missed cross-day pair, or an
+    * arrival-order leak diverges rows or hashes.
+    */
+  def q185AudioIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q185Invocation.incrementAndGet()
+    val idxDir = s"${PipelineQueries.scratch}/q185_$inv/index"
+    val corpus = graft.operators.OpCache.cache(audioCorpus(spark, dir))
+    (0 until 3).map { day =>
+      AudioHashIndex.append(spark, idxDir,
+        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob")
+    }.reduce(_ unionByName _)
+  }
+
+  /** The appended union must equal the batch pairing — q174's oracle. */
+  def q185Oracle: String = q174Oracle
+
+  private val q186Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q186: INCREMENTAL duplicate-cluster maintenance
+    * ([[graft.operators.dedup.IncrementalClusters]] — the r19 verdict's
+    * top item: pair generation was O(delta) via the ledgers, but
+    * cluster assignment still recomputed CC over FULL pair history):
+    * the q166/q167 image corpus arrives as three crawl days through the
+    * 41i index, and each day's frozen ledger output feeds ONE state
+    * fold — rep-grain contraction, CC over the bridged reps only, a
+    * confined re-label delta. After all appends the persisted labelling
+    * must equal the ONE-SHOT transitive closure over the whole corpus —
+    * q171's oracle verbatim (recursive-CTE closure replay): a stale
+    * rep (missed re-label), a lost bridge, or a latest-wins slip in
+    * the delta resolution diverges rows or hashes.
+    */
+  def q186IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q186Invocation.incrementAndGet()
+    val base = s"${PipelineQueries.scratch}/q186_$inv"
+    val corpus = graft.operators.OpCache.cache(imageCorpus(spark, dir))
+    (0 until 3).foreach { day =>
+      val ledger = graft.operators.multimodal.ImageHashIndex.append(spark,
+        s"$base/index", corpus.filter(col("doc_id") % 3 === day),
+        "doc_id", "blob")
+      graft.operators.dedup.IncrementalClusters.append(spark,
+        s"$base/clusters", ledger, "a_id", "b_id")
+      ()
+    }
+    graft.operators.dedup.IncrementalClusters.clusters(spark, s"$base/clusters")
+      .select(col("node").as("doc_id"), col("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  /** N ledger folds must equal the one-shot closure — q171's oracle. */
+  def q186Oracle: String = q171Oracle
 
   /** q184: the MULTIMODAL DEDUP REPORT — the dim-sized audit table a
     * production curation run publishes beside its keep lists (the

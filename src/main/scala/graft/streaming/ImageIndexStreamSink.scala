@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.multimodal.ImageHashIndex
+import graft.operators.multimodal.{AudioHashIndex, ImageHashIndex}
 
 /** STREAMING image-hash index maintenance — the q152/q161 sink
   * discipline applied to [[ImageHashIndex]]: a `foreachBatch` sink that
@@ -34,4 +34,28 @@ object ImageIndexStreamSink {
   def readPairs(spark: org.apache.spark.sql.SparkSession,
                 indexDir: String): DataFrame =
     ImageHashIndex.pairs(spark, indexDir)
+}
+
+/** The audio twin — [[graft.operators.multimodal.AudioHashIndex]]
+  * driven by `foreachBatch` with the identical exactly-once contract
+  * (the generic [[graft.operators.multimodal.BandedHashIndex]] publish
+  * protocol both modalities now share): a retried micro-batch no-ops on
+  * the pairs-ledger marker, a crashed partial publish rolls back and
+  * redoes, and the ledger union over any batching equals the one-shot
+  * [[graft.operators.multimodal.AudioHash.nearDupPairs]].
+  */
+object AudioIndexStreamSink {
+
+  /** The `foreachBatch` body. Idempotent per batchId. */
+  def appendBatch(indexDir: String, idCol: String, blobCol: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    AudioHashIndex.append(batch.sparkSession, indexDir, batch,
+      idCol, blobCol, batchId = Some(batchId))
+    ()
+  }
+
+  /** The accumulated pairs ledger — the stream's queryable output. */
+  def readPairs(spark: org.apache.spark.sql.SparkSession,
+                indexDir: String): DataFrame =
+    AudioHashIndex.pairs(spark, indexDir)
 }
