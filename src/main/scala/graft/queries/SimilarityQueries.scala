@@ -495,13 +495,18 @@ object SimilarityQueries {
 
   /** q175: VIDEO near-dup pairs — frame-sample hashing
     * ([[VideoHash]]): demux each AVI's frames (the q96 path), hash each
-    * through the 41b perceptual grid hash, pair videos sharing ≥ 3
-    * distinct frame hashes (hot frames DF-capped first). The oracle
-    * replays the whole chain from the encoding spec: per-frame LCG
-    * pixels → sampled grids → dHashes → the distinct/DF-cap/share-count
-    * pair rule — identical-footage twins must surface at n_shared = 6,
-    * the shifted pair at 6, shifted-vs-unshifted overlaps (2 frames)
-    * must NOT, so both a hash slip and a threshold slip diverge.
+    * through the 41b perceptual grid hash, route per-frame candidates
+    * through the BANDED Hamming retrieval (round 20 — radius 2, exact
+    * by pigeonhole; the r19 exact-equality join silently lost the vote
+    * of any frame a re-encode perturbed by 1–2 bits), pair videos with
+    * ≥ 3 distinct near-matching hash-pairs (hot exact-hashes DF-capped
+    * first). The oracle replays the whole chain from the encoding spec:
+    * per-frame LCG pixels → sampled grids → dHashes → DF cap → the
+    * band split (shifts/masks from [[ImageHash.bandWidths]]) → the
+    * popcount cut → the distinct-hash-pair share count —
+    * identical-footage twins must surface at n_shared = 6, the shifted
+    * pair at 6, shifted-vs-unshifted overlaps (2 frames) must NOT, so
+    * a hash slip, a band slip and a threshold slip all diverge.
     */
   def q175VideoNearDup(spark: SparkSession, dir: String): DataFrame =
     VideoHash.nearDupPairs(
@@ -509,8 +514,23 @@ object SimilarityQueries {
         "blob", frames = 8),
       "doc_id")
 
-  def q175Oracle: String =
-    s"""WITH vgeo AS (
+  /** CTE chain ending in `vpairs(a_id, b_id, n_shared)` — the full
+    * [[q175VideoNearDup]] replay shared by q175/q180/q184: per-frame
+    * LCG grids → 56-bit frame dHashes → the exact-hash DF cap → BANDED
+    * frame-level Hamming retrieval (band shifts/masks emitted from
+    * [[ImageHash.bandWidths]], so both engines band identically; exact
+    * at radius < bands by pigeonhole) → DISTINCT matching hash-pairs
+    * counted per video pair against the share threshold.
+    */
+  private[graft] def videoPairCtes: String = {
+    val bands = VideoHash.DefaultMaxHamming + 1
+    val widths = ImageHash.bandWidths(bands)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val keys = (0 until bands).map { b =>
+      s"  SELECT doc_id, fhash, $b AS band, " +
+        s"(fhash >> ${offsets(b)}) & ${(1L << widths(b)) - 1} AS key FROM vkept"
+    }.mkString("\n  UNION ALL\n")
+    s"""vgeo AS (
        |  SELECT doc_id,
        |    (doc_id // 8) % 21 + 9 AS w,
        |    (doc_id // 8) % 17 + 7 AS h,
@@ -530,16 +550,28 @@ object SimilarityQueries {
        |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 2] > L[(b // 8) * 9 + (b % 8) + 1]
        |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS fhash
        |  FROM vlums
-       |), vkept AS (
+       |), vkept AS MATERIALIZED (
        |  SELECT * FROM vh
        |  WHERE fhash IN (SELECT fhash FROM vh GROUP BY 1
        |                  HAVING COUNT(*) <= ${VideoHash.DefaultMaxDf})
-       |)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_shared
-       |FROM vkept a JOIN vkept b ON a.fhash = b.fhash AND b.doc_id > a.doc_id
-       |GROUP BY 1, 2
-       |HAVING COUNT(*) >= ${VideoHash.DefaultMinShared}""".stripMargin
+       |), vkeys AS (
+       |$keys
+       |), vcand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.fhash AS ah, b.fhash AS bh
+       |  FROM vkeys a JOIN vkeys b
+       |    ON a.band = b.band AND a.key = b.key AND b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.fhash, b.fhash)) <= ${VideoHash.DefaultMaxHamming}
+       |), vpairs AS MATERIALIZED (
+       |  SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM vcand GROUP BY 1, 2
+       |  HAVING COUNT(*) >= ${VideoHash.DefaultMinShared}
+       |)""".stripMargin
+  }
+
+  def q175Oracle: String =
+    s"""WITH $videoPairCtes
+       |SELECT a_id, b_id, n_shared FROM vpairs""".stripMargin
 
   private val q178Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -627,39 +659,7 @@ object SimilarityQueries {
   }
 
   def q180Oracle: String = {
-    // q175's pair rule as a CTE (the SELECT list re-shaped to ids only)
-    val pairCte =
-      s"""vpairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM vkept a JOIN vkept b ON a.fhash = b.fhash AND b.doc_id > a.doc_id
-         |  GROUP BY 1, 2
-         |  HAVING COUNT(*) >= ${VideoHash.DefaultMinShared}
-         |)""".stripMargin
-    s"""WITH RECURSIVE vgeo AS (
-       |  SELECT doc_id,
-       |    (doc_id // 8) % 21 + 9 AS w,
-       |    (doc_id // 8) % 17 + 7 AS h,
-       |    (doc_id // 8) * 100 +
-       |      CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 0 END AS base
-       |  FROM documents
-       |), vframes AS (
-       |  SELECT doc_id, w, h, base + unnest(range(6)) AS seed,
-       |    0 AS pw, 0 AS ph
-       |  FROM vgeo
-       |), vlums AS (
-       |  SELECT doc_id, list_transform(range(63), g -> $imageLumSql) AS L
-       |  FROM vframes
-       |), vh AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id,
-       |    CAST(list_sum(list_transform(range(56), b ->
-       |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 2] > L[(b // 8) * 9 + (b % 8) + 1]
-       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS fhash
-       |  FROM vlums
-       |), vkept AS (
-       |  SELECT * FROM vh
-       |  WHERE fhash IN (SELECT fhash FROM vh GROUP BY 1
-       |                  HAVING COUNT(*) <= ${VideoHash.DefaultMaxDf})
-       |), $pairCte, vedges AS (
+    s"""WITH RECURSIVE $videoPairCtes, vedges AS (
        |  SELECT a_id AS src, b_id AS dst FROM vpairs
        |  UNION SELECT b_id, a_id FROM vpairs
        |), vreach AS (
@@ -819,11 +819,13 @@ object SimilarityQueries {
     * production curation run publishes beside its keep lists (the
     * FineWeb-ablation shape at media grain): per modality, how many
     * items exist, how many sit in the near-dup graph, how many clusters
-    * they collapse to, and how much is redundant. Composes the 41e/41j
-    * cluster machinery (images AND audio over their gate corpora) into
-    * two rollup rows; the oracle replays BOTH closures end-to-end and
-    * both rollups — so this gate re-checks the entire image and audio
-    * dedup stacks through an independent aggregate lens.
+    * they collapse to, and how much is redundant. Composes the
+    * 41e/41j/41k cluster machinery (image, audio AND video over their
+    * gate corpora — video through the round-20 Hamming-tolerant banded
+    * frame rule) into three rollup rows; the oracle replays ALL THREE
+    * closures end-to-end and all three rollups — so this gate re-checks
+    * the entire image, audio and video dedup stacks through an
+    * independent aggregate lens.
     */
   def q184MultimodalDedupReport(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.OpCache
@@ -841,12 +843,17 @@ object SimilarityQueries {
     }
     val img = imageCorpus(spark, dir)
     val aud = audioCorpus(spark, dir)
+    val vid = videoCorpus(spark, dir)
     row("image", img,
       ImageHash.nearDupPairs(
         ImageHash.hashes(spark, img, "doc_id", "blob"), "doc_id"))
       .unionByName(row("audio", aud,
         AudioHash.nearDupPairs(
           AudioHash.hashes(spark, aud, "doc_id", "blob"), "doc_id")))
+      .unionByName(row("video", vid,
+        VideoHash.nearDupPairs(
+          VideoHash.frameHashes(spark, vid, "doc_id", "blob", frames = 8),
+          "doc_id")))
   }
 
   def q184Oracle: String =
@@ -876,6 +883,15 @@ object SimilarityQueries {
        |  SELECT rc.node, e.dst FROM areach rc JOIN aedges e ON rc.r = e.src
        |), acomp AS (
        |  SELECT node, MIN(r) AS rep FROM areach GROUP BY node
+       |), $videoPairCtes, vedges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM vpairs
+       |  UNION SELECT b_id, a_id FROM vpairs
+       |), vreach AS (
+       |  SELECT src AS node, dst AS r FROM vedges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM vreach rc JOIN vedges e ON rc.r = e.src
+       |), vcomp AS (
+       |  SELECT node, MIN(r) AS rep FROM vreach GROUP BY node
        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM documents)
        |SELECT 'image' AS modality, n.n_items,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM icomp) AS n_linked,
@@ -889,6 +905,13 @@ object SimilarityQueries {
        |  (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM acomp),
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM acomp)
        |    - (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM acomp)
+       |FROM n
+       |UNION ALL
+       |SELECT 'video', n.n_items,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vcomp),
+       |  (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM vcomp),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vcomp)
+       |    - (SELECT CAST(COUNT(DISTINCT rep) AS BIGINT) FROM vcomp)
        |FROM n""".stripMargin
 
   def q96Oracle: String =

@@ -6,8 +6,10 @@ import graft.operators.multimodal.{Avi, VideoHash}
 
 /** [[VideoHash]]: the invariants the q175 oracle gate cannot phrase —
   * the share-threshold boundary (≥ k caught, k−1 rejected), the within-
-  * video distinct rule, the hot-frame DF cap, and the stub exclusion
-  * for non-video payloads.
+  * video distinct rule, the hot-frame DF cap, the stub exclusion for
+  * non-video payloads, and (round 20) the frame-level Hamming ball: a
+  * re-encode that perturbs a sampled frame by ≤ 2 bits keeps that
+  * frame's vote, a 3-bit perturbation loses exactly it.
   */
 class VideoHashSpec extends SparkSpec {
   import spark.implicits._
@@ -71,6 +73,55 @@ class VideoHashSpec extends SparkSpec {
       "doc_id", "blob", frames = 8)
     assert(fh.count() == 0,
       "stub byte-slices must not reach the hash stage")
+  }
+
+  // three far-apart 56-bit frame hashes for the synthetic-hash tests
+  private val h1 = 0x123456789abcdL
+  private val h2 = 0x0fedcba987654L
+  private val h3 = 0x0a5a5a5a5a5a5L
+
+  private def syntheticPairs(rows: Seq[(Long, Int, Long)],
+                             minShared: Int = VideoHash.DefaultMinShared) = {
+    val fh = rows.map { case (vid, f, h) => (vid, f, h, h) }
+      .toDF("doc_id", "frame_no", "dhash", "ahash")
+    VideoHash.nearDupPairs(fh, "doc_id", minShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("a frame perturbed within the Hamming radius keeps its vote") {
+    // video 2 re-encodes video 1 with a 1-bit and a 2-bit frame drift:
+    // the r19 exact-equality rule would count only the untouched frame
+    // (1 < 3) and silently lose the pair
+    val rows =
+      Seq((1L, 0, h1), (1L, 1, h2), (1L, 2, h3),
+        (2L, 0, h1 ^ 1L), (2L, 1, h2 ^ 0x11L), (2L, 2, h3))
+    assert(syntheticPairs(rows) == Set((1L, 2L, 3L)),
+      "radius-2 perturbed frames must keep their votes")
+  }
+
+  test("a frame perturbed beyond the radius loses exactly its vote") {
+    val rows =
+      Seq((1L, 0, h1), (1L, 1, h2), (1L, 2, h3),
+        (3L, 0, h1 ^ 7L), (3L, 1, h2), (3L, 2, h3)) // 3 bits: outside
+    assert(syntheticPairs(rows).isEmpty,
+      "2 surviving votes must stay below the threshold of 3")
+    assert(syntheticPairs(rows, minShared = 2) == Set((1L, 3L, 2L)),
+      "only the out-of-radius frame's vote is lost, not the pair's others")
+  }
+
+  test("the DF cap keys on the exact hash; near-variants keep voting") {
+    // h1 is hot (4 videos); video 10's 1-bit variant of h1 is NOT hot
+    // and still votes toward its pair with video 11
+    val hot = (20L to 23L).flatMap(v => Seq((v, 0, h1)))
+    val rows = hot ++ Seq(
+      (10L, 0, h1 ^ 1L), (10L, 1, h2), (10L, 2, h3),
+      (11L, 0, h1 ^ 1L), (11L, 1, h2), (11L, 2, h3))
+    val fh = rows.map { case (vid, f, h) => (vid, f, h, h) }
+      .toDF("doc_id", "frame_no", "dhash", "ahash")
+    val p = VideoHash.nearDupPairs(fh, "doc_id", maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p == Set((10L, 11L, 3L)),
+      s"the hot exact hash drops, its near-variant still votes: $p")
   }
 
   test("frame count outside the radix digit is rejected loudly") {
