@@ -830,6 +830,189 @@ object IvfQueries {
        |FROM kembjoin ej JOIN semflags f ON f.vec_id = ej.doc_id""".stripMargin
   }
 
+  /** q187: the THREE-MODALITY media ladder
+    * ([[graft.pipelines.MediaCurationPipeline.runMixed]] — q183's
+    * composition with every rung modality-dispatched over ONE
+    * heterogeneous binary column, the q172 mixed-table shape at the
+    * full-ladder grain): one decode per payload yields the
+    * modality-tagged exact fingerprint AND that modality's perceptual
+    * feature (pixel grid / energy profile / per-frame grids); exact
+    * dedup runs over the union; perceptual pairs run per modality over
+    * the exact survivors (41c banded image pairs, 41g banded audio
+    * pairs, the 41h Hamming-tolerant video share rule); ONE CC over the
+    * pair union yields mass-conserving keepers; keepers embed once and
+    * ONE SemDeDup pass runs over the union. The oracle replays the
+    * ENTIRE thing from raw documents + embeddings: all three decoders'
+    * content (every pixel luminance, every scaled PCM16 sample, every
+    * sampled frame), all three md5 fingerprints, the union collapse,
+    * three perceptual pair rules, the recursive closure, the keeper
+    * mass rollup, the md5-mod-n embed keys and the full q121 chain — a
+    * mis-dispatched modality, a second decode drifting a feature, or a
+    * cross-modality pair anywhere hash-fails.
+    */
+  def q187MixedLadder(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.MediaCurationPipeline.runMixed(
+      SimilarityQueries.mixedCorpus(spark, dir),
+      Tables.embeddings(spark, dir), "doc_id", "blob",
+      threshold = SemThreshold, trainIters = TrainIters,
+      dims = SimilarityQueries.Dims,
+      oracleFlatLadder = true) // the oracle replays the flat ladder only
+
+  def q187Oracle: String = {
+    import graft.operators.multimodal.{AudioHash, ImageHash, VideoHash}
+    val corpus = "SELECT doc_id AS vec_id, embedding FROM kembjoin"
+    val raw = "((((seed % 9973) * 2654435761 + i * 1103515245 + 12345) " +
+      "// 65536) % 65536) - 32768"
+    // Java TRUNCATING division replayed with a floor-division engine:
+    // trunc(s/dv) = sign(s)·(|s| // dv), |s| ≥ 0 making // exact
+    val scaled = s"CASE WHEN ($raw) < 0 THEN -((-($raw)) // dv) " +
+      s"ELSE ($raw) // dv END"
+    val rawW = raw.replace(" i ", " ((w*n)//57 + j) ")
+    val dhashFold =
+      """CAST(list_sum(list_transform(range(56), b ->
+        |      CASE WHEN L[(b // 8) * 9 + (b % 8) + 2] > L[(b // 8) * 9 + (b % 8) + 1]
+        |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
+    s"""WITH RECURSIVE mgeo AS (
+       |  SELECT doc_id, doc_id // 8 AS seed,
+       |    (doc_id // 8) % 37 + 9 AS w,
+       |    (doc_id // 8) % 29 + 7 AS h,
+       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 37 + 9) // 9 ELSE 0 END AS pw,
+       |    CASE WHEN doc_id % 5 = 4 THEN ((doc_id // 8) % 29 + 7) // 7 ELSE 0 END AS ph
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), mplums AS (
+       |  SELECT doc_id, w, h,
+       |    list_transform(range(w * h), p -> ${SimilarityQueries.imagePixelLumSql}) AS L
+       |  FROM mgeo
+       |), mifp AS (
+       |  SELECT doc_id,
+       |    md5(CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || ':' ||
+       |      array_to_string(L, ':')) AS f
+       |  FROM mplums
+       |), mageo AS (
+       |  SELECT doc_id, doc_id // 8 AS seed,
+       |    171 + (doc_id // 8) % 450 AS n,
+       |    8000 + (doc_id % 3) * 4000 AS rate,
+       |    CASE WHEN doc_id % 5 = 4 THEN 4 ELSE 1 END AS dv
+       |  FROM documents WHERE doc_id % 3 = 1
+       |), msmp AS (
+       |  SELECT doc_id, n, rate, list_transform(range(n), i -> $scaled) AS S
+       |  FROM mageo
+       |), mafp AS (
+       |  SELECT doc_id,
+       |    md5('wav:' || CAST(rate AS VARCHAR) || ':' || CAST(n AS VARCHAR) ||
+       |      ':' || array_to_string(S, ':')) AS f
+       |  FROM msmp
+       |), mvgeo AS (
+       |  SELECT doc_id,
+       |    (doc_id // 8) % 21 + 9 AS w,
+       |    (doc_id // 8) % 17 + 7 AS h,
+       |    (doc_id // 8) * 100 +
+       |      CASE WHEN doc_id % 4 = 3 THEN 4 ELSE 0 END AS base
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), mvf1 AS (
+       |  SELECT doc_id, w, h, base, unnest(range(6)) AS fidx FROM mvgeo
+       |), mvf2 AS (
+       |  SELECT doc_id, w, h, fidx, base + fidx AS seed, 0 AS pw, 0 AS ph
+       |  FROM mvf1
+       |), mvplums AS (
+       |  SELECT doc_id, w, h, fidx,
+       |    list_transform(range(w * h), p -> ${SimilarityQueries.imagePixelLumSql}) AS L
+       |  FROM mvf2
+       |), mvfp AS (
+       |  SELECT doc_id,
+       |    md5('avi:' || CAST(any_value(w) AS VARCHAR) || ':' ||
+       |      CAST(any_value(h) AS VARCHAR) || ':' ||
+       |      CAST(COUNT(*) AS VARCHAR) || ':' ||
+       |      string_agg(array_to_string(L, ':'), '|' ORDER BY fidx)) AS f
+       |  FROM mvplums GROUP BY doc_id
+       |), mcfp AS MATERIALIZED (
+       |  SELECT doc_id, f FROM mifp
+       |  UNION ALL SELECT doc_id, f FROM mafp
+       |  UNION ALL SELECT doc_id, f FROM mvfp
+       |), msurv AS MATERIALIZED (
+       |  SELECT f, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM mcfp GROUP BY f
+       |), mglums AS (
+       |  SELECT doc_id, list_transform(range(63), g -> ${SimilarityQueries.imageLumSql}) AS L
+       |  FROM mgeo
+       |), msih AS MATERIALIZED (
+       |  SELECT s.doc_id, $dhashFold AS dhash
+       |  FROM msurv s JOIN mglums g USING (doc_id)
+       |), msipairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM msih a JOIN msih b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= ${ImageHash.DefaultMaxHamming}
+       |), maprof AS (
+       |  SELECT g.doc_id, g.n,
+       |    list_transform(range(57), w ->
+       |      list_sum(list_transform(range(((w+1)*g.n)//57 - (w*g.n)//57),
+       |        j -> (abs($rawW) // dv)))) AS E
+       |  FROM mageo g JOIN msurv s ON s.doc_id = g.doc_id
+       |), mah AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(56), b ->
+       |      CASE WHEN E[b+2] > E[b+1] THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+       |      AS BIGINT) AS ehash
+       |  FROM maprof
+       |), mapairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM mah a JOIN mah b ON b.doc_id > a.doc_id
+       |  WHERE bit_count(xor(a.ehash, b.ehash)) <= ${AudioHash.DefaultMaxHamming}
+       |), mvlums AS (
+       |  SELECT doc_id, list_transform(range(63), g -> ${SimilarityQueries.imageLumSql}) AS L
+       |  FROM mvf2
+       |), mvh AS MATERIALIZED (
+       |  SELECT DISTINCT v.doc_id, $dhashFold AS fhash
+       |  FROM mvlums v JOIN msurv s ON s.doc_id = v.doc_id
+       |), mvkept AS (
+       |  SELECT * FROM mvh
+       |  WHERE fhash IN (SELECT fhash FROM mvh GROUP BY 1
+       |                  HAVING COUNT(*) <= ${VideoHash.DefaultMaxDf})
+       |), mvpairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |      a.fhash AS ah, b.fhash AS bh
+       |    FROM mvkept a JOIN mvkept b ON b.doc_id > a.doc_id
+       |    WHERE bit_count(xor(a.fhash, b.fhash)) <= ${VideoHash.DefaultMaxHamming}
+       |  ) GROUP BY 1, 2
+       |  HAVING COUNT(*) >= ${VideoHash.DefaultMinShared}
+       |), mpairs AS (
+       |  SELECT a_id, b_id FROM msipairs
+       |  UNION ALL SELECT a_id, b_id FROM mapairs
+       |  UNION ALL SELECT a_id, b_id FROM mvpairs
+       |), medges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM mpairs
+       |  UNION SELECT b_id, a_id FROM mpairs
+       |), mreach AS (
+       |  SELECT src AS node, dst AS r FROM medges
+       |  UNION
+       |  SELECT rc.node, e.dst FROM mreach rc JOIN medges e ON rc.r = e.src
+       |), mcomp AS (
+       |  SELECT node, MIN(r) AS rep FROM mreach GROUP BY node
+       |), mmem AS (
+       |  SELECT s.doc_id, COALESCE(c.rep, s.doc_id) AS rep, s.n_exact
+       |  FROM msurv s LEFT JOIN mcomp c ON c.node = s.doc_id
+       |), mkeepers AS MATERIALIZED (
+       |  SELECT rep AS doc_id, CAST(SUM(n_exact) AS BIGINT) AS n_source_items,
+       |    CAST(COUNT(*) AS BIGINT) AS n_perceptual
+       |  FROM mmem GROUP BY rep
+       |), knv AS (
+       |  SELECT MAX(vec_id) + 1 AS n FROM embeddings
+       |), kembjoin AS MATERIALIZED (
+       |  SELECT k.doc_id,
+       |    CASE CAST(k.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+       |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |    k.n_source_items, k.n_perceptual, e.vec_id, e.embedding
+       |  FROM mkeepers k JOIN mcfp ON mcfp.doc_id = k.doc_id
+       |  JOIN embeddings e
+       |    ON e.vec_id = CAST('0x' || substr(mcfp.f, 1, 8) AS BIGINT) % (SELECT n FROM knv)
+       |),
+       |${semFlagCtes(corpus, SemThreshold)}
+       |SELECT ej.doc_id, ej.modality, ej.n_source_items, ej.n_perceptual,
+       |  ej.vec_id, f.cluster_id, f.kept
+       |FROM kembjoin ej JOIN semflags f ON f.vec_id = ej.doc_id""".stripMargin
+  }
+
   def q168Oracle: String = {
     val corpus = "SELECT doc_id AS vec_id, embedding FROM embjoin"
     s"""WITH ${SimilarityQueries.imageGeoCte}, plums AS (

@@ -493,6 +493,22 @@ object SimilarityQueries {
           when(col("doc_id") % 4 === 3, 4).otherwise(0)).as("seed")),
       "doc_id", "w", "h", "nf", "seed")
 
+  /** The THREE-MODALITY corpus for the q187 mixed ladder: one binary
+    * column, payload modality keyed by doc_id % 3 — 0 → the
+    * [[imageCorpus]] derivation (this residue class is its
+    * PNG-transcoded third), 1 → the [[audioCorpus]] derivation (the
+    * volume-div-4 twins at doc_id % 5 = 4 survive the filter; rate is
+    * constant within the class), 2 → the [[videoCorpus]] derivation
+    * (shifted members at doc_id ≡ 11 mod 12). Every modality keeps
+    * seed-group (doc_id DIV 8) duplicate structure inside its residue
+    * class — 2–3 same-seed members per group — so exact AND perceptual
+    * collapses are exercised per modality.
+    */
+  private[graft] def mixedCorpus(spark: SparkSession, dir: String): DataFrame =
+    imageCorpus(spark, dir).filter(col("doc_id") % 3 === 0)
+      .unionByName(audioCorpus(spark, dir).filter(col("doc_id") % 3 === 1))
+      .unionByName(videoCorpus(spark, dir).filter(col("doc_id") % 3 === 2))
+
   /** q175: VIDEO near-dup pairs — frame-sample hashing
     * ([[VideoHash]]): demux each AVI's frames (the q96 path), hash each
     * through the 41b perceptual grid hash, route per-frame candidates
