@@ -114,14 +114,17 @@ object Bench {
     val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val perQueryOwn = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val perQueryForeign = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = selected.map { case (name, fn) =>
-      // Harness-bucket gates run ONCE regardless of best-of-N: their
-      // wall-clock is a scenario drive (dozens of sequential jobs /
-      // micro-batches), so min-of-N converges to the same number as one
-      // shot while costing N× the wall time — at 13 gates × ~10 s × 2
-      // extra runs that was ~2/3 of the whole bench's wall budget. They
-      // are already excluded from data_path_total, so nothing the rounds
-      // compare loses precision.
+    // One measured (best-of-nRuns) window for `name`; returns
+    // (best seconds, foreign residual during the window). Harness-bucket
+    // gates run ONCE regardless of best-of-N: their wall-clock is a
+    // scenario drive (dozens of sequential jobs / micro-batches), so
+    // min-of-N converges to the same number as one shot while costing N×
+    // the wall time — at 13 gates × ~10 s × 2 extra runs that was ~2/3
+    // of the whole bench's wall budget. They are already excluded from
+    // data_path_total, so nothing the rounds compare loses precision.
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
       val nRuns = if (harness(name)) 1 else runs
       val wall0 = System.nanoTime()
       val cpu0 = procCpuNs()
@@ -141,11 +144,49 @@ object Bench {
       val l1 = load1()
       perQueryLoad(name) = l1
       perQueryOwn(name) = math.round(own * 1000) / 1000.0
-      perQueryForeign(name) =
+      val foreign =
         if (own < 0 || l1 < 0) -1.0
         else math.round(math.max(0.0, l1 - own) * 1000) / 1000.0
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      perQueryForeign(name) = foreign
+      (if (times.exists(_ < 0)) -1.0 else times.min, foreign)
     }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    selected.foreach { case (name, fn) =>
+      results(name) = measure(name, fn)._1
+    }
+    val cores = Runtime.getRuntime.availableProcessors()
+    // Contention at QUERY granularity (round-20): a round artifact that
+    // needs a separate clean-window run to adjudicate is not
+    // self-certifying — two rounds running, the driver's BENCH_rN was
+    // noise-dominated while `contended` read false (the global flag
+    // only fired at foreign > cores/4). Now: any query whose window's
+    // foreign residual exceeds cores/8 is RE-RUN once after the sweep —
+    // the retry takes the min (load spikes inflate minima too, never
+    // deflate them) and un-flags the query if ITS window was clean.
+    // Queries hot in both windows land in `contended_queries`, and the
+    // global flag is simply "any query stayed contended". A mass-hot
+    // box (> RetryCap flagged) skips retries — re-running everything on
+    // a saturated machine doubles the pain and certifies nothing — and
+    // flags them all.
+    val contendedThresh = cores / 8.0
+    val RetryCap = 16
+    val flagged = perQueryForeign.collect {
+      case (n, f) if f > contendedThresh => n
+    }.toSeq
+    val retriedQueries =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val contendedQueries =
+      if (flagged.length > RetryCap) flagged
+      else flagged.filter { name =>
+        val first = results(name)
+        val firstForeign = perQueryForeign(name)
+        val (t2, f2) = measure(name, selected(name))
+        if (t2 >= 0 && (first < 0 || t2 < first)) results(name) = t2
+        retriedQueries(name) =
+          s"""{"t_first":$first,"t_retry":$t2,""" +
+            s""""foreign_first":$firstForeign,"foreign_retry":$f2}"""
+        f2 < 0 || f2 > contendedThresh // still hot (or unmeasurable): keep
+      }
     val total = results.values.filter(_ >= 0).sum
     val harnessTotal = results.collect {
       case (k, v) if harness(k) && v >= 0 => v }.sum
@@ -162,22 +203,15 @@ object Bench {
     // driver's parsed field is self-contained again.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Contention gate, SELF-LOAD-AWARE (round-18): foreign load = the
-    // loadavg residual after subtracting this JVM's own measured core
-    // usage. A foreign residual above cores/4 means OTHER work was eating
-    // the box and the numbers are not round-over-round comparable (the
-    // BENCH_r16 lesson); the bench's own 32-thread saturation no longer
-    // trips the flag (the r17 lesson — every artifact read contended:true
-    // on a box that started at loadavg 0.5).
-    val cores = Runtime.getRuntime.availableProcessors()
+    // Global contention flag (round-20): any query still contended
+    // after its retry. Fallback, not fail-open: on a JVM without the
+    // com.sun OS bean every perQueryForeign is -1 — retries never ran —
+    // so degrade to the pre-r18 load1 gate instead of silently reading
+    // false on a hot box.
     val load1Max = (perQueryLoad.values ++ Seq(-1.0)).max
-    // Fallback, not fail-open: on a JVM without the com.sun OS bean every
-    // perQueryForeign is -1 — the filtered max would default to 0.0 and
-    // contended would read false no matter how hot the box was, silently
-    // LOSING the old load1 safety check instead of degrading to it.
     val foreignSamples = perQueryForeign.values.filter(_ >= 0)
     val contended =
-      if (foreignSamples.nonEmpty) foreignSamples.max > cores / 4.0
+      if (foreignSamples.nonEmpty) contendedQueries.nonEmpty
       else load1Max > cores / 4.0 // pre-r18 gate: own-load unmeasurable
     val foreignMax = (foreignSamples ++ Seq(0.0)).max
     val loadsFull = perQueryLoad.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -186,7 +220,11 @@ object Bench {
       .mkString("{", ",", "}")
     val foreignFull = perQueryForeign.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qsFull,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load1_per_query":$loadsFull,"own_cores_per_query":$ownFull,"foreign_load1_per_query":$foreignFull,"load1_max":$load1Max,"foreign_load1_max":$foreignMax,"cores":$cores,"contended":$contended}"""
+    val contendedList = contendedQueries.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedFull = retriedQueries.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","data_path_total":$dataTotal,"harness_total":$harnessTotal,"harness_queries":$harnessList,"queries":$qsFull,"sf":"$sfDir","runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","load1_per_query":$loadsFull,"own_cores_per_query":$ownFull,"foreign_load1_per_query":$foreignFull,"load1_max":$load1Max,"foreign_load1_max":$foreignMax,"cores":$cores,"contended_threshold":${cores / 8.0},"contended_queries":$contendedList,"retried_queries":$retriedFull,"contended":$contended}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson + "\n")
     // The compact stdout line carries NO per-query map — at 144+ queries
@@ -202,7 +240,7 @@ object Bench {
     val failedAll = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val failed = failedAll.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","load1_max":${r3(load1Max)},"foreign_load1_max":${r3(foreignMax)},"contended":$contended,"full_artifact":"$outPath"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","data_path_total":${r3(dataTotal)},"harness_total":${r3(harnessTotal)},"n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,"sf":"$sfDir","runs_per_query":$runs,"load":"$loadBefore>$loadAfter","load1_max":${r3(load1Max)},"foreign_load1_max":${r3(foreignMax)},"n_contended":${contendedQueries.size},"n_retried":${retriedQueries.size},"contended":$contended,"full_artifact":"$outPath"}"""
     spark.stop()
     // printed AFTER spark.stop(), as the process's last stdout line, with
     // build.sbt's StdoutOutput strategy keeping sbt's "[info] " prefix off

@@ -374,12 +374,22 @@ private[dsv2] class RawJsonFileLog(logDir: String,
     size
   }
 
+  /** Temp-file + rename, like Spark's HDFSMetadataLog: a crash
+    * mid-write must never leave a TORN last line that restore() would
+    * accept as a valid zone path at a permanent log position (once an
+    * offset covers it, every replay of that batch would fail on the
+    * nonexistent file). Leftover `.tmp` names match neither `.log` nor
+    * `.compact`, so restore() ignores them.
+    */
   private def write(p: Path, lines: Seq[String]): Unit = {
-    val out = fs.create(p, false) // never overwrite a log position
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val out = fs.create(tmp, false)
     try out.write(lines.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    ()
+    // rename refuses an existing target: never overwrite a log position
+    require(fs.rename(tmp, p), s"publish $tmp -> $p failed")
   }
 
   private def compact(): Unit = {
@@ -431,24 +441,34 @@ private[dsv2] class RawJsonMicroBatchStream(path: String,
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
-      : Array[InputPartition] = {
-    val endIdx = end match {
-      case RawJsonIndexOffset(i) => i
-      case RawJsonStreamOffset(_) => throw new IllegalStateException(
-        "a legacy file-list offset can only appear as a batch START " +
-          "(the restored committed offset); ends are always index offsets")
-    }
-    start match {
-      case RawJsonIndexOffset(s) =>
-        log.slice(s, endIdx)
-          .map(f => RawJsonInputPartition(f): InputPartition).toArray
-      case RawJsonStreamOffset(files) =>
-        // upgrade replay: everything in the log prefix not already
-        // consumed by the legacy offset's file list
-        val done = files.toSet
-        log.slice(0L, endIdx).filterNot(done)
-          .map(f => RawJsonInputPartition(f): InputPartition).toArray
-    }
+      : Array[InputPartition] = end match {
+    case RawJsonIndexOffset(endIdx) =>
+      start match {
+        case RawJsonIndexOffset(s) =>
+          log.slice(s, endIdx)
+            .map(f => RawJsonInputPartition(f): InputPartition).toArray
+        case RawJsonStreamOffset(files) =>
+          // upgrade replay: everything in the log prefix not already
+          // consumed by the legacy offset's file list
+          val done = files.toSet
+          log.slice(0L, endIdx).filterNot(done)
+            .map(f => RawJsonInputPartition(f): InputPartition).toArray
+      }
+    case RawJsonStreamOffset(endFiles) =>
+      // a legacy END happens exactly once: the FIRST restart from a
+      // pre-round-19 checkpoint whose last batch was offset-logged but
+      // never committed — Spark replays that pending batch verbatim.
+      // Plan (end.files \ start-consumed); the next latestOffset()
+      // switches the query to index offsets for good. (Before round 20
+      // this threw, making such an upgrade fail permanently: every
+      // restart replays the same pending batch.)
+      val done = start match {
+        case RawJsonStreamOffset(files) => files.toSet
+        case RawJsonIndexOffset(s) =>
+          log.slice(0L, math.min(s, log.size)).toSet
+      }
+      endFiles.filterNot(done)
+        .map(f => RawJsonInputPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

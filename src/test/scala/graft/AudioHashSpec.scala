@@ -61,6 +61,47 @@ class AudioHashSpec extends SparkSpec {
       s"ramp ehash must be all-ones, got ${h.getLong(3).toHexString}")
   }
 
+  /** A WAV with caller-supplied samples — the canonical header with
+    * patched sizes (the ramp test's trick, factored).
+    */
+  private def wavOf(samples: Array[Short], rate: Int): Array[Byte] = {
+    val n = samples.length
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(Wav.encodeScaled(1, rate, 0L, 1), 0, 44)
+    b.position(4); b.putInt(36 + 2 * n)
+    b.position(40); b.putInt(2 * n)
+    b.position(44)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  test("a genuine 2:1 resample of STRUCTURED audio stays within the radius") {
+    // The scaladoc claims resample robustness for structured audio
+    // (time-local energy), not white noise — measure it: a slow
+    // amplitude envelope (2.3 cycles across the 57 windows, adjacent
+    // window means separated by >> the discretization noise), decimated
+    // 2:1 with time alignment preserved. Window w of both signals
+    // covers the same TIME span, so the energy comparisons — and hence
+    // the hash — must survive the sample-rate change.
+    val n = 11400 // 200 samples/window full, 100 decimated
+    def env(t: Double): Double = 600.0 + 500.0 * math.sin(2 * math.Pi * 2.3 * t)
+    val full = Array.tabulate(n)(i =>
+      (env(i.toDouble / n) * (if (i % 2 == 0) 1 else -1)).toShort)
+    val half = Array.tabulate(n / 2)(j => full(2 * j))
+    val h = hashOf(Seq(1L -> wavOf(full, 16000), 2L -> wavOf(half, 8000)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val d = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    assert(d <= AudioHash.DefaultMaxHamming,
+      s"2:1 decimation drifted $d bits — outside the banded radius")
+    // and the banded retrieval actually pairs them
+    val pairs = AudioHash.nearDupPairs(
+      hashOf(Seq(1L -> wavOf(full, 16000), 2L -> wavOf(half, 8000))),
+      "doc_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      "the resampled twin must surface as a near-dup pair")
+  }
+
   test("undecodable, non-mono-PCM16 and too-short payloads carry null hashes and never pair") {
     val junk = Array.fill[Byte](64)(42)
     val short = Wav.encodeScaled(EnergyDiffHash.Windows - 1, 8000, 3L, 1)

@@ -61,4 +61,47 @@ class RawJsonFileLogSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { log.slice(0, 2) }
     assert(e.getMessage.contains("never recorded"))
   }
+
+  test("chunk writes are atomic: no torn files, stale temps ignored on restore") {
+    val dir = tmp()
+    val log = new RawJsonFileLog(dir, conf)
+    log.appendNew(Seq("/z/a.jsonl"))
+    val d = new java.io.File(dir)
+    assert(!d.list().exists(_.endsWith(".tmp")),
+      "a completed append must leave no temp files")
+    // a crash mid-write leaves only a hidden temp — restore must ignore
+    // it instead of reading a torn line as a permanent log position
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".00000000000000000001.log.tmp"),
+      "/z/torn-partial") // no trailing newline: the torn shape
+    val restored = new RawJsonFileLog(dir, conf)
+    assert(restored.size == 1 && restored.slice(0, 1) == Seq("/z/a.jsonl"),
+      "restore must see only published chunk files")
+    // the next append publishes past the stale temp
+    restored.appendNew(Seq("/z/b.jsonl"))
+    assert(restored.slice(0, 2) == Seq("/z/a.jsonl", "/z/b.jsonl"))
+  }
+
+  /** The r19-ADVICE upgrade hole: the FIRST restart from a pre-round-19
+    * checkpoint whose last batch was offset-logged but never committed
+    * replays that batch with a LEGACY file-list END — which used to
+    * throw, failing the upgrade permanently.
+    */
+  test("a pending pre-upgrade batch replays with a legacy file-list END") {
+    def stream(checkpoint: String) = new RawJsonMicroBatchStream(
+      "/nonexistent-zone", new org.apache.spark.sql.types.StructType(),
+      Array.empty, new org.apache.spark.util.SerializableConfiguration(conf),
+      checkpoint)
+    val s = stream(Files.createTempDirectory("graft_mbs").toString)
+    val legacyEnd = RawJsonStreamOffset(Seq("/z/a.jsonl", "/z/b.jsonl"))
+    // committed legacy start: plan exactly the uncommitted delta
+    val p1 = s.planInputPartitions(RawJsonStreamOffset(Seq("/z/a.jsonl")),
+      legacyEnd)
+    assert(p1.map(_.asInstanceOf[RawJsonInputPartition].file).toSeq ==
+      Seq("/z/b.jsonl"))
+    // initial index start (no committed batch, empty log): plan them all
+    val p2 = s.planInputPartitions(RawJsonIndexOffset(0L), legacyEnd)
+    assert(p2.map(_.asInstanceOf[RawJsonInputPartition].file).toSeq ==
+      Seq("/z/a.jsonl", "/z/b.jsonl"))
+  }
 }
