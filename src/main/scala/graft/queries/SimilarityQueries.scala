@@ -831,6 +831,147 @@ object SimilarityQueries {
   /** N ledger folds must equal the one-shot closure — q171's oracle. */
   def q186Oracle: String = q171Oracle
 
+  private val q188Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q188: audio INCREMENTAL clusters — the full production composition
+    * for a second modality (q186 proved it for images): the q185 audio
+    * index's per-append frozen ledgers fold one by one into the
+    * persisted [[graft.operators.dedup.IncrementalClusters]] state, and
+    * the final labelling must equal q179's one-shot recursive-CTE
+    * closure — pair generation AND cluster maintenance both O(delta)
+    * for sound, nothing rescanning history.
+    */
+  def q188AudioIncrClusters(spark: SparkSession, dir: String): DataFrame = {
+    val inv = q188Invocation.incrementAndGet()
+    val base = s"${PipelineQueries.scratch}/q188_$inv"
+    val corpus = graft.operators.OpCache.cache(audioCorpus(spark, dir))
+    (0 until 3).foreach { day =>
+      val ledger = AudioHashIndex.append(spark, s"$base/index",
+        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob")
+      graft.operators.dedup.IncrementalClusters.append(spark,
+        s"$base/clusters", ledger, "a_id", "b_id")
+      ()
+    }
+    graft.operators.dedup.IncrementalClusters.clusters(spark, s"$base/clusters")
+      .select(col("node").as("doc_id"), col("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  /** N ledger folds must equal the one-shot closure — q179's oracle. */
+  def q188Oracle: String = q179Oracle
+
+  private val q189Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q189: INCREMENTAL video frame-hash index
+    * ([[graft.operators.multimodal.VideoHashIndex]] — the last modality
+    * onto the generic banded-index protocol; before this, every video
+    * append re-paired history): the q175 video corpus arrives as three
+    * interleaved crawl days (dup groups and their shifted members split
+    * ACROSS days); each append indexes the day's distinct
+    * (video, frame-hash) postings keyed by min frame key and returns
+    * the COMPLETE (a_id, b_id, n_shared) for exactly the video pairs
+    * new that day (videos arrive atomically, so a pair's every frame
+    * match lands in the later member's batch). The union must equal
+    * q175's one-shot banded share-rule replay — a ledger row lost to
+    * multi-band double-count, a same-video self-pair leaking through,
+    * or a cross-day frame match missed against the store all diverge.
+    */
+  def q189VideoIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.multimodal.VideoHashIndex
+    val inv = q189Invocation.incrementAndGet()
+    val idxDir = s"${PipelineQueries.scratch}/q189_$inv/index"
+    val corpus = graft.operators.OpCache.cache(videoCorpus(spark, dir))
+    (0 until 3).map { day =>
+      VideoHashIndex.append(spark, idxDir,
+        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob",
+        frames = 8)
+    }.reduce(_ unionByName _)
+  }
+
+  /** The appended union must equal the batch share rule — q175's oracle. */
+  def q189Oracle: String = q175Oracle
+
+  private val q190Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q190: video INCREMENTAL clusters — q186/q188's composition for the
+    * third modality: each day's complete new video pairs (q189's
+    * per-append output) fold into the persisted cluster state; the
+    * final labelling must equal q180's one-shot closure. With this the
+    * whole media-dedup story is incremental end to end for every
+    * modality: pair ledgers → cluster state, no history rescan
+    * anywhere.
+    */
+  def q190VideoIncrClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.multimodal.VideoHashIndex
+    val inv = q190Invocation.incrementAndGet()
+    val base = s"${PipelineQueries.scratch}/q190_$inv"
+    val corpus = graft.operators.OpCache.cache(videoCorpus(spark, dir))
+    (0 until 3).foreach { day =>
+      val dayPairs = VideoHashIndex.append(spark, s"$base/index",
+        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob",
+        frames = 8)
+      graft.operators.dedup.IncrementalClusters.append(spark,
+        s"$base/clusters", dayPairs, "a_id", "b_id")
+      ()
+    }
+    graft.operators.dedup.IncrementalClusters.clusters(spark, s"$base/clusters")
+      .select(col("node").as("doc_id"), col("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  /** N pair-delta folds must equal the one-shot closure — q180's oracle. */
+  def q190Oracle: String = q180Oracle
+
+  private val q191Invocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q191: the multimodal dedup report FROM INCREMENTAL STATE — q184's
+    * three-row audit table rebuilt without recomputing a single
+    * closure: all three modality corpora arrive as three crawl days,
+    * each day flowing index-append → cluster-state fold, and the report
+    * reads ONLY the maintained labellings (plus the corpus counts). The
+    * oracle is q184's one-shot replay of all three closures — so this
+    * gate proves the continuously-maintained state answers the audit
+    * query a batch pipeline would recompute from scratch.
+    */
+  def q191IncrementalReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.dedup.IncrementalClusters
+    import graft.operators.multimodal.VideoHashIndex
+    val inv = q191Invocation.incrementAndGet()
+    val base = s"${PipelineQueries.scratch}/q191_$inv"
+    def row(modality: String, corpus: DataFrame,
+            dayPairs: Int => DataFrame): DataFrame = {
+      (0 until 3).foreach { day =>
+        IncrementalClusters.append(spark, s"$base/$modality",
+          dayPairs(day), "a_id", "b_id")
+        ()
+      }
+      val st = IncrementalClusters.clusters(spark, s"$base/$modality")
+      val stats = st.agg(
+        count(lit(1)).as("n_linked"),
+        count_distinct(col("cluster_rep")).as("n_clusters"))
+      corpus.agg(count(lit(1)).as("n_items")).crossJoin(stats)
+        .select(lit(modality).as("modality"), col("n_items"),
+          col("n_linked"), col("n_clusters"),
+          (col("n_linked") - col("n_clusters")).as("n_redundant"))
+    }
+    val img = graft.operators.OpCache.cache(imageCorpus(spark, dir))
+    val aud = graft.operators.OpCache.cache(audioCorpus(spark, dir))
+    val vid = graft.operators.OpCache.cache(videoCorpus(spark, dir))
+    row("image", img, day => graft.operators.multimodal.ImageHashIndex
+        .append(spark, s"$base/image_idx",
+          img.filter(col("doc_id") % 3 === day), "doc_id", "blob"))
+      .unionByName(row("audio", aud, day => AudioHashIndex
+        .append(spark, s"$base/audio_idx",
+          aud.filter(col("doc_id") % 3 === day), "doc_id", "blob")))
+      .unionByName(row("video", vid, day => VideoHashIndex
+        .append(spark, s"$base/video_idx",
+          vid.filter(col("doc_id") % 3 === day), "doc_id", "blob",
+          frames = 8)))
+  }
+
+  /** Maintained state must answer the one-shot audit — q184's oracle. */
+  def q191Oracle: String = q184Oracle
+
   /** q184: the MULTIMODAL DEDUP REPORT — the dim-sized audit table a
     * production curation run publishes beside its keep lists (the
     * FineWeb-ablation shape at media grain): per modality, how many
