@@ -30,4 +30,14 @@ object GraftSession {
       // shuffle-to-broadcast demotion
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Coalesce post-shuffle partitions by the advisory SIZE, not the
+      // core count (Spark's own docs recommend parallelismFirst=false):
+      // with it true, a KiB-sized shuffle still fans out to ~cores
+      // reduce tasks, and a query built from dozens of tiny exchanges
+      // pays ~cores× the task-launch overhead per exchange while a
+      // 100 TB shuffle is sized by bytes either way. Size-based
+      // coalescing is the scale-adaptive choice in BOTH directions:
+      // partition counts derive from data volume, not from whatever
+      // local[] width the session happens to run at.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
 }

@@ -50,6 +50,16 @@ object ProbeProfile {
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val dur = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(-1L)
+        if (dur >= 1000)
+          println(f"  [stage ${si.stageId}%4d ${dur}%6d ms " +
+            f"tasks=${si.numTasks}] " +
+            si.rddInfos.map(r => r.scope.map(_.name).getOrElse(r.name))
+              .distinct.mkString(" | "))
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         jobs.synchronized {
           stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>

@@ -33,16 +33,35 @@ object OpCache {
   }
 
   /** Cache `df` and, when a [[scoped]] body is active on this thread,
-    * register it for release when that scope exits.
+    * register it for release when that scope exits. Registration is
+    * synchronized on the scope buffer: [[Par.run]] shares the caller's
+    * scope across worker threads, so concurrent branches may register
+    * into one buffer.
     */
   def cache(df: DataFrame): DataFrame = {
     val cached = df.cache()
     scopes.get() match {
-      case head :: _ => head += cached
+      case head :: _ => head.synchronized { head += cached }
       case Nil       =>
     }
     cached
   }
+
+  /** Run `body` on a WORKER thread under the scope stack captured from
+    * the spawning thread ([[Par.run]]'s bridge): frames the body caches
+    * release when the PARENT scope exits, exactly as if the body had run
+    * inline. Restores the worker's own stack afterwards (pool threads
+    * are reused).
+    */
+  private[operators] def withScopesOf[T](
+      captured: List[ArrayBuffer[DataFrame]])(body: => T): T = {
+    val own = scopes.get()
+    scopes.set(captured)
+    try body finally scopes.set(own)
+  }
+
+  private[operators] def capturedScopes: List[ArrayBuffer[DataFrame]] =
+    scopes.get()
 
   /** Run `body`; unpersist (blocking) every frame cached via [[cache]]
     * during it, even on exception. The body must include the terminal

@@ -117,7 +117,9 @@ object IncrementalClusters {
     val staging = new org.apache.hadoop.fs.Path(s"$root/.staging_$bid")
     if (fs.exists(staging))
       require(fs.delete(staging, true), s"delete stale $staging failed")
+    spark.sparkContext.setJobDescription(s"incr-clusters: fold batch=$bid")
     delta.write.mode("error").parquet(staging.toString)
+    spark.sparkContext.setJobDescription(null)
     fs.mkdirs(dir.getParent)
     require(fs.rename(staging, dir), s"publish $staging -> $dir failed")
     spark.read.schema(stateSchema).parquet(dir.toString)

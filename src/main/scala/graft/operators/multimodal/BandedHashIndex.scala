@@ -191,8 +191,12 @@ object BandedHashIndex {
       new org.apache.hadoop.fs.Path(s"$indexDir/pairs/.staging_$bid")
     val postStaging =
       new org.apache.hadoop.fs.Path(s"$postPath/.staging_$bid")
+    val sc = spark.sparkContext
+    sc.setJobDescription(s"banded-index: stage pairs batch=$bid")
     stage(pairs, pairsStaging, Nil)
+    sc.setJobDescription(s"banded-index: stage postings batch=$bid")
     stage(deltaPost, postStaging, Seq("band"))
+    sc.setJobDescription(null)
     rename(postStaging, postDir)
     rename(pairsStaging, pairsDir)
     spark.read.schema(pairsSchema(spec)).parquet(pairsDir.toString)

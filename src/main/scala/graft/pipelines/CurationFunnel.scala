@@ -79,8 +79,17 @@ object CurationFunnel {
       surv.select(col(idCol), TextFns.fingerprint(col(textCol)).as("__fp"))
         .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
         .select(col(idCol))),
+    // the stats frame is CACHED before the passed-filter: filtering the
+    // lazy report lets Catalyst collapse the stats projection into one
+    // Filter CONDITION, where every rule re-evaluates the whole-text
+    // normalize regex separately and the oversized condition falls out
+    // of codegen (no CSE interpreted) — measured 19 normalize evals/row
+    // and 8.8 s of q177's 17 s in that one interpreted filter. The cache
+    // is doc-grain numerics (id + 6 stats + flag), spillable at any
+    // scale, and the projection computes normalize ONCE per row under
+    // codegen subexpression elimination.
     FunnelStage("rules", (surv, _) =>
-      QualityRules.report(surv, idCol, textCol, th)
+      OpCache.cache(QualityRules.report(surv, idCol, textCol, th))
         .filter(col("passed")).select(col("doc_id").as(idCol))),
     FunnelStage("lm", (surv, _) =>
       NgramLm.flagged(surv, idCol, textCol, posPred, lmKeepPct)
@@ -125,13 +134,28 @@ object CurationFunnel {
       "'invalid' and 'kept' are the built-in first/last labels")
     val base = docs.filter(col(idCol).isNotNull)
     val norm = TextFns.normalizeText(col(textCol))
-    val valid = base.filter(col(textCol).isNotNull && length(norm) > 0)
+    val valid0 = base.filter(col(textCol).isNotNull && length(norm) > 0)
+    val sc = docs.sparkSession.sparkContext
+    // Spread a narrower-than-cores corpus before the CPU-bound per-row
+    // stages (the §2.5 unsplittable-input fix, and BinaryPipeline's
+    // "spread before the encode" lesson): every funnel stage runs
+    // regex/tokenizer work over the survivor rows, and a single-split
+    // source (one small parquet file = one scan task) serializes ALL of
+    // it — measured 7.4 s of q177's PII+rules regexes on one core with
+    // 31 idle. Guarded by the scan's actual parallelism: at warehouse
+    // scale the source has thousands of splits and this is a no-op, so
+    // nothing here shuffles a 100 TB corpus.
+    val valid =
+      if (valid0.rdd.getNumPartitions >= sc.defaultParallelism) valid0
+      else valid0.repartition(sc.defaultParallelism, col(idCol))
     val validIds = OpCache.cache(valid.select(col(idCol)))
     var surv = valid
     val stageIds = chain.map { st =>
+      sc.setJobDescription(s"funnel: stage ${st.name}")
       val out = st.pass(surv, docs)
       val ids = OpCache.cache(out.select(col(out.columns.head).as(idCol)))
       surv = surv.join(ids, Seq(idCol), "left_semi")
+      sc.setJobDescription(null)
       st.name -> ids
     }
     def flag(ids: DataFrame, name: String): DataFrame =

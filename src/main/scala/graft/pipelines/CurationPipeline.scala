@@ -108,7 +108,14 @@ object CurationPipeline {
     val cleaned = graft.operators.OpCache.cache(
       SpanDedup.removeDuplicateSpans(capped, idCol, textCol, spanTokens)
         .join(capped.select(col(idCol), col(sourceCol)), Seq(idCol)))
-    val scored = QualityRules.report(cleaned, idCol, "clean_text", th)
+    // cached before the passed-filter: a lazy report would collapse the
+    // stats projection into one interpreted Filter condition that
+    // re-evaluates the whole-text normalize regex per rule (the q177
+    // 19-evals-per-row measurement — see CurationFunnel's rules stage);
+    // the cache is doc-grain numerics, and the projection computes
+    // normalize once under codegen CSE
+    val scored = graft.operators.OpCache.cache(
+        QualityRules.report(cleaned, idCol, "clean_text", th))
       .filter(col("passed"))
       .select(col(idCol), col("n_words"))
     val kept = cleaned.join(scored, Seq(idCol))

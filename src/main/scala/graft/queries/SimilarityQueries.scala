@@ -957,16 +957,20 @@ object SimilarityQueries {
     val img = graft.operators.OpCache.cache(imageCorpus(spark, dir))
     val aud = graft.operators.OpCache.cache(audioCorpus(spark, dir))
     val vid = graft.operators.OpCache.cache(videoCorpus(spark, dir))
-    row("image", img, day => graft.operators.multimodal.ImageHashIndex
+    // three independent index+state pipelines (separate dirs, separate
+    // corpora); days stay sequential INSIDE each branch (state folds),
+    // the branches overlap (§2.6) — same appends, same folds, same report
+    graft.operators.Par.run(Seq(
+      () => row("image", img, day => graft.operators.multimodal.ImageHashIndex
         .append(spark, s"$base/image_idx",
-          img.filter(col("doc_id") % 3 === day), "doc_id", "blob"))
-      .unionByName(row("audio", aud, day => AudioHashIndex
+          img.filter(col("doc_id") % 3 === day), "doc_id", "blob")),
+      () => row("audio", aud, day => AudioHashIndex
         .append(spark, s"$base/audio_idx",
-          aud.filter(col("doc_id") % 3 === day), "doc_id", "blob")))
-      .unionByName(row("video", vid, day => VideoHashIndex
+          aud.filter(col("doc_id") % 3 === day), "doc_id", "blob")),
+      () => row("video", vid, day => VideoHashIndex
         .append(spark, s"$base/video_idx",
           vid.filter(col("doc_id") % 3 === day), "doc_id", "blob",
-          frames = 8)))
+          frames = 8)))).reduce(_ unionByName _)
   }
 
   /** Maintained state must answer the one-shot audit — q184's oracle. */
@@ -1001,16 +1005,21 @@ object SimilarityQueries {
     val img = imageCorpus(spark, dir)
     val aud = audioCorpus(spark, dir)
     val vid = videoCorpus(spark, dir)
-    row("image", img,
-      ImageHash.nearDupPairs(
-        ImageHash.hashes(spark, img, "doc_id", "blob"), "doc_id"))
-      .unionByName(row("audio", aud,
+    // the three modality pipelines are fully independent (separate
+    // corpora, separate closures) and their CC loops are EAGER — overlap
+    // them (§2.6) instead of serializing three iterative drivers; each
+    // branch's plan, and the report, are unchanged
+    graft.operators.Par.run(Seq(
+      () => row("image", img,
+        ImageHash.nearDupPairs(
+          ImageHash.hashes(spark, img, "doc_id", "blob"), "doc_id")),
+      () => row("audio", aud,
         AudioHash.nearDupPairs(
-          AudioHash.hashes(spark, aud, "doc_id", "blob"), "doc_id")))
-      .unionByName(row("video", vid,
+          AudioHash.hashes(spark, aud, "doc_id", "blob"), "doc_id")),
+      () => row("video", vid,
         VideoHash.nearDupPairs(
           VideoHash.frameHashes(spark, vid, "doc_id", "blob", frames = 8),
-          "doc_id")))
+          "doc_id")))).reduce(_ unionByName _)
   }
 
   def q184Oracle: String =
