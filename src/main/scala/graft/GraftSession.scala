@@ -30,14 +30,20 @@ object GraftSession {
       // shuffle-to-broadcast demotion
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Coalesce post-shuffle partitions by the advisory SIZE, not the
-      // core count (Spark's own docs recommend parallelismFirst=false):
-      // with it true, a KiB-sized shuffle still fans out to ~cores
-      // reduce tasks, and a query built from dozens of tiny exchanges
-      // pays ~cores× the task-launch overhead per exchange while a
-      // 100 TB shuffle is sized by bytes either way. Size-based
-      // coalescing is the scale-adaptive choice in BOTH directions:
-      // partition counts derive from data volume, not from whatever
-      // local[] width the session happens to run at.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE partition-coalescing dials, parameterized for measurement
+      // and per-deployment tuning (env for the bench harness, builder
+      // conf for embedders); the DEFAULTS are Spark's stock values. A
+      // round-20 controlled A/B/A at sf0.1 measured parallelismFirst=
+      // false + small advisory sizes LOSING to stock on CPU-dense
+      // integer shuffles (PageRank's edge join serialized onto 1-2
+      // post-coalesce tasks: 9.4 s stock vs 13.3 s size-first), while
+      // tiny KiB exchanges are already coalesced under stock settings
+      // by minPartitionSize — so stock wins both regimes here. At
+      // 100 TB the calculus flips toward larger advisory sizes (shuffle
+      // block count dominates — guide §2.2); that is a conf, not a code
+      // change, and values never affect results.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
 }
