@@ -24,6 +24,44 @@ package graft.operators
   */
 object Par {
 
+  /** Two-lane pipeline over `n` sequential steps: `produce(i)` runs on
+    * the calling thread in step order; `consume(i, produced(i))` runs on
+    * a background lane, also in step order, OVERLAPPING `produce(i+1)`.
+    * The incremental-index gates have exactly this dependence shape:
+    * day k's cluster-state fold needs day k's frozen ledger and fold
+    * k−1, but NOT append k+1 — so the fold lane hides behind the append
+    * lane instead of serializing with it. Both lanes stay internally
+    * ordered, so every publish and state write happens in the same
+    * order with the same content as the sequential loop.
+    */
+  def pipeline2[A](n: Int)(produce: Int => A)(consume: (Int, A) => Unit): Unit = {
+    val captured = OpCache.capturedScopes
+    @volatile var failure: Throwable = null
+    var lane: Thread = null
+    def drainLane(): Unit = {
+      if (lane != null) lane.join()
+      if (failure != null) throw failure
+    }
+    try {
+      (0 until n).foreach { i =>
+        val a = produce(i)
+        drainLane() // fold order: consume(i-1) completes before consume(i)
+        val t = new Thread(() => {
+          try OpCache.withScopesOf(captured)(consume(i, a))
+          catch { case e: Throwable => failure = e }
+        }, s"graft-pipe-$i")
+        t.setDaemon(true)
+        t.start()
+        lane = t
+      }
+      drainLane()
+    } catch {
+      case e: Throwable =>
+        if (lane != null) lane.join() // never leave a lane running
+        throw e
+    }
+  }
+
   def run[T](branches: Seq[() => T]): Seq[T] = {
     require(branches.nonEmpty, "no branches to run")
     if (branches.size == 1) return Seq(branches.head())

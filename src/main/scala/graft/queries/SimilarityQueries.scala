@@ -815,10 +815,14 @@ object SimilarityQueries {
     val inv = q186Invocation.incrementAndGet()
     val base = s"${PipelineQueries.scratch}/q186_$inv"
     val corpus = graft.operators.OpCache.cache(imageCorpus(spark, dir))
-    (0 until 3).foreach { day =>
-      val ledger = graft.operators.multimodal.ImageHashIndex.append(spark,
+    // two-lane pipeline (Par.pipeline2): day k's state fold depends on
+    // day k's frozen ledger and fold k-1, not on append k+1 — the fold
+    // lane overlaps the next append; appends and folds each stay in
+    // day order, so state content is unchanged
+    graft.operators.Par.pipeline2(3)(day =>
+      graft.operators.multimodal.ImageHashIndex.append(spark,
         s"$base/index", corpus.filter(col("doc_id") % 3 === day),
-        "doc_id", "blob")
+        "doc_id", "blob")) { (_, ledger) =>
       graft.operators.dedup.IncrementalClusters.append(spark,
         s"$base/clusters", ledger, "a_id", "b_id")
       ()
@@ -845,12 +849,14 @@ object SimilarityQueries {
     val inv = q188Invocation.incrementAndGet()
     val base = s"${PipelineQueries.scratch}/q188_$inv"
     val corpus = graft.operators.OpCache.cache(audioCorpus(spark, dir))
-    (0 until 3).foreach { day =>
-      val ledger = AudioHashIndex.append(spark, s"$base/index",
-        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob")
-      graft.operators.dedup.IncrementalClusters.append(spark,
-        s"$base/clusters", ledger, "a_id", "b_id")
-      ()
+    // fold lane overlaps the next append (Par.pipeline2, q186's shape)
+    graft.operators.Par.pipeline2(3)(day =>
+      AudioHashIndex.append(spark, s"$base/index",
+        corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob")) {
+      (_, ledger) =>
+        graft.operators.dedup.IncrementalClusters.append(spark,
+          s"$base/clusters", ledger, "a_id", "b_id")
+        ()
     }
     graft.operators.dedup.IncrementalClusters.clusters(spark, s"$base/clusters")
       .select(col("node").as("doc_id"), col("cluster_rep"),
@@ -906,10 +912,11 @@ object SimilarityQueries {
     val inv = q190Invocation.incrementAndGet()
     val base = s"${PipelineQueries.scratch}/q190_$inv"
     val corpus = graft.operators.OpCache.cache(videoCorpus(spark, dir))
-    (0 until 3).foreach { day =>
-      val dayPairs = VideoHashIndex.append(spark, s"$base/index",
+    // fold lane overlaps the next append (Par.pipeline2, q186's shape)
+    graft.operators.Par.pipeline2(3)(day =>
+      VideoHashIndex.append(spark, s"$base/index",
         corpus.filter(col("doc_id") % 3 === day), "doc_id", "blob",
-        frames = 8)
+        frames = 8)) { (_, dayPairs) =>
       graft.operators.dedup.IncrementalClusters.append(spark,
         s"$base/clusters", dayPairs, "a_id", "b_id")
       ()
@@ -940,9 +947,12 @@ object SimilarityQueries {
     val base = s"${PipelineQueries.scratch}/q191_$inv"
     def row(modality: String, corpus: DataFrame,
             dayPairs: Int => DataFrame): DataFrame = {
-      (0 until 3).foreach { day =>
+      // fold lane overlaps the next append inside each modality branch
+      // (Par.pipeline2, q186's shape; the branches themselves overlap
+      // through Par.run below)
+      graft.operators.Par.pipeline2(3)(dayPairs) { (_, pairs) =>
         IncrementalClusters.append(spark, s"$base/$modality",
-          dayPairs(day), "a_id", "b_id")
+          pairs, "a_id", "b_id")
         ()
       }
       val st = IncrementalClusters.clusters(spark, s"$base/$modality")
