@@ -148,12 +148,19 @@ object CurationFunnel {
     val valid =
       if (valid0.rdd.getNumPartitions >= sc.defaultParallelism) valid0
       else valid0.repartition(sc.defaultParallelism, col(idCol))
-    val validIds = OpCache.cache(valid.select(col(idCol)))
+    // stage id frames are CHECKPOINTED, not cached (round-20 driver-gap
+    // measurement): every stage's plan embeds ALL previous stages'
+    // lineage through the cached id frames (cache substitution happens
+    // after analysis), so a k-stage funnel re-analyzes O(k²) lineage on
+    // every action — ~6 s of q177's 15 s was Catalyst walking 7 KB
+    // expression strings. The checkpoint truncates each stage's plan to
+    // an RDD-scan leaf; blocks release with the query's OpCache scope.
+    val validIds = OpCache.checkpoint(valid.select(col(idCol)))
     var surv = valid
     val stageIds = chain.map { st =>
       sc.setJobDescription(s"funnel: stage ${st.name}")
       val out = st.pass(surv, docs)
-      val ids = OpCache.cache(out.select(col(out.columns.head).as(idCol)))
+      val ids = OpCache.checkpoint(out.select(col(out.columns.head).as(idCol)))
       surv = surv.join(ids, Seq(idCol), "left_semi")
       sc.setJobDescription(null)
       st.name -> ids
